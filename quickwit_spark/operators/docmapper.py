@@ -1,0 +1,385 @@
+"""Doc-mapper: JSON docs → typed rows, Quickwit semantics, Spark-first.
+
+Replicates the behavior of quickwit-doc-mapper (doc_mapper_impl.rs:496-562,
+mapping_tree.rs:163-265/849-874 — studied for behavior only):
+
+- three modes: ``lenient`` (drop unmapped fields), ``strict`` (row error),
+  ``dynamic`` (capture unmapped leaves into a ``_dynamic`` JSON column);
+- per-type coercions (see FIXTURES.md F5): numeric strings coerce iff
+  ``coerce=True`` (default), bools never coerce, ``null`` silently ignored,
+  single-valued field given an array → error, arrays skip inner nulls,
+  ``ip`` normalized to IPv6 form, ``bytes`` base64/hex, ``datetime`` per
+  functions.datetime;
+- ``partition_id`` evaluated from the routing expression over the raw doc;
+- ``_doc_length`` = byte length of the serialized source;
+- rows that fail land in a quarantine with Quickwit's outcome categories
+  (doc_processor.rs:311-404): ``valid | json_parse_error | doc_mapper_error``.
+
+The Spark integration is ``mapInPandas`` over batches of raw JSON lines —
+document parsing is inherently row-wise, but everything downstream (the typed
+columns) stays JVM-side. For typed-column feeds (the transcripts pipeline)
+the doc-mapper is bypassed entirely; see pipeline/parse.py.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import ipaddress
+import json
+from dataclasses import dataclass, field
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from quickwit_spark.functions.datetime import (
+    DEFAULT_INPUT_FORMATS,
+    coerce_timestamp_pandas,
+)
+from quickwit_spark.routing import RoutingExpr
+
+VALID = "valid"
+JSON_PARSE_ERROR = "json_parse_error"
+DOC_MAPPER_ERROR = "doc_mapper_error"
+TRANSFORM_ERROR = "transform_error"
+
+_SOURCE_COL = "_source"
+_DYNAMIC_COL = "_dynamic"
+_DOC_LENGTH_COL = "_doc_length"
+_ERROR_COL = "_error"
+_CATEGORY_COL = "_error_category"
+
+
+@dataclass
+class FieldMapping:
+    name: str
+    type: str  # text|u64|i64|f64|bool|ip|datetime|bytes|json|object
+    multi: bool = False
+    coerce: bool = True
+    input_formats: tuple[str, ...] = DEFAULT_INPUT_FORMATS
+    fast_precision: str = "seconds"
+    input_format: str = "base64"  # for bytes: base64|hex
+    fields: list["FieldMapping"] = field(default_factory=list)  # for object
+
+
+@dataclass
+class DocMapping:
+    field_mappings: list[FieldMapping]
+    mode: str = "dynamic"  # dynamic|lenient|strict
+    timestamp_field: str | None = None
+    partition_key: str = ""
+    max_num_partitions: int = 200
+    tag_fields: tuple[str, ...] = ()
+    store_source: bool = False
+
+
+_SPARK_TYPES = {
+    "text": T.StringType(),
+    "u64": T.LongType(),
+    "i64": T.LongType(),
+    "f64": T.DoubleType(),
+    "bool": T.BooleanType(),
+    "ip": T.StringType(),
+    "datetime": T.TimestampType(),
+    "bytes": T.BinaryType(),
+    "json": T.StringType(),
+}
+
+
+class DocMapperError(Exception):
+    pass
+
+
+def _spark_type(fm: FieldMapping) -> T.DataType:
+    if fm.type == "object":
+        inner = T.StructType([T.StructField(c.name, _spark_type(c), True) for c in fm.fields])
+        return inner
+    base = _SPARK_TYPES[fm.type]
+    return T.ArrayType(base) if fm.multi else base
+
+
+def compile_schema(mapping: DocMapping) -> T.StructType:
+    fields = [T.StructField(fm.name, _spark_type(fm), True) for fm in mapping.field_mappings]
+    if mapping.mode == "dynamic":
+        fields.append(T.StructField(_DYNAMIC_COL, T.StringType(), True))
+    if mapping.store_source:
+        fields.append(T.StructField(_SOURCE_COL, T.StringType(), True))
+    fields += [
+        T.StructField(_DOC_LENGTH_COL, T.LongType(), True),
+        T.StructField("partition_id", T.LongType(), True),
+        T.StructField(_ERROR_COL, T.StringType(), True),
+        T.StructField(_CATEGORY_COL, T.StringType(), True),
+    ]
+    return T.StructType(fields)
+
+
+# ---------------------------------------------------------------------------
+# Per-value conversion (mapping_tree.rs:163-265 semantics)
+# ---------------------------------------------------------------------------
+
+
+def _convert_leaf(fm: FieldMapping, val: Any) -> Any:
+    t = fm.type
+    if t == "text":
+        if isinstance(val, str):
+            return val
+        raise DocMapperError(f"expected JSON string, got `{json.dumps(val)}`")
+    if t in ("u64", "i64", "f64"):
+        if isinstance(val, bool):
+            raise DocMapperError(f"expected JSON number, got `{json.dumps(val)}`")
+        if isinstance(val, (int, float)):
+            if t == "f64":
+                return float(val)
+            if isinstance(val, float) and not val.is_integer():
+                raise DocMapperError(f"expected an integer, got `{val}`")
+            iv = int(val)
+            if t == "u64" and iv < 0:
+                raise DocMapperError(f"expected u64, got negative `{iv}`")
+            return iv
+        if isinstance(val, str):
+            if not fm.coerce:
+                raise DocMapperError(
+                    f"expected JSON number, got string `{val}`. enable coercion to {t} "
+                    f"with the `coerce` parameter in the field mapping"
+                )
+            try:
+                return float(val) if t == "f64" else int(val)
+            except ValueError:
+                raise DocMapperError(f'failed to coerce JSON string `"{val}"` to {t}') from None
+        raise DocMapperError(f"expected JSON number, got `{json.dumps(val)}`")
+    if t == "bool":
+        if isinstance(val, bool):
+            return val
+        raise DocMapperError(f"expected JSON boolean, got `{json.dumps(val)}`")
+    if t == "ip":
+        if not isinstance(val, str):
+            raise DocMapperError(f"expected JSON string for ip, got `{json.dumps(val)}`")
+        try:
+            addr = ipaddress.ip_address(val)
+        except ValueError as e:
+            raise DocMapperError(f"failed to parse IP address `{val}`: {e}") from None
+        if isinstance(addr, ipaddress.IPv4Address):
+            return f"::ffff:{addr}"  # IPv6-mapped form (mapping_tree.rs:240-248)
+        return str(addr)
+    if t == "bytes":
+        if not isinstance(val, str):
+            raise DocMapperError(f"expected base64/hex string, got `{json.dumps(val)}`")
+        try:
+            if fm.input_format == "hex":
+                return binascii.unhexlify(val)
+            return base64.b64decode(val, validate=True)
+        except (binascii.Error, ValueError) as e:
+            raise DocMapperError(f"failed to decode {fm.input_format} string: {e}") from None
+    if t == "json":
+        if isinstance(val, dict):
+            return json.dumps(val, separators=(",", ":"))
+        raise DocMapperError(f"expected JSON object, got `{json.dumps(val)}`")
+    raise DocMapperError(f"unknown field type {t}")
+
+
+def _convert_field(fm: FieldMapping, val: Any) -> Any:
+    """Apply cardinality + null rules, then the leaf conversion."""
+    if val is None:
+        return None  # nulls silently ignored (mapping_tree.rs:346-349)
+    if isinstance(val, list):
+        if not fm.multi:
+            raise DocMapperError(
+                f"field `{fm.name}` is not multivalued, got an array"
+            )  # MultiValuesNotSupported
+        out = []
+        for item in val:
+            if item is None:
+                continue  # nulls inside arrays skipped (:354-358)
+            out.append(_convert_leaf(fm, item))
+        return out
+    converted = _convert_leaf(fm, val)
+    return [converted] if fm.multi else converted
+
+
+# ---------------------------------------------------------------------------
+# DocMapper
+# ---------------------------------------------------------------------------
+
+
+class DocMapper:
+    def __init__(self, mapping: DocMapping):
+        self.mapping = mapping
+        self.schema = compile_schema(mapping)
+        self.routing = RoutingExpr(mapping.partition_key)
+        self._datetime_fields = {
+            fm.name: fm for fm in mapping.field_mappings if fm.type == "datetime"
+        }
+
+    # -- core row transform (pure Python; wrapped vectorized below) --------
+
+    def _map_obj(self, fm_list: list[FieldMapping], obj: dict, out: dict, dynamic: dict):
+        mapped = {fm.name: fm for fm in fm_list}
+        for key, val in obj.items():
+            fm = mapped.get(key)
+            if fm is None:
+                if self.mapping.mode == "strict":
+                    raise DocMapperError(f"field `{key}` is not declared (strict mode)")
+                if self.mapping.mode == "dynamic":
+                    dynamic[key] = val
+                continue  # lenient: drop
+            if fm.type == "object":
+                if val is None:
+                    continue
+                if not isinstance(val, dict):
+                    raise DocMapperError(f"expected object for `{key}`")
+                sub_out: dict = {}
+                sub_dyn: dict = {}
+                self._map_obj(fm.fields, val, sub_out, sub_dyn)
+                out[key] = sub_out
+                if sub_dyn:
+                    dynamic[key] = sub_dyn
+            elif fm.type == "datetime":
+                out[key] = val  # coerced vectorized post-pass
+            else:
+                out[key] = _convert_field(fm, val)
+
+    def parse_doc(self, raw: str | dict) -> dict:
+        """Parse one document; returns a row dict following ``self.schema``."""
+        row: dict[str, Any] = {f.name: None for f in self.schema.fields}
+        if isinstance(raw, str):
+            row[_DOC_LENGTH_COL] = len(raw.encode())
+            try:
+                obj = json.loads(raw)
+            except (json.JSONDecodeError, ValueError) as e:
+                row[_ERROR_COL] = f"failed to parse JSON document: {e}"
+                row[_CATEGORY_COL] = JSON_PARSE_ERROR
+                return row
+            if not isinstance(obj, dict):
+                row[_ERROR_COL] = "expected a JSON object"
+                row[_CATEGORY_COL] = JSON_PARSE_ERROR
+                return row
+        else:
+            obj = raw
+            row[_DOC_LENGTH_COL] = len(json.dumps(obj, separators=(",", ":")).encode())
+
+        row["partition_id"] = _to_i64(self.routing.eval_hash(obj))
+        if self.mapping.store_source:
+            row[_SOURCE_COL] = json.dumps(obj, separators=(",", ":"))
+
+        out: dict = {}
+        dynamic: dict = {}
+        try:
+            self._map_obj(self.mapping.field_mappings, obj, out, dynamic)
+        except DocMapperError as e:
+            row[_ERROR_COL] = str(e)
+            row[_CATEGORY_COL] = DOC_MAPPER_ERROR
+            return row
+        for k, v in out.items():
+            row[k] = v
+        if self.mapping.mode == "dynamic":
+            row[_DYNAMIC_COL] = json.dumps(dynamic, separators=(",", ":")) if dynamic else None
+        row[_CATEGORY_COL] = VALID
+        return row
+
+    def parse_batch(self, docs: pd.Series) -> pd.DataFrame:
+        """Parse a batch of raw JSON strings → pandas frame of typed rows.
+
+        Row-wise JSON decode + tree walk, then *vectorized* datetime coercion
+        and the timestamp-required check over the whole batch.
+        """
+        rows = [self.parse_doc(r) for r in docs]
+        pdf = pd.DataFrame(rows, columns=[f.name for f in self.schema.fields])
+
+        for name, fm in self._datetime_fields.items():
+            vals = pdf[name]
+            nanos, errs = coerce_timestamp_pandas(
+                vals, input_formats=fm.input_formats, fast_precision=fm.fast_precision
+            )
+            ts = pd.to_datetime(nanos.astype("float") / 1e3, unit="us", utc=True)
+            pdf[name] = ts.dt.tz_localize(None)
+            bad = errs.notna() & pdf[_ERROR_COL].isna()
+            pdf.loc[bad, _ERROR_COL] = errs[bad]
+            pdf.loc[bad, _CATEGORY_COL] = DOC_MAPPER_ERROR
+
+        ts_field = self.mapping.timestamp_field
+        if ts_field is not None:
+            missing = pdf[ts_field].isna() & pdf[_ERROR_COL].isna()
+            pdf.loc[missing, _ERROR_COL] = (
+                f"timestamp field `{ts_field}` is required but missing"
+            )
+            pdf.loc[missing, _CATEGORY_COL] = DOC_MAPPER_ERROR
+        return pdf
+
+    # -- Spark integration ---------------------------------------------------
+
+    def apply(self, df: DataFrame, input_col: str = "value") -> DataFrame:
+        """mapInPandas over raw JSON lines → typed DataFrame (this mapper's
+        schema). Valid and quarantined rows share the frame; split with
+        :func:`split_quarantine`."""
+        schema = self.schema
+        mapper = self
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = mapper.parse_batch(pdf[input_col])
+                yield _arrow_safe(out, schema)
+
+        return df.mapInPandas(run, schema=schema)
+
+    def doc_to_json(self, row: dict) -> dict:
+        """Reconstruct the JSON doc from a typed row (doc_mapper_impl.rs:574-599).
+
+        Defines the text round-trip contract: text fields byte-identical.
+        """
+        obj: dict = {}
+        for fm in self.mapping.field_mappings:
+            v = row.get(fm.name)
+            if v is None:
+                continue
+            if fm.type == "json" and isinstance(v, str):
+                v = json.loads(v)
+            elif fm.type == "bytes":
+                vs = v if isinstance(v, list) else [v]
+                enc = [
+                    binascii.hexlify(x).decode()
+                    if fm.input_format == "hex"
+                    else base64.b64encode(x).decode()
+                    for x in vs
+                ]
+                v = enc if isinstance(v, list) else enc[0]
+            obj[fm.name] = v
+        dyn = row.get(_DYNAMIC_COL)
+        if dyn:
+            for k, v in json.loads(dyn).items():
+                obj.setdefault(k, v)
+        return obj
+
+
+def _to_i64(u: int) -> int:
+    """u64 → i64 two's complement (Spark LongType is signed)."""
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def _arrow_safe(pdf: pd.DataFrame, schema: T.StructType) -> pd.DataFrame:
+    """Nudge object columns to Arrow-friendly dtypes per the Spark schema."""
+    for f in schema.fields:
+        if isinstance(f.dataType, T.LongType) and pdf[f.name].dtype == object:
+            pdf[f.name] = pd.array(
+                [None if v is None else int(v) for v in pdf[f.name]], dtype="Int64"
+            )
+    return pdf
+
+
+def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(valid_rows, quarantined_rows) — Catalyst reuses the parsed scan."""
+    valid = df.filter(df[_ERROR_COL].isNull()).drop(_ERROR_COL, _CATEGORY_COL)
+    bad = df.filter(df[_ERROR_COL].isNotNull())
+    return valid, bad
+
+
+def outcome_counts(df: DataFrame) -> DataFrame:
+    """Quickwit's DocProcessor counters (doc_processor.rs:311-404) as a
+    groupBy — `valid`, `doc_mapper_error`, `json_parse_error`, ... + bytes."""
+    from pyspark.sql import functions as F
+
+    return df.groupBy(F.col(_CATEGORY_COL).alias("outcome")).agg(
+        F.count("*").alias("num_docs"),
+        F.sum(_DOC_LENGTH_COL).alias("num_bytes"),
+    )

@@ -1,0 +1,199 @@
+"""Aggregation golden vectors from the reference's REST test suite
+(rest-api-tests/scenarii/aggregations/0001-aggregations.yaml + _setup fixture;
+see FIXTURES.md F2)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from quickwit_spark.operators.aggs import (
+    cardinality,
+    composite,
+    date_histogram,
+    find_trace_ids,
+    histogram,
+    multi_terms,
+    percentiles,
+    range_agg,
+    run_es_aggs,
+    stats,
+    terms,
+    top_hits,
+)
+from quickwit_spark.operators.docmapper import (
+    DocMapper,
+    DocMapping,
+    FieldMapping,
+    split_quarantine,
+)
+
+_DOCS = [
+    {"name": "Albert", "response": 100, "id": 1, "date": "2015-01-01T12:10:30Z", "host": "192.168.0.10", "tags": ["nice"]},
+    {"name": "Fred", "response": 100, "id": 3, "date": "2015-01-01T12:10:30Z", "host": "192.168.0.1", "tags": ["nice"]},
+    {"name": "Manfred", "response": 120, "id": 13, "date": "2015-01-11T12:10:30Z", "host": "192.168.0.11", "tags": ["nice"]},
+    {"name": "Horst", "id": 2, "date": "2015-01-01T11:11:30Z", "host": "192.168.0.10", "tags": ["nice", "cool"]},
+    {"name": "Fritz", "response": 30, "id": 5, "host": "192.168.0.1", "tags": ["nice", "cool"]},
+    {"name": "Fritz", "high_prec_test": 1769070189829214200, "response": 30, "id": 0},
+    {"name": "Fritz", "response": 30, "id": 0},
+    {"name": "Holger", "response": 30, "id": 4, "date": "2015-02-06T00:00:00Z", "host": "192.168.0.10"},
+    {"name": "Werner", "response": 20, "id": 5, "date": "2015-01-02T00:00:00Z", "host": "192.168.0.10"},
+    {"name": "Bernhard", "response": 130, "id": 14, "date": "2015-02-16T00:00:00Z"},
+]
+
+
+@pytest.fixture(scope="module")
+def fixture_df(spark):
+    mapping = DocMapping(
+        field_mappings=[
+            FieldMapping("name", "text"),
+            FieldMapping("response", "f64"),
+            FieldMapping("id", "u64"),
+            FieldMapping("date", "datetime", input_formats=("rfc3339", "unix_timestamp")),
+            FieldMapping("host", "ip"),
+            FieldMapping("tags", "text", multi=True),
+            FieldMapping("high_prec_test", "u64"),
+        ],
+        mode="dynamic",
+    )
+    mapper = DocMapper(mapping)
+    df = spark.createDataFrame([(json.dumps(d),) for d in _DOCS], ["value"])
+    parsed = mapper.apply(df)
+    valid, _ = split_quarantine(parsed)
+    valid = valid.cache()
+    assert valid.count() == 10
+    return valid
+
+
+def test_date_histogram_golden(fixture_df):
+    out = date_histogram(fixture_df, "date", "30d", offset="-4d").collect()
+    assert [(r["doc_count"], r["key"], r["key_as_string"]) for r in out] == [
+        (5, 1420070400000, "2015-01-01T00:00:00Z"),
+        (2, 1422662400000, "2015-01-31T00:00:00Z"),
+    ]
+
+
+def test_date_histogram_extended_bounds_gap_fill(fixture_df):
+    out = date_histogram(
+        fixture_df, "date", "30d", offset="-4d",
+        extended_bounds=(1420070400000, 1425254400000),
+    ).collect()
+    assert [(r["doc_count"], r["key"], r["key_as_string"]) for r in out] == [
+        (5, 1420070400000, "2015-01-01T00:00:00Z"),
+        (2, 1422662400000, "2015-01-31T00:00:00Z"),
+        (0, 1425254400000, "2015-03-02T00:00:00Z"),
+    ]
+
+
+def test_date_histogram_stats_subagg_golden(fixture_df):
+    res = run_es_aggs(
+        fixture_df,
+        {
+            "date_histo": {
+                "date_histogram": {"field": "date", "fixed_interval": "30d", "offset": "-4d"},
+                "aggs": {"response": {"stats": {"field": "response"}}},
+            }
+        },
+    )
+    buckets = res["date_histo"]["buckets"]
+    assert buckets[0]["doc_count"] == 5
+    assert buckets[0]["response"] == {"avg": 85.0, "count": 4, "max": 120.0, "min": 20.0, "sum": 340.0}
+    assert buckets[1]["doc_count"] == 2
+    assert buckets[1]["response"] == {"avg": 80.0, "count": 2, "max": 130.0, "min": 30.0, "sum": 160.0}
+
+
+def test_terms_golden(fixture_df):
+    # F7: terms(name): Fritz=3, everyone else 1
+    rows = terms(fixture_df, "name", size=20).collect()
+    counts = {r["key"]: r["doc_count"] for r in rows}
+    assert counts["Fritz"] == 3
+    assert sum(counts.values()) == 10
+    assert rows[0]["key"] == "Fritz"
+
+
+def test_terms_on_multivalued_tags(fixture_df):
+    exploded = fixture_df.select(F.explode("tags").alias("tag"))
+    counts = {r["key"]: r["doc_count"] for r in terms(exploded, "tag").collect()}
+    # golden: 0001-aggregations.yaml:146-152 (nice=5, cool=2)
+    assert counts == {"nice": 5, "cool": 2}
+
+
+def test_terms_size_and_sum_other(fixture_df):
+    res = run_es_aggs(fixture_df, {"names": {"terms": {"field": "name", "size": 2}}})
+    names = res["names"]
+    assert names["buckets"][0]["key"] == "Fritz" and names["buckets"][0]["doc_count"] == 3
+    assert names["doc_count_error_upper_bound"] == 0
+    # 10 docs total, top-2 buckets = 3 + 1 → 6 others
+    shown = sum(b["doc_count"] for b in names["buckets"])
+    assert names["sum_other_doc_count"] == 10 - shown
+
+
+def test_terms_missing_param(fixture_df):
+    counts = {
+        r["key"]: r["doc_count"]
+        for r in terms(fixture_df, "host", size=20, missing="0.0.0.0").collect()
+    }
+    assert counts["0.0.0.0"] == 3  # three docs without host
+
+
+def test_histogram_numeric(fixture_df):
+    rows = histogram(fixture_df, "response", 50.0).collect()
+    got = {r["key"]: r["doc_count"] for r in rows}
+    # responses: 100,100,120,30,30,30,30,20,130 → buckets 0:5, 50:0(gap), 100:4
+    assert got == {0.0: 5, 50.0: 0, 100.0: 4}
+
+
+def test_range_agg(fixture_df):
+    rows = range_agg(
+        fixture_df,
+        "response",
+        [{"to": 50}, {"from": 50, "to": 120}, {"from": 120}],
+    ).collect()
+    got = {r["range_key"]: r["doc_count"] for r in rows}
+    assert got == {"*-50": 5, "50-120": 2, "120-*": 2}
+
+
+def test_stats(fixture_df):
+    r = stats(fixture_df.filter(F.col("response").isNotNull()), "response").collect()[0]
+    assert r["count"] == 9 and r["min"] == 20.0 and r["max"] == 130.0
+    assert r["sum"] == 590.0
+
+
+def test_cardinality_exact_and_approx(fixture_df):
+    exact = cardinality(fixture_df, "name", exact=True).collect()[0]["value"]
+    approx = cardinality(fixture_df, "name").collect()[0]["value"]
+    assert exact == 8
+    assert abs(approx - 8) <= 1
+
+
+def test_percentiles(fixture_df):
+    r = percentiles(fixture_df, "response", percents=(50.0,)).collect()[0]
+    assert r["p50"] == 30.0
+
+
+def test_multi_terms(fixture_df):
+    rows = multi_terms(fixture_df, ["name", "id"], size=5).collect()
+    assert rows[0]["key_as_string"] == "Fritz|0" and rows[0]["doc_count"] == 2
+
+
+def test_composite_pagination(fixture_df):
+    page1 = composite(fixture_df, ["name"], size=3).collect()
+    assert [r["name"] for r in page1] == ["Albert", "Bernhard", "Fred"]
+    after = {"name": page1[-1]["name"]}
+    page2 = composite(fixture_df, ["name"], size=3, after=after).collect()
+    assert [r["name"] for r in page2] == ["Fritz", "Holger", "Horst"]
+
+
+def test_top_hits(fixture_df):
+    rows = top_hits(fixture_df, ["name"], "id", size=1).filter(F.col("name") == "Fritz").collect()
+    assert len(rows) == 1 and rows[0]["id"] == 5
+
+
+def test_find_trace_ids(fixture_df):
+    rows = find_trace_ids(fixture_df.filter(F.col("date").isNotNull()), "name", "date", k=2).collect()
+    assert rows[0]["trace_id"] == "Bernhard"  # most recent date
+
+
+def test_empty_input_no_buckets(spark, fixture_df):
+    empty = fixture_df.filter(F.lit(False))
+    assert date_histogram(empty, "date", "30d").count() == 0
