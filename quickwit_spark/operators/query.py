@@ -1,0 +1,500 @@
+"""Query AST + query-string parser → Catalyst Column predicates.
+
+Mirrors Quickwit's query surface (quickwit-query/src/query_ast/mod.rs:59-77
+and docs/reference/query-language.md — studied for behavior): Bool, Term,
+TermSet, FieldPresence (exists), FullText (match), Phrase (slop),
+PhrasePrefix, Range ([a TO b} bounds, half-open *), Wildcard, Regex,
+MatchAll, MatchNone. Grammar: AND / OR / NOT / ``-`` / parentheses /
+implicit AND; AND binds tighter than OR (query-language.md:230-236).
+
+Every node compiles to a boolean Column over typed columns — the filters the
+reference answers with an inverted index are answered by Catalyst predicates
+(pushed to the parquet scan where possible: equality/range/isNotNull push
+down; tokenized matches stay as JVM regex/array ops in codegen).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dfield
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from quickwit_spark.functions.tokenizers import tokenize_default
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MatchAll:
+    pass
+
+
+@dataclass
+class MatchNone:
+    pass
+
+
+@dataclass
+class Term:
+    field: str
+    value: str
+
+
+@dataclass
+class TermSet:
+    field: str
+    values: tuple[str, ...]
+
+
+@dataclass
+class Exists:
+    field: str
+
+
+@dataclass
+class FullText:
+    field: str
+    text: str
+    operator: str = "or"  # or|and
+
+
+@dataclass
+class Phrase:
+    field: str
+    text: str
+    slop: int = 0
+
+
+@dataclass
+class PhrasePrefix:
+    field: str
+    text: str
+
+
+@dataclass
+class Wildcard:
+    field: str
+    pattern: str
+
+
+@dataclass
+class Regex:
+    field: str
+    pattern: str
+
+
+@dataclass
+class Range:
+    field: str
+    lower: Any = None
+    upper: Any = None
+    lower_inclusive: bool = True
+    upper_inclusive: bool = True
+
+
+@dataclass
+class Bool:
+    must: list = dfield(default_factory=list)
+    should: list = dfield(default_factory=list)
+    must_not: list = dfield(default_factory=list)
+    filter: list = dfield(default_factory=list)
+
+
+QueryAst = Any
+
+
+# ---------------------------------------------------------------------------
+# Field typing for compilation
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FieldInfo:
+    """How a field compiles: ``kind`` ∈ text (tokenized), raw (exact string),
+    numeric, datetime, bool."""
+
+    kind: str = "raw"
+
+
+def _literal(info: FieldInfo, v: str):
+    if info.kind == "numeric":
+        try:
+            return int(v)
+        except ValueError:
+            return float(v)
+    if info.kind == "bool":
+        return v.lower() == "true"
+    return v
+
+
+# ---------------------------------------------------------------------------
+# Compiler
+# ---------------------------------------------------------------------------
+
+
+class QueryCompiler:
+    def __init__(self, field_types: dict[str, str] | None = None, default_fields: tuple[str, ...] = ()):
+        self.field_types = {k: FieldInfo(v) for k, v in (field_types or {}).items()}
+        self.default_fields = default_fields
+
+    def info(self, field: str) -> FieldInfo:
+        return self.field_types.get(field, FieldInfo("raw"))
+
+    def compile(self, ast: QueryAst) -> Column:
+        if isinstance(ast, MatchAll):
+            return F.lit(True)
+        if isinstance(ast, MatchNone):
+            return F.lit(False)
+        if isinstance(ast, Term):
+            info = self.info(ast.field)
+            c = F.col(ast.field)
+            if info.kind == "text":
+                return F.array_contains(tokenize_default(c), ast.value.lower())
+            if info.kind == "datetime":
+                return c == F.to_timestamp(F.lit(ast.value))
+            return c == F.lit(_literal(info, ast.value))
+        if isinstance(ast, TermSet):
+            info = self.info(ast.field)
+            c = F.col(ast.field)
+            if info.kind == "text":
+                toks = tokenize_default(c)
+                return F.arrays_overlap(
+                    toks, F.array(*[F.lit(v.lower()) for v in ast.values])
+                )
+            return c.isin([_literal(info, v) for v in ast.values])
+        if isinstance(ast, Exists):
+            return F.col(ast.field).isNotNull()
+        if isinstance(ast, FullText):
+            toks = [t for t in re.split(r"[^\w]+", ast.text.lower()) if t]
+            if not toks:
+                return F.lit(True)
+            col_toks = tokenize_default(F.col(ast.field))
+            preds = [F.array_contains(col_toks, t) for t in toks]
+            out = preds[0]
+            for p in preds[1:]:
+                out = (out & p) if ast.operator == "and" else (out | p)
+            return out
+        if isinstance(ast, Phrase):
+            toks = [re.escape(t) for t in re.split(r"[^\w]+", ast.text.lower()) if t]
+            if not toks:
+                return F.lit(True)
+            sep = r"[^\w]+" if ast.slop == 0 else r"[^\w]+(\w+[^\w]+){0,%d}" % ast.slop
+            pattern = r"(^|[^\w])" + sep.join(toks) + r"($|[^\w])"
+            return F.lower(F.col(ast.field)).rlike(pattern)
+        if isinstance(ast, PhrasePrefix):
+            toks = [re.escape(t) for t in re.split(r"[^\w]+", ast.text.lower()) if t]
+            if not toks:
+                return F.lit(True)
+            pattern = r"(^|[^\w])" + r"[^\w]+".join(toks) + r"\w*"
+            return F.lower(F.col(ast.field)).rlike(pattern)
+        if isinstance(ast, Wildcard):
+            return F.col(ast.field).rlike(_wildcard_to_regex(ast.pattern))
+        if isinstance(ast, Regex):
+            return F.col(ast.field).rlike(ast.pattern)
+        if isinstance(ast, Range):
+            info = self.info(ast.field)
+            c = F.col(ast.field)
+            conds = []
+            if ast.lower is not None:
+                lo = _range_lit(info, ast.lower)
+                conds.append(c >= lo if ast.lower_inclusive else c > lo)
+            if ast.upper is not None:
+                hi = _range_lit(info, ast.upper)
+                conds.append(c <= hi if ast.upper_inclusive else c < hi)
+            if not conds:
+                return c.isNotNull()
+            out = conds[0]
+            for p in conds[1:]:
+                out = out & p
+            return out
+        if isinstance(ast, Bool):
+            out = F.lit(True)
+            for q in ast.must + ast.filter:
+                out = out & self.compile(q)
+            if ast.should:
+                s = F.lit(False)
+                for q in ast.should:
+                    s = s | self.compile(q)
+                out = out & s
+            for q in ast.must_not:
+                out = out & ~_null_as_false(self.compile(q))
+            return out
+        raise TypeError(f"unknown query AST node {ast!r}")
+
+    def parse(self, query: str) -> QueryAst:
+        return parse_query(query, default_fields=self.default_fields)
+
+    def where(self, df: DataFrame, query: str) -> DataFrame:
+        return df.filter(_null_as_false(self.compile(self.parse(query))))
+
+
+def _null_as_false(c: Column) -> Column:
+    return F.coalesce(c, F.lit(False))
+
+
+def _range_lit(info: FieldInfo, v: str):
+    if info.kind == "datetime":
+        return F.to_timestamp(F.lit(v))
+    return F.lit(_literal(info, v))
+
+
+def _wildcard_to_regex(pattern: str) -> str:
+    out = ["^"]
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    out.append("$")
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Query-string parser (docs/reference/query-language.md)
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    \s*(?:
+      (?P<lparen>\() |
+      (?P<rparen>\)) |
+      (?P<and>AND\b) |
+      (?P<or>OR\b) |
+      (?P<not>NOT\b) |
+      (?P<minus>-(?=\S)) |
+      (?P<clause>
+          (?:(?P<field>[\w.\\/@$-]+):)?
+          (?P<value>
+              IN\s*\[[^\]]*\] |
+              "(?:[^"\\]|\\.)*"(?:~\d+|\*)? |
+              /(?:[^/\\]|\\.)*/ |
+              [\[{][^\]}]*\s+TO\s+[^\]}]*[\]}] |
+              (?:>=|<=|>|<)[^\s()]+ |
+              [^\s()]+
+          )
+      )
+    )
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize_query(q: str) -> list[tuple[str, Any]]:
+    tokens = []
+    pos = 0
+    while pos < len(q):
+        m = _TOKEN_RE.match(q, pos)
+        if not m or m.end() == pos:
+            if q[pos:].strip() == "":
+                break
+            raise ValueError(f"cannot tokenize query at {q[pos:]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "clause":
+            tokens.append(("clause", (m.group("field"), m.group("value"))))
+        else:
+            tokens.append((kind, m.group(0).strip()))
+    return tokens
+
+
+class _QParser:
+    def __init__(self, tokens: list, default_fields: tuple[str, ...]):
+        self.toks = tokens
+        self.i = 0
+        self.default_fields = default_fields
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    # OR level (lowest precedence)
+    def parse_or(self) -> QueryAst:
+        left = self.parse_and()
+        shoulds = [left]
+        while self.peek()[0] == "or":
+            self.next()
+            shoulds.append(self.parse_and())
+        if len(shoulds) == 1:
+            return left
+        return Bool(should=shoulds)
+
+    # AND level (binds tighter; implicit AND for adjacent clauses)
+    def parse_and(self) -> QueryAst:
+        musts = []
+        must_nots = []
+
+        def take_unary():
+            kind, _ = self.peek()
+            if kind in ("not", "minus"):
+                self.next()
+                must_nots.append(self.parse_unary())
+            else:
+                musts.append(self.parse_unary())
+
+        take_unary()
+        while True:
+            kind, _ = self.peek()
+            if kind == "and":
+                self.next()
+                take_unary()
+            elif kind in ("clause", "lparen", "not", "minus"):
+                take_unary()  # implicit AND
+            else:
+                break
+        if len(musts) == 1 and not must_nots:
+            return musts[0]
+        return Bool(must=musts, must_not=must_nots)
+
+    def parse_unary(self) -> QueryAst:
+        kind, val = self.next()
+        if kind == "lparen":
+            inner = self.parse_or()
+            k, _ = self.next()
+            if k != "rparen":
+                raise ValueError("expected ')'")
+            return inner
+        if kind == "clause":
+            return self.make_clause(*val)
+        raise ValueError(f"unexpected token {kind}")
+
+    def make_clause(self, field: str | None, value: str) -> QueryAst:
+        if field is None:
+            if value == "*":
+                return MatchAll()
+            if not self.default_fields:
+                raise ValueError(f"bare term {value!r} requires default_search_fields")
+            shoulds = [self.make_clause(f, value) for f in self.default_fields]
+            return shoulds[0] if len(shoulds) == 1 else Bool(should=shoulds)
+        field = field.replace("\\.", ".")
+        if value == "*":
+            return Exists(field)
+        if value.startswith("IN"):
+            inner = value[value.index("[") + 1 : value.rindex("]")]
+            return TermSet(field, tuple(v for v in inner.split() if v))
+        if value.startswith('"'):
+            m = re.match(r'^"((?:[^"\\]|\\.)*)"(~(\d+)|\*)?$', value)
+            text = m.group(1).replace('\\"', '"')
+            if m.group(2) == "*":
+                return PhrasePrefix(field, text)
+            slop = int(m.group(3)) if m.group(3) else 0
+            return Phrase(field, text, slop)
+        if value.startswith("/") and value.endswith("/"):
+            return Regex(field, value[1:-1])
+        if value[0] in "[{" and value[-1] in "]}":
+            inner = value[1:-1]
+            lo_s, hi_s = re.split(r"\s+TO\s+", inner)
+            lo_s, hi_s = lo_s.strip(), hi_s.strip()
+            return Range(
+                field,
+                lower=None if lo_s == "*" else lo_s,
+                upper=None if hi_s == "*" else hi_s,
+                lower_inclusive=value[0] == "[",
+                upper_inclusive=value[-1] == "]",
+            )
+        m = re.match(r"^(>=|<=|>|<)(.+)$", value)
+        if m:
+            op, v = m.groups()
+            if op == ">=":
+                return Range(field, lower=v)
+            if op == ">":
+                return Range(field, lower=v, lower_inclusive=False)
+            if op == "<=":
+                return Range(field, upper=v)
+            return Range(field, upper=v, upper_inclusive=False)
+        if "*" in value or "?" in value:
+            return Wildcard(field, value)
+        return Term(field, value)
+
+
+def parse_query(query: str, default_fields: tuple[str, ...] = ()) -> QueryAst:
+    query = query.strip()
+    if not query or query == "*":
+        return MatchAll()
+    toks = _tokenize_query(query)
+    p = _QParser(toks, default_fields)
+    ast = p.parse_or()
+    if p.i != len(p.toks):
+        raise ValueError(f"trailing tokens in query: {p.toks[p.i:]}")
+    return ast
+
+
+# ---------------------------------------------------------------------------
+# ES DSL subset → AST (elastic_query_dsl/mod.rs:78-95)
+# ---------------------------------------------------------------------------
+
+
+def es_dsl_to_ast(dsl: dict) -> QueryAst:
+    (kind, body), = dsl.items()
+    if kind == "match_all":
+        return MatchAll()
+    if kind == "match_none":
+        return MatchNone()
+    if kind == "term":
+        (f, spec), = body.items()
+        v = spec["value"] if isinstance(spec, dict) else spec
+        return Term(f, str(v))
+    if kind == "terms":
+        (f, vals), = body.items()
+        return TermSet(f, tuple(str(v) for v in vals))
+    if kind == "match":
+        (f, spec), = body.items()
+        if isinstance(spec, dict):
+            return FullText(f, str(spec["query"]), spec.get("operator", "or").lower())
+        return FullText(f, str(spec))
+    if kind == "match_phrase":
+        (f, spec), = body.items()
+        q = spec["query"] if isinstance(spec, dict) else spec
+        slop = spec.get("slop", 0) if isinstance(spec, dict) else 0
+        return Phrase(f, str(q), slop)
+    if kind == "match_phrase_prefix":
+        (f, spec), = body.items()
+        q = spec["query"] if isinstance(spec, dict) else spec
+        return PhrasePrefix(f, str(q))
+    if kind == "exists":
+        return Exists(body["field"])
+    if kind == "range":
+        (f, spec), = body.items()
+        r = Range(f)
+        if "gte" in spec:
+            r.lower, r.lower_inclusive = str(spec["gte"]), True
+        if "gt" in spec:
+            r.lower, r.lower_inclusive = str(spec["gt"]), False
+        if "lte" in spec:
+            r.upper, r.upper_inclusive = str(spec["lte"]), True
+        if "lt" in spec:
+            r.upper, r.upper_inclusive = str(spec["lt"]), False
+        return r
+    if kind == "regexp":
+        (f, spec), = body.items()
+        return Regex(f, spec["value"] if isinstance(spec, dict) else spec)
+    if kind == "wildcard":
+        (f, spec), = body.items()
+        return Wildcard(f, spec["value"] if isinstance(spec, dict) else spec)
+    if kind == "prefix":
+        (f, spec), = body.items()
+        v = spec["value"] if isinstance(spec, dict) else spec
+        return Wildcard(f, f"{v}*")
+    if kind == "bool":
+        def as_list(x):
+            return x if isinstance(x, list) else [x] if x else []
+
+        return Bool(
+            must=[es_dsl_to_ast(q) for q in as_list(body.get("must"))],
+            should=[es_dsl_to_ast(q) for q in as_list(body.get("should"))],
+            must_not=[es_dsl_to_ast(q) for q in as_list(body.get("must_not"))],
+            filter=[es_dsl_to_ast(q) for q in as_list(body.get("filter"))],
+        )
+    if kind == "query_string":
+        return parse_query(body["query"], tuple(body.get("fields", ())))
+    raise ValueError(f"unsupported ES DSL query kind `{kind}`")
