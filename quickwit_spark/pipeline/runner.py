@@ -1,0 +1,211 @@
+"""End-to-end pipeline runner: parse → enrich → route → sinks → aggregates,
+with per-partition lineage + metrics and checkpointed, resumable commits.
+
+Spark re-expression of the reference's actor chain
+(indexing_pipeline.rs:60-66: Source → DocProcessor → Indexer → … →
+Publisher): one declarative DataFrame DAG per chunk; the "publish" step
+commits the checkpoint delta after sink writes land, and replayed chunks are
+skipped via the delta-compatibility check, so a killed run resumes exactly.
+
+Scale design:
+- Chunks = contiguous ``turn_idx`` ranges per source partition (stand-in for
+  WAL offsets / Kafka offsets); at 10^12 turns each chunk is a bounded batch
+  (the reference's commit_timeout/num-docs-target cadence).
+- One shuffle per chunk (the salted repartition before the partitioned
+  write); aggregates reuse the same scan via cache.
+- Sinks are written ``partitionBy(sink)`` — the fan-out is a write-side
+  partitioning, not N separate jobs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quickwit_spark.pipeline.checkpoint import CheckpointStore
+from quickwit_spark.pipeline.stages import (
+    enrich_stage,
+    fingerprint_col,
+    parse_stage,
+    route_stage,
+    salted_repartition,
+)
+
+MAX_VALUES_PER_TAG = 64  # packager.rs MAX_VALUES_PER_TAG_FIELD analog
+
+
+@dataclass
+class PipelineConfig:
+    partition_expr: str = "tenant_id"
+    max_num_partitions: int = 200
+    salt_buckets: int = 16
+    shuffle_partitions: int | None = None
+    tag_fields: tuple[str, ...] = ("level", "tier")
+    agg_interval: str = "1d"
+    source_id: str = "transcripts"
+    extra: dict = field(default_factory=dict)
+
+
+def build_dag(
+    transcripts: DataFrame, tenants: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """The full parse→enrich→route plan (lazy; no action)."""
+    parsed = parse_stage(transcripts)
+    enriched = enrich_stage(parsed, tenants)
+    routed = route_stage(enriched, cfg.partition_expr, cfg.max_num_partitions)
+    return routed.withColumn("fingerprint", fingerprint_col("msg"))
+
+
+def run_chunk(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    tenants: DataFrame,
+    out_dir: str,
+    cfg: PipelineConfig,
+    chunk_id: str,
+    delta: dict[str, tuple[int | None, int]],
+) -> dict | None:
+    """Process one source chunk end-to-end and publish it.
+
+    ``delta``: source partition → (from_turn_exclusive, to_turn_inclusive];
+    returns the metrics dict, or None if the chunk was already committed
+    (idempotent replay)."""
+    store = CheckpointStore(out_dir)
+    if store.already_committed(cfg.source_id, delta):
+        return None
+    store.check_compatibility(cfg.source_id, delta)
+
+    commit_id = chunk_id or uuid.uuid4().hex
+    t0 = time.time()
+
+    routed = build_dag(transcripts, tenants, cfg)
+    n_shuffle = cfg.shuffle_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    valid = routed.filter(F.col("_error_category") == "valid")
+    quarantine = routed.filter(F.col("_error_category") != "valid")
+
+    # ---- sink fan-out write (one shuffle; stable within-file order) -------
+    sink_dir = os.path.join(out_dir, "sinks")
+    out_cols = [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        "level", "tenant_id", "latency_ms", "msg", "_dynamic",
+        "tenant_name", "tier", "region",
+        "partition_id", "partition_bucket", "fingerprint",
+    ]
+    (
+        salted_repartition(valid.select("sink", *out_cols), n_shuffle, cfg.salt_buckets)
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.mode("append")
+        .partitionBy("sink")
+        .parquet(os.path.join(sink_dir, f"commit={commit_id}"))
+    )
+    (
+        quarantine.select("sink", "conv_id", "turn_idx", "text", "_error", "_error_category")
+        .write.mode("append")
+        .parquet(os.path.join(out_dir, "quarantine", f"commit={commit_id}"))
+    )
+
+    # ---- per-sink lineage (SplitMetadata analog) + metrics -----------------
+    written = spark.read.parquet(os.path.join(sink_dir, f"commit={commit_id}"))
+    lineage = (
+        written.groupBy("sink", "partition_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("num_docs"),
+            F.sum(F.length("text")).alias("uncompressed_size_bytes"),
+            F.min("ts").alias("time_range_start"),
+            F.max("ts").alias("time_range_end"),
+            F.slice(F.collect_set("level"), 1, MAX_VALUES_PER_TAG).alias("tags_level"),
+            F.slice(F.collect_set("tier"), 1, MAX_VALUES_PER_TAG).alias("tags_tier"),
+        )
+        .withColumn("commit_id", F.lit(commit_id))
+        .withColumn("source_id", F.lit(cfg.source_id))
+        .withColumn("create_timestamp", F.current_timestamp())
+    )
+    lineage.write.mode("append").parquet(os.path.join(out_dir, "_lineage"))
+
+    # per-sink aggregates: date_histogram + terms + cardinality in ONE pass
+    aggs = (
+        written.groupBy(
+            "sink",
+            F.window("ts", "1 day").start.alias("bucket_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.approx_count_distinct("tenant_id").alias("tenant_cardinality_approx"),
+            F.sum(F.when(F.col("level") == "ERROR", 1).otherwise(0)).alias("error_count"),
+            F.avg("latency_ms").alias("avg_latency_ms"),
+        )
+        .withColumn("commit_id", F.lit(commit_id))
+    )
+    aggs.write.mode("append").parquet(os.path.join(out_dir, "_metrics"))
+
+    # outcome counters (doc_processor.rs counters)
+    outcome = {
+        r["_error_category"]: r["n"]
+        for r in routed.groupBy("_error_category").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    # ---- publish: checkpoint delta commits only after data is durable -----
+    store.commit(cfg.source_id, delta, commit_id=commit_id)
+
+    elapsed = time.time() - t0
+    n_valid = int(outcome.get("valid", 0))
+    metrics = {
+        "commit_id": commit_id,
+        "outcome_counts": outcome,
+        "num_valid": n_valid,
+        "elapsed_sec": elapsed,
+        "turns_per_sec": n_valid / elapsed if elapsed > 0 else 0.0,
+    }
+    with open(os.path.join(out_dir, f"_commit_{commit_id}.json"), "w") as fh:
+        json.dump(metrics, fh)
+    return metrics
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    cfg: PipelineConfig | None = None,
+    num_chunks: int = 1,
+) -> list[dict]:
+    """Batch-incremental run over the transcripts table in ``num_chunks``
+    turn-range chunks (resume-safe: committed chunks are skipped)."""
+    cfg = cfg or PipelineConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    transcripts = spark.read.parquet(os.path.join(input_dir, "transcripts.parquet"))
+    tenants = spark.read.parquet(os.path.join(input_dir, "tenants.parquet"))
+
+    max_turn = transcripts.agg(F.max("turn_idx")).collect()[0][0]
+    bounds = [
+        int((max_turn + 1) * i / num_chunks) for i in range(num_chunks + 1)
+    ]
+    results = []
+    for i in range(num_chunks):
+        lo, hi = bounds[i], bounds[i + 1]
+        chunk_df = transcripts.filter(
+            (F.col("turn_idx") >= lo) & (F.col("turn_idx") < hi)
+        )
+        delta = {"turn_range": (lo if lo > 0 else None, hi)}
+        m = run_chunk(
+            spark, chunk_df, tenants, out_dir, cfg,
+            chunk_id=f"chunk{i:04d}", delta=delta,
+        )
+        if m is not None:
+            results.append(m)
+    return results
+
+
+def read_sinks(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All routed rows across commits, with sink recovered from the path."""
+    return spark.read.option("basePath", os.path.join(out_dir, "sinks")).parquet(
+        os.path.join(out_dir, "sinks", "commit=*")
+    )

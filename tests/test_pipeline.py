@@ -1,0 +1,240 @@
+"""End-to-end pipeline tests: parse → enrich → route → sinks → aggregates,
+oracle-checked against pandas/duckdb, plus the kill-and-resume contract.
+
+Correctness contracts from BASELINE.json: per-sink aggregate counts equal to
+oracle, routed-row-set equality, per-turn text equality under stable
+(conv_id, turn_idx) ordering.
+"""
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from quickwit_spark.pipeline.runner import PipelineConfig, read_sinks, run_pipeline
+from quickwit_spark.pipeline.stages import enrich_stage, parse_stage, route_stage
+from quickwit_spark.pipeline.transcripts import gen_transcripts, materialize
+from quickwit_spark.routing import RoutingExpr
+
+N_TURNS = 5000
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("transcripts")
+    return materialize(N_TURNS, str(d), seed=42)
+
+
+@pytest.fixture(scope="module")
+def tdf(spark, data_dir):
+    return spark.read.parquet(os.path.join(data_dir, "transcripts.parquet")).cache()
+
+
+@pytest.fixture(scope="module")
+def tenants_df(spark, data_dir):
+    return spark.read.parquet(os.path.join(data_dir, "tenants.parquet"))
+
+
+def test_generator_deterministic():
+    t1 = gen_transcripts(1000, seed=42)
+    t2 = gen_transcripts(1000, seed=42)
+    assert t1.equals(t2)
+    assert t1.column_names == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def test_generator_skew_and_span():
+    t = gen_transcripts(20000, seed=42).to_pandas()
+    sizes = t.groupby("conv_id").size().sort_values(ascending=False)
+    assert sizes.iloc[:max(1, len(sizes) // 50)].sum() / len(t) > 0.10  # hot convs
+    span_days = (t.ts.max() - t.ts.min()).days
+    assert span_days >= 90
+
+
+def test_parse_stage_extracts_fields(tdf):
+    parsed = parse_stage(tdf).cache()
+    pdf = parsed.toPandas()
+    valid = pdf[pdf._error_category == "valid"]
+    bad = pdf[pdf._error_category != "valid"]
+    # ~5% malformed
+    assert 0.01 < len(bad) / len(pdf) < 0.12
+    assert valid.level.isin(["INFO", "WARN", "ERROR", "DEBUG"]).all()
+    assert valid.tenant_id.str.match(r"acme-\d{3}").all()
+    assert (valid.latency_ms > 0).all()
+    assert valid.msg.notna().all()
+    # oracle: recompute with pandas regex
+    import re
+
+    sample = valid.sample(200, random_state=0)
+    for _, r in sample.iterrows():
+        m = re.search(r"level=(\w+)", r.text)
+        assert m and m.group(1) == r.level
+        m = re.search(r'msg="([^"]*)"', r.text)
+        assert m and m.group(1) == r.msg
+
+
+def test_parse_malformed_quarantined(tdf):
+    parsed = parse_stage(tdf)
+    bad = parsed.filter(F.col("_error_category") == "doc_mapper_error")
+    assert bad.filter(F.col("_error").isNull()).count() == 0
+    # malformed rows are exactly those without level=
+    expected = tdf.filter(~F.col("text").rlike("level=")).count()
+    assert bad.count() == expected
+
+
+def test_enrich_is_broadcast_join(tdf, tenants_df):
+    enriched = enrich_stage(parse_stage(tdf), tenants_df)
+    plan = enriched._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # every valid row has a tier
+    assert (
+        enriched.filter((F.col("_error_category") == "valid") & F.col("tier").isNull()).count()
+        == 0
+    )
+
+
+def test_route_partition_parity_with_reference_hash(tdf, tenants_df):
+    routed = route_stage(enrich_stage(parse_stage(tdf), tenants_df), "tenant_id")
+    rows = routed.select("tenant_id", "partition_id").limit(300).collect()
+    expr = RoutingExpr("tenant_id")
+    for r in rows:
+        doc = {} if r["tenant_id"] is None else {"tenant_id": r["tenant_id"]}
+        expected = expr.eval_hash(doc)
+        got = r["partition_id"] & 0xFFFFFFFFFFFFFFFF
+        assert got == expected
+
+
+def test_route_sink_keys(tdf, tenants_df):
+    routed = route_stage(enrich_stage(parse_stage(tdf), tenants_df), "tenant_id")
+    sinks = {r["sink"] for r in routed.select("sink").distinct().collect()}
+    assert {"user", "assistant", "system"} <= sinks
+    assert any(s.startswith("tool_") for s in sinks)
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, data_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pipeline_out"))
+    metrics = run_pipeline(spark, data_dir, out, PipelineConfig(), num_chunks=2)
+    return out, metrics
+
+
+def test_pipeline_end_to_end_counts(spark, data_dir, pipeline_out):
+    out, metrics = pipeline_out
+    assert len(metrics) == 2
+    sinks = read_sinks(spark, out)
+    con = duckdb.connect()
+    tpath = os.path.join(data_dir, "transcripts.parquet")
+    # oracle: valid rows = rows whose text has level= and tenant= and latency digits
+    oracle_valid = con.sql(
+        f"""
+        SELECT count(*) FROM '{tpath}'
+        WHERE regexp_matches(text, 'level=\\w+') AND regexp_matches(text, 'tenant=[\\w-]+')
+        """
+    ).fetchone()[0]
+    assert sinks.count() == oracle_valid
+    total = sum(m["num_valid"] for m in metrics)
+    assert total == oracle_valid
+
+
+def test_pipeline_routed_row_set_equality(spark, data_dir, pipeline_out):
+    """Routed-row-set equality vs a duckdb oracle computing sink assignment."""
+    out, _ = pipeline_out
+    sinks = read_sinks(spark, out)
+    got = {
+        (r["conv_id"], r["turn_idx"], r["sink"])
+        for r in sinks.select("conv_id", "turn_idx", "sink").collect()
+    }
+    con = duckdb.connect()
+    tpath = os.path.join(data_dir, "transcripts.parquet")
+    oracle = con.sql(
+        f"""
+        SELECT conv_id, turn_idx,
+               CASE WHEN role='tool' THEN 'tool_' || coalesce(tool, 'nil') ELSE role END AS sink
+        FROM '{tpath}'
+        WHERE regexp_matches(text, 'level=\\w+') AND regexp_matches(text, 'tenant=[\\w-]+')
+        """
+    ).fetchall()
+    assert got == set(oracle)
+
+
+def test_pipeline_per_turn_text_equality(spark, data_dir, pipeline_out):
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering."""
+    out, _ = pipeline_out
+    sinks = read_sinks(spark, out).select("conv_id", "turn_idx", "text")
+    orig = spark.read.parquet(os.path.join(data_dir, "transcripts.parquet")).select(
+        "conv_id", "turn_idx", "text"
+    )
+    joined = sinks.alias("s").join(orig.alias("o"), ["conv_id", "turn_idx"])
+    mismatches = joined.filter(F.col("s.text") != F.col("o.text")).count()
+    assert mismatches == 0
+    # ordering stability: reading back sorted matches the original sequence
+    got = [
+        (r["conv_id"], r["turn_idx"])
+        for r in sinks.orderBy("conv_id", "turn_idx").limit(500).collect()
+    ]
+    assert got == sorted(got)
+
+
+def test_pipeline_aggregates_match_oracle(spark, data_dir, pipeline_out):
+    out, _ = pipeline_out
+    metrics = spark.read.parquet(os.path.join(out, "_metrics"))
+    got = {
+        (r["bucket"], r["sink"]): r["doc_count"]
+        for r in metrics.groupBy(
+            F.date_format("bucket_start", "yyyy-MM-dd").alias("bucket"), "sink"
+        )
+        .agg(F.sum("doc_count").alias("doc_count"))
+        .collect()
+    }
+    con = duckdb.connect()
+    tpath = os.path.join(data_dir, "transcripts.parquet")
+    oracle = con.sql(
+        f"""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+               CASE WHEN role='tool' THEN 'tool_' || coalesce(tool,'nil') ELSE role END AS sink,
+               count(*) AS n
+        FROM '{tpath}'
+        WHERE regexp_matches(text, 'level=\\w+') AND regexp_matches(text, 'tenant=[\\w-]+')
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    oracle_map = {(b, s): n for b, s, n in oracle}
+    assert got == oracle_map
+
+
+def test_pipeline_lineage_written(spark, pipeline_out):
+    out, _ = pipeline_out
+    lineage = spark.read.parquet(os.path.join(out, "_lineage"))
+    row = lineage.first()
+    assert row["num_docs"] > 0 and row["time_range_start"] is not None
+    assert set(lineage.select("commit_id").distinct().toPandas()["commit_id"]) == {
+        "chunk0000", "chunk0001",
+    }
+
+
+def test_pipeline_resume_no_duplicates(spark, data_dir, tmp_path_factory):
+    """Kill-and-resume: partial run then full run ⇒ identical output set."""
+    out = str(tmp_path_factory.mktemp("resume_out"))
+    # first run processes only chunk 0 (simulate a kill after chunk 0)
+    m1 = run_pipeline(spark, data_dir, out, PipelineConfig(), num_chunks=2)
+    # drop the chunk-1 data + checkpoint to simulate dying mid-run
+    import glob
+    import shutil
+
+    for p in glob.glob(os.path.join(out, "sinks", "commit=chunk0001")):
+        shutil.rmtree(p)
+    for p in glob.glob(os.path.join(out, "_checkpoints", "chunk0001.json")):
+        os.remove(p)
+
+    # resume: chunk 0 must be skipped (already committed), chunk 1 re-runs
+    m2 = run_pipeline(spark, data_dir, out, PipelineConfig(), num_chunks=2)
+    assert [m["commit_id"] for m in m2] == ["chunk0001"]
+
+    sinks = read_sinks(spark, out)
+    assert sinks.count() == sinks.dropDuplicates(["conv_id", "turn_idx"]).count()
+    con = duckdb.connect()
+    tpath = os.path.join(data_dir, "transcripts.parquet")
+    oracle_valid = con.sql(
+        f"SELECT count(*) FROM '{tpath}' WHERE regexp_matches(text, 'level=\\w+')"
+    ).fetchone()[0]
+    assert sinks.count() == oracle_valid
