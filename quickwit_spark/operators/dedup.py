@@ -1,0 +1,285 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All shuffle-aware: exact dedup is a single hash groupBy; MinHash-LSH shuffles
+once on (band, bucket) — candidate pairs never materialize the full
+cross-product; SimHash buckets on rotated prefixes. Python appears only in
+Arrow-vectorized pandas UDFs (hashing batches with numpy).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per identical text — one hash groupBy.
+
+    At scale: group on ``xxhash64(text)`` first (fixed-width shuffle key)
+    then break the rare collisions on the text itself.
+    """
+    return (
+        df.groupBy(F.xxhash64(F.col(text_col)).alias("_h"), F.col(text_col))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    num_perm: int = 64,
+    seed: int = 1,
+) -> DataFrame:
+    """(id, signature array<long>) — word-shingle MinHash.
+
+    Shingles are built JVM-side (split + transform over index sequence); the
+    permutation mins run in one Arrow-batched pandas UDF over the shingle
+    hashes (numpy broadcast: num_perm × shingles per row).
+    """
+    a, b = _minhash_params(num_perm, seed)
+
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n_sh = F.greatest(F.size(toks) - F.lit(shingle_size - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), n_sh - 1)
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(shingle_size)])
+    )
+    hashed = F.transform(shingles, lambda s: F.xxhash64(s))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(hashes: pd.Series) -> pd.Series:
+        out = []
+        for hs in hashes:
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64) % np.uint64(_MERSENNE)
+            # (a*h + b) mod p, per permutation; min over shingles
+            vals = (
+                h[None, :].astype(np.object_) * a[:, None] + b[:, None]
+            )  # object to avoid u64 overflow; small arrays
+            vals = np.mod(vals, _MERSENNE).astype(np.int64)
+            out.append(vals.min(axis=1))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), sig(hashed).alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 16,
+) -> DataFrame:
+    """Banded LSH: rows sharing any band bucket become candidate pairs.
+
+    One shuffle on (band, bucket); self-join within buckets only. Returns
+    distinct (a, b) with a < b.
+    """
+    n_perm = len(signatures.select("signature").first()["signature"])
+    rows_per_band = n_perm // num_bands
+    banded = signatures.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("signature", band * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for band in range(num_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    shingle_size: int = 3,
+    num_perm: int = 64,
+    num_bands: int = 16,
+) -> DataFrame:
+    """Near-dup pairs: LSH candidates verified by estimated Jaccard
+    (signature agreement ratio ≥ threshold)."""
+    sigs = minhash_signatures(df, text_col, id_col, shingle_size, num_perm)
+    cands = lsh_candidate_pairs(sigs, id_col, num_bands)
+    sl = sigs.select(F.col(id_col).alias("a"), F.col("signature").alias("sig_a"))
+    sr = sigs.select(F.col(id_col).alias("b"), F.col("signature").alias("sig_b"))
+    joined = cands.join(sl, "a").join(sr, "b")
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1
+        )
+    )
+    est = agree / F.size("sig_a")
+    return joined.select("a", "b", F.round(est, 6).alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (verification / small-side oracle)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-shingle Jaccard over candidate pairs that share ≥1 shingle
+    (inverted-index join — never a full cross product)."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n_sh = F.greatest(F.size(toks) - F.lit(shingle_size - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), n_sh - 1)
+    shingles = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(shingle_size)]
+            ),
+        )
+    )
+    sh = df.select(F.col(id_col), shingles.alias("sh"), F.size(shingles).alias("n"))
+    inv = sh.select(id_col, "n", F.explode("sh").alias("s"))
+    pairs = (
+        inv.alias("l")
+        .join(inv.alias("r"), (F.col("l.s") == F.col("r.s")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .groupBy(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            F.col("l.n").alias("na"),
+            F.col("r.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return pairs.select("a", "b", F.round(jac, 6).alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_col(text_col: str = "text"):
+    """64-bit SimHash over word tokens — JVM-side: per-token xxhash64, then
+    per-bit majority vote, folded back into a long. One SQL expression
+    (the SQL shift functions accept column shift amounts; the Python API
+    wrappers don't)."""
+    return F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            transform(
+              aggregate(
+                transform(split(lower({text_col}), '\\\\s+'), t -> xxhash64(t)),
+                array_repeat(0, 64),
+                (acc, h) -> zip_with(
+                  acc,
+                  transform(sequence(0, 63),
+                            i -> CAST(shiftrightunsigned(h, CAST(i AS INT)) & 1 AS INT)),
+                  (a, b) -> a + b
+                )
+              ),
+              c -> IF(c * 2 > size(split(lower({text_col}), '\\\\s+')), 1L, 0L)
+            ),
+            sequence(0, 63),
+            (b, i) -> shiftleft(b, CAST(i AS INT))
+          ),
+          0L, (acc, v) -> acc | v
+        )
+        """
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k, bucketed on 16-bit
+    chunks (pigeonhole: any pair within distance 3 shares ≥1 of 4 chunks)."""
+    sh = df.select(F.col(id_col), simhash_col(text_col).alias("sim"))
+    chunks = sh.select(
+        id_col,
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned(F.col("sim"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "sim", "c.chunk", "c.key")
+    pairs = (
+        chunks.alias("l")
+        .join(
+            chunks.alias("r"),
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            F.col("l.sim").alias("sim_a"),
+            F.col("r.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.select("a", "b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,186 @@
+"""Dedup / similarity / text-analysis operator tests (small synthetic +
+driver documents/embeddings tables)."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from quickwit_spark.functions.text import (
+    fingerprint_col,
+    lang_id_udf,
+    quality_features,
+    quality_score_col,
+    token_count_col,
+)
+from quickwit_spark.operators.dedup import (
+    dedup_exact,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_col,
+    simhash_near_dup_pairs,
+)
+from quickwit_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (3, "completely different text about spark engines"),
+        (4, "another unrelated document mentioning parquet files"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_dedup_exact(docs):
+    kept = sorted(r["doc_id"] for r in dedup_exact(docs).collect())
+    assert kept == [0, 2, 3, 4]
+
+
+def test_minhash_near_dup(docs):
+    pairs = {(r["a"], r["b"]) for r in minhash_dedup_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs  # exact dups always collide
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup found
+    assert (0, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_minhash_signature_deterministic(docs):
+    s1 = minhash_signatures(docs).orderBy("doc_id").collect()
+    s2 = minhash_signatures(docs).orderBy("doc_id").collect()
+    assert [r["signature"] for r in s1] == [r["signature"] for r in s2]
+    assert s1[0]["signature"] == s1[1]["signature"]  # identical docs
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.3 <= pairs[(0, 2)] < 1.0
+
+
+def test_simhash(docs):
+    vals = {r["doc_id"]: r["s"] for r in docs.select("doc_id", simhash_col().alias("s")).collect()}
+    assert vals[0] == vals[1]
+    pairs = {(r["a"], r["b"]) for r in simhash_near_dup_pairs(docs, max_hamming=8).collect()}
+    assert (0, 1) in pairs
+
+
+def test_cosine_topk_self_is_nearest(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    top = cosine_topk(emb, list(q), k=5).collect()
+    assert top[0]["vec_id"] == 0 and abs(top[0]["cosine"] - 1.0) < 1e-5
+    assert all(top[i]["cosine"] >= top[i + 1]["cosine"] for i in range(len(top) - 1))
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).cache()
+    q = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in lsh_topk(emb, q, k=10, bits=6, multiprobe_hamming=2).collect()]
+    # LSH with multiprobe should recover most of the true top-10
+    assert len(set(exact) & set(approx)) >= 5
+    assert approx[0] == 0
+
+
+def test_ivf_topk(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).cache()
+    q = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    dim = len(q)
+    rng = np.random.default_rng(3)
+    centroids = rng.standard_normal((4, dim)) * 0.1
+    got = ivf_topk(emb, q, centroids, k=5, n_probe=4).collect()
+    # probing all cells == exact
+    exact = cosine_topk(emb, q, k=5).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact]
+
+
+def test_embedding_near_dup_exact_vs_lsh(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((20, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        if i < 3:  # 3 near-dups: tiny perturbation
+            rows.append((100 + i, [float(x) for x in v + rng.standard_normal(16) * 0.01]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {(r["a"], r["b"]) for r in embedding_near_dup_pairs(df, 0.99).collect()}
+    assert {(0, 100), (1, 101), (2, 102)} <= exact
+
+
+def test_token_count_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat with a hat"), (2, "x"), (3, "!!! ??? ***")],
+        ["id", "text"],
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            token_count_col(F.col("text")).alias("n"),
+            quality_score_col(F.col("text")).alias("q"),
+            *quality_features(F.col("text")),
+        ).collect()
+    }
+    assert rows[1]["n"] == 9
+    assert rows[1]["q"] > rows[3]["q"]  # punctuation soup scores lower
+    assert rows[1]["stopword_ratio"] > 0.3
+
+
+def test_fingerprint_stability(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "PREFIX alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (3, "totally different words everywhere in this line here now ok"),
+        ],
+        ["id", "text"],
+    )
+    vals = {r["id"]: r["f"] for r in df.select("id", fingerprint_col(F.col("text")).alias("f")).collect()}
+    assert vals[1] == vals[2]  # shared min-window survives a prefix edit
+    assert vals[1] != vals[3]
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog went to the market"),
+            (2, "der schnelle braune fuchs springt über die faule katze im schnee"),
+            (3, "le renard brun rapide saute par dessus le chien paresseux de la ville"),
+        ],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["lang"] for r in df.select("id", lang_id_udf(F.col("text")).alias("lang")).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "fr"
+
+
+def test_multimodal_plumbing(spark):
+    from quickwit_spark.operators.multimodal import frame_sample, image_features
+
+    rows = [
+        (1, "image", "image/png", bytearray(b"fakepng1"), 64, 64, None),
+        (2, "image", "image/png", bytearray(b"fakepng2"), 32, 32, None),
+        (3, "video", "video/mp4", bytearray(b"fakemp4"), None, None, 3500),
+    ]
+    from quickwit_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = image_features(media.filter(F.col("kind") == "image"), deterministic_fake=True).collect()
+    assert len(feats) == 2 and len(feats[0]["feat"]) == 64
+    # deterministic: same payload → same features
+    feats2 = image_features(media.filter(F.col("kind") == "image"), deterministic_fake=True).collect()
+    assert [list(f["feat"]) for f in feats] == [list(f["feat"]) for f in feats2]
+    frames = frame_sample(media, every_ms=1000, deterministic_fake=True).collect()
+    assert len(frames) == 4  # 0,1000,2000,3000
+
+    with pytest.raises(Exception):
+        image_features(media.filter(F.col("kind") == "image")).collect()
