@@ -1,0 +1,132 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Also times the transcripts pipeline end-to-end (parse→enrich→route→aggregate
+over a cached deterministic 2M-turn table) and reports its turns/sec —
+the BASELINE.md headline metric. Scaling (N vs 4N cores) is measured by
+scripts/scaling_bench.py which writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+PIPE_TURNS = int(os.environ.get("QS_BENCH_TURNS", 2_000_000))
+PIPE_CACHE = f"/tmp/quickwit_spark_bench_transcripts_{PIPE_TURNS}"
+
+HEADLINE = [
+    "agg_date_histogram",
+    "agg_terms_event_type",
+    "agg_multi_terms",
+    "agg_cardinality_exact",
+    "agg_percentiles_value",
+    "agg_top_hits",
+    "q_bool",
+    "q_phrase",
+    "q_json_extract",
+    "sort_topk",
+    "join_broadcast_enrich",
+    "join_semi_two_phase",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk",
+    "text_quality",
+    "text_fingerprint",
+]
+
+
+def _force(df) -> int:
+    """Trigger full execution without driver-side materialization cost."""
+    return df._jdf.queryExecution().executedPlan().executeCollect().length
+
+
+def main() -> None:
+    from quickwit_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(
+        app_name="quickwit_spark_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM codegen and the Python UDF workers (imports + Arrow serde
+    # are per-worker one-time costs; steady-state throughput is the metric)
+    from quickwit_spark.pipeline.stages import routing_hash_col
+
+    spark.range(1_000_000).withColumn(
+        "x", routing_hash_col("tenant_id", ["id"])
+    ).agg(F.max("x")).collect()
+
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+
+    # transcripts pipeline end-to-end (no sink write: DAG + per-sink aggregate)
+    from quickwit_spark.pipeline.runner import PipelineConfig, build_dag
+    from quickwit_spark.pipeline.transcripts import materialize
+
+    materialize(PIPE_TURNS, PIPE_CACHE, seed=42, num_files=CPUS)
+    t = spark.read.parquet(os.path.join(PIPE_CACHE, "transcripts.parquet"))
+    d = spark.read.parquet(os.path.join(PIPE_CACHE, "tenants.parquet"))
+    n_turns = t.count()
+
+    def pipeline_pass() -> float:
+        t0 = time.time()
+        routed = build_dag(t, d, PipelineConfig())
+        agg = (
+            routed.filter(F.col("_error_category") == "valid")
+            .groupBy(
+                "sink", F.window(F.col("ts").cast("timestamp"), "1 day").start.alias("bucket")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("doc_count"),
+                F.approx_count_distinct("tenant_id").alias("tenant_card"),
+                F.avg("latency_ms").alias("avg_latency"),
+            )
+        )
+        _force(agg)
+        return time.time() - t0
+
+    pipeline_pass()  # warm pass (page cache, codegen, python workers)
+    pipe_sec = min(pipeline_pass(), pipeline_pass())
+    timings["pipeline_e2e_2m"] = round(pipe_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query suite + 2M-turn parse-enrich-route-aggregate pipeline",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "pipeline_turns_per_sec": round(n_turns / pipe_sec, 1),
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,12 @@ def interval_to_millis(interval: str) -> int:
     return int(m.group(1)) * _UNIT_MS[m.group(2)]
 
 
+def _ts_ms(col: Column) -> Column:
+    """Epoch millis of a timestamp column; tolerates TIMESTAMP_NTZ parquet
+    columns (session timezone is pinned UTC, so the cast is lossless)."""
+    return F.unix_millis(col.cast("timestamp"))
+
+
 def _bucket_key(value_ms: Column, interval_ms: int, offset_ms: int) -> Column:
     # key = floor((val - offset) / interval) * interval + offset
     # (docs/reference/aggregation.md:329-333); F.floor handles negatives
@@ -122,11 +128,11 @@ def date_histogram(
     interval_ms = interval_to_millis(fixed_interval)
     offset_ms = interval_to_millis(offset) if isinstance(offset, str) else int(offset)
 
-    val_ms = F.unix_millis(F.col(field))
+    val_ms = _ts_ms(F.col(field))
     base = df.filter(F.col(field).isNotNull())
     if hard_bounds is not None:
         lo, hi = hard_bounds
-        kc = _bucket_key(F.unix_millis(F.col(field)), interval_ms, offset_ms)
+        kc = _bucket_key(_ts_ms(F.col(field)), interval_ms, offset_ms)
         base = base.filter((kc >= F.lit(lo)) & (kc <= F.lit(hi)))
 
     buckets = (
@@ -468,7 +474,7 @@ def run_es_aggs(df: DataFrame, aggs: dict[str, dict]) -> dict[str, Any]:
             )
 
             def dh_pred(key, _f=p["field"], _i=interval_ms, _o=offset_ms):
-                return _bucket_key(F.unix_millis(F.col(_f)), _i, _o) == F.lit(key)
+                return _bucket_key(_ts_ms(F.col(_f)), _i, _o) == F.lit(key)
 
             out[name] = {
                 "buckets": [

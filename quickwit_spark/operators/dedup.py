@@ -37,13 +37,12 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # shingling + MinHash + LSH
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
-
-
 def _minhash_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    # odd multipliers → bijections mod 2^64; (a*h + b) wrapping is a cheap,
+    # fully-vectorizable min-wise hash family
+    a = (rng.integers(1, 1 << 63, size=num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
     return a, b
 
 
@@ -63,7 +62,13 @@ def minhash_signatures(
     """
     a, b = _minhash_params(num_perm, seed)
 
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    # materialize the token array once: element_at inside the shingle lambda
+    # then reads an attribute instead of re-running split per element
+    # (inline it and the plan is O(tokens^2) string splits per row)
+    tok_df = df.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("_toks")
+    )
+    toks = F.col("_toks")
     n_sh = F.greatest(F.size(toks) - F.lit(shingle_size - 1), F.lit(1))
     idx = F.sequence(F.lit(0), n_sh - 1)
     shingles = F.transform(
@@ -75,29 +80,26 @@ def minhash_signatures(
     def sig(hashes: pd.Series) -> pd.Series:
         out = []
         for hs in hashes:
-            h = np.asarray(hs, dtype=np.int64).astype(np.uint64) % np.uint64(_MERSENNE)
-            # (a*h + b) mod p, per permutation; min over shingles
-            vals = (
-                h[None, :].astype(np.object_) * a[:, None] + b[:, None]
-            )  # object to avoid u64 overflow; small arrays
-            vals = np.mod(vals, _MERSENNE).astype(np.int64)
-            out.append(vals.min(axis=1))
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            vals = h[None, :] * a[:, None] + b[:, None]  # wraps mod 2^64
+            out.append(vals.min(axis=1).astype(np.int64))
         return pd.Series(out)
 
-    return df.select(F.col(id_col), sig(hashed).alias("signature"))
+    return tok_df.select(F.col(id_col), sig(hashed).alias("signature"))
 
 
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_bands: int = 16,
+    num_perm: int | None = None,
 ) -> DataFrame:
     """Banded LSH: rows sharing any band bucket become candidate pairs.
 
     One shuffle on (band, bucket); self-join within buckets only. Returns
     distinct (a, b) with a < b.
     """
-    n_perm = len(signatures.select("signature").first()["signature"])
+    n_perm = num_perm or len(signatures.select("signature").first()["signature"])
     rows_per_band = n_perm // num_bands
     banded = signatures.select(
         id_col,
@@ -147,7 +149,7 @@ def minhash_dedup_pairs(
     """Near-dup pairs: LSH candidates verified by estimated Jaccard
     (signature agreement ratio ≥ threshold)."""
     sigs = minhash_signatures(df, text_col, id_col, shingle_size, num_perm)
-    cands = lsh_candidate_pairs(sigs, id_col, num_bands)
+    cands = lsh_candidate_pairs(sigs, id_col, num_bands, num_perm=num_perm)
     sl = sigs.select(F.col(id_col).alias("a"), F.col("signature").alias("sig_a"))
     sr = sigs.select(F.col(id_col).alias("b"), F.col("signature").alias("sig_b"))
     joined = cands.join(sl, "a").join(sr, "b")
@@ -176,7 +178,10 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact word-shingle Jaccard over candidate pairs that share ≥1 shingle
     (inverted-index join — never a full cross product)."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    tok_df = df.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("_toks")
+    )
+    toks = F.col("_toks")
     n_sh = F.greatest(F.size(toks) - F.lit(shingle_size - 1), F.lit(1))
     idx = F.sequence(F.lit(0), n_sh - 1)
     shingles = F.array_distinct(
@@ -187,7 +192,9 @@ def ngram_jaccard_pairs(
             ),
         )
     )
-    sh = df.select(F.col(id_col), shingles.alias("sh"), F.size(shingles).alias("n"))
+    sh = tok_df.select(F.col(id_col), shingles.alias("sh")).select(
+        F.col(id_col), F.col("sh"), F.size("sh").alias("n")
+    )
     inv = sh.select(id_col, "n", F.explode("sh").alias("s"))
     pairs = (
         inv.alias("l")
@@ -216,28 +223,32 @@ def simhash_col(text_col: str = "text"):
     per-bit majority vote, folded back into a long. One SQL expression
     (the SQL shift functions accept column shift amounts; the Python API
     wrappers don't)."""
+    # transform over a 1-element array binds the token split ONCE (SQL has no
+    # `let`); without it the split would be re-evaluated per bit
     return F.expr(
         f"""
-        aggregate(
-          zip_with(
-            transform(
-              aggregate(
-                transform(split(lower({text_col}), '\\\\s+'), t -> xxhash64(t)),
-                array_repeat(0, 64),
-                (acc, h) -> zip_with(
-                  acc,
-                  transform(sequence(0, 63),
-                            i -> CAST(shiftrightunsigned(h, CAST(i AS INT)) & 1 AS INT)),
-                  (a, b) -> a + b
-                )
+        transform(array(split(lower({text_col}), '\\\\s+')), toks ->
+          aggregate(
+            zip_with(
+              transform(
+                aggregate(
+                  transform(toks, t -> xxhash64(t)),
+                  array_repeat(0, 64),
+                  (acc, h) -> zip_with(
+                    acc,
+                    transform(sequence(0, 63),
+                              i -> CAST(shiftrightunsigned(h, CAST(i AS INT)) & 1 AS INT)),
+                    (a, b) -> a + b
+                  )
+                ),
+                c -> IF(c * 2 > size(toks), 1L, 0L)
               ),
-              c -> IF(c * 2 > size(split(lower({text_col}), '\\\\s+')), 1L, 0L)
+              sequence(0, 63),
+              (b, i) -> shiftleft(b, CAST(i AS INT))
             ),
-            sequence(0, 63),
-            (b, i) -> shiftleft(b, CAST(i AS INT))
-          ),
-          0L, (acc, v) -> acc | v
-        )
+            0L, (acc, v) -> acc | v
+          )
+        )[0]
         """
     )
 

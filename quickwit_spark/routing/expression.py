@@ -45,7 +45,7 @@ from typing import Any, Iterator
 import numpy as np
 import pandas as pd
 
-from quickwit_spark.routing.siphash import siphash24, siphash24_batch
+from quickwit_spark.routing.siphash import siphash24, siphash24_batch, siphash24_words
 
 _TAG_FIELD = b"\x00"
 _TAG_COMPOSITE = b"\x01"
@@ -309,6 +309,48 @@ def eval_bytes(expr: Expr, doc: dict) -> bytes:
     return _TAG_MODULO + _u64le(sub % expr.modulo)
 
 
+def _hash_single_string_field(salt: bytes, s: pd.Series) -> np.ndarray:
+    """Vectorized hash for ``Field(path)`` over a string column: the message
+    layout is ``salt ++ 0x00 ++ (0x01 0x03 u64le(len) payload | 0x00)``.
+    All packing is numpy (np.char.encode + scatter) — no per-row Python.
+    """
+    n = len(s)
+    vals = s.to_numpy(dtype=object)
+    null_mask = np.fromiter((v is None or v != v for v in vals), dtype=bool, count=n)
+    as_u = np.where(null_mask, "", vals).astype("U")
+    enc = np.char.encode(as_u, "utf-8")  # fixed-width S dtype, \0-padded
+    lens = np.char.str_len(enc).astype(np.int64)  # true byte lengths
+
+    p = len(salt)
+    head = p + 1  # salt + field tag
+    present_total = head + 2 + 8 + lens  # + present tag + value tag + u64 len
+    msg_len = np.where(null_mask, head + 1, present_total)
+    n_words = msg_len // 8 + 1
+    max_words = int(n_words.max())
+
+    buf = np.zeros((n, max_words * 8), dtype=np.uint8)
+    salt_arr = np.frombuffer(salt + b"\x00", dtype=np.uint8)  # + field tag 0x00
+    buf[:, : head] = salt_arr
+    # missing tag 0x00 already zero; present rows get 0x01 0x03 + len + payload
+    pres = ~null_mask
+    if pres.any():
+        pres_idx = np.nonzero(pres)[0]
+        buf[pres, head] = 1
+        buf[pres, head + 1] = 3
+        for b_i in range(8):  # u64le length at [head+2, head+10)
+            buf[pres, head + 2 + b_i] = ((lens[pres] >> (8 * b_i)) & 0xFF).astype(np.uint8)
+        # payload scatter; S-dtype rows are \0-padded to `width`, and those
+        # padding zeros land past each message's end where zeros are required
+        flat = np.frombuffer(enc[pres].tobytes(), dtype=np.uint8).reshape(len(pres_idx), -1)
+        width = flat.shape[1]
+        if width:
+            buf[pres_idx[:, None], np.arange(head + 10, head + 10 + width)[None, :]] = flat
+    words = buf.view("<u8").reshape(n, max_words).astype(np.uint64, copy=False)
+    last = n_words - 1
+    words[np.arange(n), last] |= (msg_len.astype(np.uint64) & np.uint64(0xFF)) << np.uint64(56)
+    return siphash24_words(words, n_words)
+
+
 # ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
@@ -363,6 +405,18 @@ class RoutingExpr:
         n = len(next(iter(cols.values()))) if cols else 0
         if self.expr is None:
             return np.zeros(n, dtype=np.uint64)
+
+        # fast path: single string field — fully vectorized byte packing
+        if isinstance(self.expr, Field):
+            name = ".".join(self.expr.path)
+            s = cols.get(name)
+            if s is None and len(self.expr.path) == 1:
+                s = cols.get(self.expr.path[0])
+            if s is not None and (s.dtype == object or str(s.dtype) in ("string", "str")):
+                try:
+                    return _hash_single_string_field(self._salt, s)
+                except (TypeError, ValueError):
+                    pass  # mixed types — fall through to the generic path
 
         # pre-render per-field byte fragments
         frag_cache: dict[tuple[str, ...], list[bytes]] = {}

@@ -132,11 +132,19 @@ def siphash24_batch(msgs: list[bytes], k0: int = 0, k1: int = 0) -> np.ndarray:
     Rows are bucketed by word-count; within a bucket every round is a pure
     ndarray op over the whole bucket (no per-row Python beyond byte packing).
     """
-    n = len(msgs)
-    out = np.zeros(n, dtype=np.uint64)
-    if n == 0:
-        return out
+    if len(msgs) == 0:
+        return np.zeros(0, dtype=np.uint64)
     words, n_words = _words_matrix(msgs)
+    return siphash24_words(words, n_words, k0, k1)
+
+
+def siphash24_words(
+    words: np.ndarray, n_words: np.ndarray, k0: int = 0, k1: int = 0
+) -> np.ndarray:
+    """SipHash-2-4 over a pre-packed LE u64 word matrix (each row's final
+    word already carries the length byte — see ``_words_matrix``)."""
+    n = len(words)
+    out = np.zeros(n, dtype=np.uint64)
     for wc in np.unique(n_words):
         sel = np.nonzero(n_words == wc)[0]
         w = words[sel]

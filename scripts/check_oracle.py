@@ -1,0 +1,105 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry at sf0.01 next to its oracle_sql() in DuckDB; compare row count,
+schema width, and an order-insensitive value multiset (columns sorted by
+name, floats rounded)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def rowset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+def main(only: list[str] | None = None):
+    from quickwit_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="oracle_check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"[FAIL] {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(srows)} rows, cols={scols} ({time.time()-t0:.1f}s)")
+            if len(srows) == 0 and not name.startswith("q_"):
+                print(f"  WARNING: zero rows")
+            continue
+        try:
+            cur = con.sql(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:
+            failures.append((name, f"ORACLE ERROR: {e}"))
+            print(f"[FAIL] {name}: oracle error: {e}")
+            continue
+        ok = True
+        if sorted(scols) != sorted(ocols):
+            failures.append((name, f"schema: spark={sorted(scols)} oracle={sorted(ocols)}"))
+            ok = False
+        elif len(srows) != len(orows):
+            failures.append((name, f"rowcount: spark={len(srows)} oracle={len(orows)}"))
+            ok = False
+        else:
+            s, o = rowset(srows, scols), rowset(orows, ocols)
+            if s != o:
+                diff = [(a, b) for a, b in zip(s, o) if a != b][:3]
+                failures.append((name, f"values differ, first diffs: {diff}"))
+                ok = False
+        status = "ok" if ok else "FAIL"
+        print(f"[{status}] {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES:")
+        for name, msg in failures:
+            print(f"  {name}: {msg}")
+        sys.exit(1)
+    print("all queries match their oracles")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or None)

@@ -48,7 +48,12 @@ def test_dedup_exact(docs):
 
 
 def test_minhash_near_dup(docs):
-    pairs = {(r["a"], r["b"]) for r in minhash_dedup_pairs(docs, threshold=0.5).collect()}
+    # docs 0 vs 2 differ in 1 of 9 words → true shingle-Jaccard = 0.4;
+    # 32 bands of 2 rows catch J=0.4 pairs w.p. ~1-(1-0.16)^32 ≈ 0.996
+    pairs = {
+        (r["a"], r["b"])
+        for r in minhash_dedup_pairs(docs, threshold=0.3, num_bands=32).collect()
+    }
     assert (0, 1) in pairs  # exact dups always collide
     assert (0, 2) in pairs or (1, 2) in pairs  # near dup found
     assert (0, 3) not in pairs and (3, 4) not in pairs
