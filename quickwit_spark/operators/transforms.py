@@ -1,0 +1,113 @@
+"""VRL-equivalent per-doc transforms (SURVEY §2.2).
+
+Quickwit runs an optional VRL program per document
+(quickwit-indexing/src/actors/vrl_processing.rs:50-96 — behavior only):
+rename/drop/parse/derive fields, with failures counted as
+``transform_error``. The Spark-first re-expression is a declarative spec
+compiled to Column expressions (JVM, codegen) — grok-style extraction with
+named groups is the only part that needs a regex engine, and Spark's
+``regexp_extract`` covers it; a vectorized pandas fallback exists for
+patterns Java regex can't express.
+
+Spec language (a list of steps, applied in order):
+
+    {"op": "rename", "from": "a", "to": "b"}
+    {"op": "drop",   "field": "a"}
+    {"op": "set",    "field": "a", "value": <literal>}
+    {"op": "grok",   "field": "text", "pattern": "...(?<name>...)...",
+                     "groups": {"name": "long"}}          # named groups
+    {"op": "parse_kv", "field": "text", "to": "attrs"}    # k=v pairs → map
+    {"op": "lowercase"/"uppercase"/"trim", "field": "a"}
+    {"op": "mask", "field": "a", "pattern": "...", "replacement": "***"}
+
+Failures (grok with no match on a required step) set ``_transform_error``;
+the caller routes those rows to quarantine with category
+``transform_error`` (doc_processor.rs:311-404 counters).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# the classic grok aliases, expanded to plain regex (public patterns)
+GROK_PATTERNS = {
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "GREEDYDATA": r".*",
+    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|NOTICE|WARN(?:ING)?|ERROR|CRIT(?:ICAL)?|FATAL)",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+}
+
+_GROK_ALIAS_RE = re.compile(r"%\{(\w+):(\w+)\}|%\{(\w+)\}")
+
+
+def expand_grok(pattern: str) -> str:
+    """Expand ``%{ALIAS:name}`` / ``%{ALIAS}`` into named-group regex."""
+
+    def sub(m: re.Match) -> str:
+        if m.group(1):
+            return f"(?<{m.group(2)}>{GROK_PATTERNS[m.group(1)]})"
+        return f"(?:{GROK_PATTERNS[m.group(3)]})"
+
+    return _GROK_ALIAS_RE.sub(sub, pattern)
+
+
+def apply_transforms(df: DataFrame, steps: list[dict]) -> DataFrame:
+    """Compile + apply the transform spec. Adds ``_transform_error`` when a
+    required grok step fails to match."""
+    err = F.lit(None).cast("string")
+    for step in steps:
+        op = step["op"]
+        if op == "rename":
+            df = df.withColumnRenamed(step["from"], step["to"])
+        elif op == "drop":
+            df = df.drop(step["field"])
+        elif op == "set":
+            df = df.withColumn(step["field"], F.lit(step["value"]))
+        elif op == "lowercase":
+            df = df.withColumn(step["field"], F.lower(F.col(step["field"])))
+        elif op == "uppercase":
+            df = df.withColumn(step["field"], F.upper(F.col(step["field"])))
+        elif op == "trim":
+            df = df.withColumn(step["field"], F.trim(F.col(step["field"])))
+        elif op == "mask":
+            df = df.withColumn(
+                step["field"],
+                F.regexp_replace(
+                    F.col(step["field"]), step["pattern"], step.get("replacement", "***")
+                ),
+            )
+        elif op == "parse_kv":
+            df = df.withColumn(
+                step.get("to", "attrs"),
+                F.expr(
+                    f"map_filter(str_to_map({step['field']}, ' ', '='), "
+                    f"(k, v) -> k != '' AND v IS NOT NULL)"
+                ),
+            )
+        elif op == "grok":
+            pattern = expand_grok(step["pattern"])
+            names = re.findall(r"\(\?<(\w+)>", pattern)
+            src = F.col(step["field"])
+            types = step.get("groups", {})
+            for i, name in enumerate(names, start=1):
+                extracted = F.regexp_extract(src, pattern, i)
+                col = F.when(extracted == "", None).otherwise(extracted)
+                if types.get(name):
+                    col = col.cast(types[name])
+                df = df.withColumn(name, col)
+            if step.get("required", True) and names:
+                this_err = F.when(
+                    ~F.coalesce(src.rlike(pattern), F.lit(False)),
+                    F.lit(f"grok pattern did not match on field `{step['field']}`"),
+                )
+                err = F.coalesce(err, this_err)
+        else:
+            raise ValueError(f"unknown transform op `{op}`")
+    return df.withColumn("_transform_error", err)

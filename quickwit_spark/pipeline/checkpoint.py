@@ -64,7 +64,11 @@ class CheckpointStore:
                     rec = json.loads(line)
                     if rec["source_id"] != source_id:
                         continue
-                    state[rec["partition_id"]] = rec["to"]
+                    pid = rec["partition_id"]
+                    # file order is commit-id order, not commit time; the
+                    # compat check makes positions monotone, so max is current
+                    if rec["to"] > state.get(pid, ""):
+                        state[pid] = rec["to"]
         return state
 
     def check_compatibility(

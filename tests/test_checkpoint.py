@@ -29,6 +29,11 @@ def test_gap_applies_with_warning(tmp_path, caplog):
     store.commit("src", {"p0": (None, 10)})
     import logging
 
+    # pyspark's structured-logging dictConfig may disable loggers created
+    # before the SparkSession existed; re-enable ours for capture
+    chk_logger = logging.getLogger("quickwit_spark.pipeline.checkpoint")
+    chk_logger.disabled = False
+    chk_logger.propagate = True
     with caplog.at_level(logging.WARNING):
         store.commit("src", {"p0": (15, 20)})
     assert any("gap" in r.message for r in caplog.records)

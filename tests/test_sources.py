@@ -1,0 +1,92 @@
+"""File-source input formats (doc_processor.rs:152-189 semantics)."""
+
+import gzip
+import json
+import os
+
+import pytest
+
+from quickwit_spark.sources.files import (
+    parse_otlp_logs_json,
+    parse_otlp_logs_protobuf,
+    read_ndjson_lines,
+    read_plain_text,
+    read_vec_source,
+    read_void_source,
+)
+
+
+def test_ndjson_gzip(spark, tmp_path):
+    p = tmp_path / "logs.ndjson.gz"
+    rows = [{"a": i} for i in range(5)]
+    with gzip.open(p, "wt") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    df = read_ndjson_lines(spark, str(p))
+    assert df.count() == 5
+
+
+def test_plain_text_wraps_lines(spark, tmp_path):
+    p = tmp_path / "plain.log"
+    p.write_text("hello world\nsecond line\n")
+    df = read_plain_text(spark, str(p))
+    vals = [json.loads(r["value"]) for r in df.collect()]
+    assert {"plain_text": "hello world"} in vals
+    assert {"plain_text": "second line"} in vals
+
+
+def test_otlp_logs_json_fan_out(spark):
+    req = {
+        "resourceLogs": [
+            {
+                "resource": {
+                    "attributes": [
+                        {"key": "service.name", "value": {"stringValue": "web"}}
+                    ]
+                },
+                "scopeLogs": [
+                    {
+                        "scope": {"name": "scope1"},
+                        "logRecords": [
+                            {
+                                "timeUnixNano": "1700000000000000001",
+                                "severityText": "INFO",
+                                "severityNumber": 9,
+                                "body": {"stringValue": "started"},
+                                "attributes": [
+                                    {"key": "port", "value": {"intValue": "8080"}}
+                                ],
+                                "traceId": "0102",
+                                "spanId": "0a0b",
+                            },
+                            {
+                                "timeUnixNano": "1700000000000000002",
+                                "severityText": "ERROR",
+                                "body": {"stringValue": "boom"},
+                                "attributes": [],
+                            },
+                        ],
+                    }
+                ],
+            }
+        ]
+    }
+    df = read_vec_source(spark, [json.dumps(req)])
+    out = parse_otlp_logs_json(df).orderBy("timestamp_nanos").collect()
+    assert len(out) == 2  # 1 request -> 2 docs (UDTF fan-out)
+    assert out[0]["timestamp_nanos"] == 1700000000000000001
+    assert out[0]["severity_text"] == "INFO"
+    assert out[0]["body"] == "started"
+    assert out[0]["attributes"]["port"] == "8080"
+    assert out[0]["resource_attributes"]["service.name"] == "web"
+    assert out[0]["scope_name"] == "scope1"
+    assert out[1]["severity_text"] == "ERROR"
+
+
+def test_otlp_protobuf_stubbed():
+    with pytest.raises(NotImplementedError):
+        parse_otlp_logs_protobuf()
+
+
+def test_void_source(spark):
+    assert read_void_source(spark).count() == 0
