@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-PIPE_TURNS = int(os.environ.get("QS_BENCH_TURNS", 2_000_000))
+PIPE_TURNS = int(os.environ.get("QS_BENCH_TURNS", 8_000_000))
 PIPE_CACHE = f"/tmp/quickwit_spark_bench_transcripts_{PIPE_TURNS}"
 
 HEADLINE = [
@@ -74,13 +74,18 @@ def main() -> None:
         "x", routing_hash_col("tenant_id", ["id"])
     ).agg(F.max("x")).collect()
 
+    # this sandbox has bursty hypervisor CPU steal: time each query twice
+    # and keep the min (steady state), so one stolen window doesn't skew
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        _ = n
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            df.count()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     # transcripts pipeline end-to-end (no sink write: DAG + per-sink aggregate)
     from quickwit_spark.pipeline.runner import PipelineConfig, build_dag
@@ -109,14 +114,14 @@ def main() -> None:
         return time.time() - t0
 
     pipeline_pass()  # warm pass (page cache, codegen, python workers)
-    pipe_sec = min(pipeline_pass(), pipeline_pass())
-    timings["pipeline_e2e_2m"] = round(pipe_sec, 3)
+    pipe_sec = min(pipeline_pass() for _ in range(4))
+    timings["pipeline_e2e"] = round(pipe_sec, 3)
 
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline query suite + 2M-turn parse-enrich-route-aggregate pipeline",
+                "metric": "headline query suite + 8M-turn parse-enrich-route-aggregate pipeline",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

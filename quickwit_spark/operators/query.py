@@ -372,6 +372,8 @@ class _QParser:
         if field is None:
             if value == "*":
                 return MatchAll()
+            if value.endswith(":"):
+                raise ValueError(f"field `{value[:-1]}` has an empty or unparsable value")
             if not self.default_fields:
                 raise ValueError(f"bare term {value!r} requires default_search_fields")
             shoulds = [self.make_clause(f, value) for f in self.default_fields]

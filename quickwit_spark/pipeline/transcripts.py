@@ -28,18 +28,21 @@ ROLES = np.array(["user", "assistant", "system", "tool"])
 ROLE_WEIGHTS = np.array([0.35, 0.40, 0.05, 0.20])
 TOOLS = np.array(["search", "bash", "browser", "sql"])
 LEVELS = np.array(["INFO", "INFO", "INFO", "WARN", "ERROR", "DEBUG"])
-MSGS = np.array(
+# message templates as (prefix, slot_kind, suffix): slot 0=none, 1=port, 2=port%255
+_MSG_PRE = np.array(
     [
-        "server started at {port}",
+        "server started at ",
         "request completed",
-        "cache miss for key k{port}",
-        "retrying connection to 10.0.0.{oct}",
-        "query planned in {port} us",
+        "cache miss for key k",
+        "retrying connection to 10.0.0.",
+        "query planned in ",
         "connection refused",
         "disk almost full",
-        "flushed {port} rows to sink",
+        "flushed ",
     ]
 )
+_MSG_SLOT = np.array([1, 0, 1, 2, 1, 0, 0, 1])
+_MSG_SUF = np.array(["", "", "", "", " us", "", "", " rows to sink"])
 
 _BASE_TS = np.datetime64("2024-01-01T00:00:00", "us")
 _SPAN_DAYS = 120
@@ -90,20 +93,25 @@ def gen_transcripts(n_turns: int, seed: int = 42) -> pa.Table:
     level = rng.choice(LEVELS, size=n)
     latency = rng.integers(1, 5000, size=n)
     port = rng.integers(1024, 9999, size=n)
-    msg_t = rng.choice(MSGS, size=n)
+    msg_idx = rng.integers(0, len(_MSG_PRE), size=n)
     malformed = rng.random(n) < 0.05
 
-    texts = np.empty(n, dtype=object)
-    for i in range(n):
-        msg = msg_t[i].replace("{port}", str(port[i])).replace("{oct}", str(port[i] % 255))
-        if malformed[i]:
-            # missing level and tenant; bad latency token
-            texts[i] = f'latency_ms=NaN msg="{msg}"'
-        else:
-            texts[i] = (
-                f"level={level[i]} tenant=acme-{tenant_num[i]:03d} "
-                f'latency_ms={latency[i]} msg="{msg}"'
-            )
+    # fully vectorized text assembly (a Python loop here costs minutes at 10M+)
+    A = np.char.add
+    slot_kind = _MSG_SLOT[msg_idx]
+    slot_val = np.where(slot_kind == 2, port % 255, port).astype("U4")
+    slot_str = np.where(slot_kind == 0, "", slot_val)
+    msg = A(A(_MSG_PRE[msg_idx], slot_str), _MSG_SUF[msg_idx])
+    tenant_str = np.char.zfill(tenant_num.astype("U3"), 3)
+    good = A(
+        A(
+            A(A(A("level=", level), " tenant=acme-"), tenant_str),
+            A(" latency_ms=", latency.astype("U4")),
+        ),
+        A(A(' msg="', msg), '"'),
+    )
+    bad = A(A('latency_ms=NaN msg="', msg), '"')
+    texts = np.where(malformed, bad, good).astype(object)
 
     return pa.table(
         {
@@ -131,15 +139,30 @@ def gen_tenants(n_tenants: int = 1000, seed: int = 7) -> pa.Table:
     )
 
 
-def materialize(n_turns: int, out_dir: str, seed: int = 42, num_files: int = 8) -> str:
+def materialize(n_turns: int, out_dir: str, seed: int = 42, num_files: int = 32) -> str:
     """Write transcripts + tenants parquet under ``out_dir`` (idempotent).
 
-    Multiple row groups / files so Spark gets parallel scan partitions."""
+    ``transcripts.parquet`` is a DIRECTORY of ``num_files`` part files —
+    scan parallelism must not be throttled by maxPartitionBytes on one big
+    file (a single 400 MB file caps a 32-core scan at ~4 splits)."""
     os.makedirs(out_dir, exist_ok=True)
     tpath = os.path.join(out_dir, "transcripts.parquet")
     if not os.path.exists(tpath):
         table = gen_transcripts(n_turns, seed)
-        pq.write_table(table, tpath, row_group_size=max(10_000, n_turns // max(num_files, 1)))
+        tmp = tpath + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        n = table.num_rows
+        num_files = max(1, min(num_files, n // 1000 or 1))
+        step = (n + num_files - 1) // num_files
+        for i in range(num_files):
+            chunk = table.slice(i * step, step)
+            if chunk.num_rows:
+                pq.write_table(
+                    chunk,
+                    os.path.join(tmp, f"part-{i:05d}.parquet"),
+                    row_group_size=max(10_000, step // 4),
+                )
+        os.rename(tmp, tpath)
     dpath = os.path.join(out_dir, "tenants.parquet")
     if not os.path.exists(dpath):
         pq.write_table(gen_tenants(seed=7), dpath)

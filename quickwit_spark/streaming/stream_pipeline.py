@@ -59,11 +59,10 @@ def stream_pipeline(
     reader = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .format("parquet")
-        .option("pathGlobFilter", "transcripts*.parquet")  # file source needs a dir
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.load(input_dir)
+    stream = reader.load(os.path.join(input_dir, "transcripts.parquet"))
 
     sink_dir = os.path.join(out_dir, "sinks_stream")
     quarantine_dir = os.path.join(out_dir, "quarantine_stream")
@@ -118,8 +117,7 @@ def windowed_stream_aggregate(
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .format("parquet")
-        .option("pathGlobFilter", "transcripts*.parquet")
-        .load(input_dir)
+        .load(os.path.join(input_dir, "transcripts.parquet"))
     )
     return (
         stream.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -127,7 +127,7 @@ def test_pipeline_end_to_end_counts(spark, data_dir, pipeline_out):
     # oracle: valid rows = rows whose text has level= and tenant= and latency digits
     oracle_valid = con.sql(
         f"""
-        SELECT count(*) FROM '{tpath}'
+        SELECT count(*) FROM '{tpath}/*.parquet'
         WHERE regexp_matches(text, 'level=\\w+') AND regexp_matches(text, 'tenant=[\\w-]+')
         """
     ).fetchone()[0]
@@ -150,7 +150,7 @@ def test_pipeline_routed_row_set_equality(spark, data_dir, pipeline_out):
         f"""
         SELECT conv_id, turn_idx,
                CASE WHEN role='tool' THEN 'tool_' || coalesce(tool, 'nil') ELSE role END AS sink
-        FROM '{tpath}'
+        FROM '{tpath}/*.parquet'
         WHERE regexp_matches(text, 'level=\\w+') AND regexp_matches(text, 'tenant=[\\w-]+')
         """
     ).fetchall()
@@ -193,7 +193,7 @@ def test_pipeline_aggregates_match_oracle(spark, data_dir, pipeline_out):
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
                CASE WHEN role='tool' THEN 'tool_' || coalesce(tool,'nil') ELSE role END AS sink,
                count(*) AS n
-        FROM '{tpath}'
+        FROM '{tpath}/*.parquet'
         WHERE regexp_matches(text, 'level=\\w+') AND regexp_matches(text, 'tenant=[\\w-]+')
         GROUP BY 1, 2
         """
@@ -235,6 +235,6 @@ def test_pipeline_resume_no_duplicates(spark, data_dir, tmp_path_factory):
     con = duckdb.connect()
     tpath = os.path.join(data_dir, "transcripts.parquet")
     oracle_valid = con.sql(
-        f"SELECT count(*) FROM '{tpath}' WHERE regexp_matches(text, 'level=\\w+')"
+        f"SELECT count(*) FROM '{tpath}/*.parquet' WHERE regexp_matches(text, 'level=\\w+')"
     ).fetchone()[0]
     assert sinks.count() == oracle_valid
