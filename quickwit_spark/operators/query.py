@@ -230,7 +230,11 @@ class QueryCompiler:
         return parse_query(query, default_fields=self.default_fields)
 
     def where(self, df: DataFrame, query: str) -> DataFrame:
-        return df.filter(_null_as_false(self.compile(self.parse(query))))
+        # no null-coalescing wrapper here: Spark's filter already drops
+        # NULL-valued predicates, and wrapping in coalesce(pred, false)
+        # blocks parquet filter pushdown (negation inside Bool.must_not is
+        # handled null-safely in compile())
+        return df.filter(self.compile(self.parse(query)))
 
 
 def _null_as_false(c: Column) -> Column:
