@@ -62,6 +62,10 @@ class FieldMapping:
     fast_precision: str = "seconds"
     input_format: str = "base64"  # for bytes: base64|hex
     fields: list["FieldMapping"] = field(default_factory=list)  # for object
+    # for type="concatenate": the source fields whose values this virtual
+    # field unions (field_mapping_entry.rs:662+; DateTime/Ip/Bytes excluded)
+    source_fields: tuple[str, ...] = ()
+    include_dynamic_fields: bool = True
 
 
 @dataclass
@@ -96,6 +100,8 @@ def _spark_type(fm: FieldMapping) -> T.DataType:
     if fm.type == "object":
         inner = T.StructType([T.StructField(c.name, _spark_type(c), True) for c in fm.fields])
         return inner
+    if fm.type == "concatenate":
+        return T.ArrayType(T.StringType())
     base = _SPARK_TYPES[fm.type]
     return T.ArrayType(base) if fm.multi else base
 
@@ -215,7 +221,7 @@ class DocMapper:
     # -- core row transform (pure Python; wrapped vectorized below) --------
 
     def _map_obj(self, fm_list: list[FieldMapping], obj: dict, out: dict, dynamic: dict):
-        mapped = {fm.name: fm for fm in fm_list}
+        mapped = {fm.name: fm for fm in fm_list if fm.type != "concatenate"}
         for key, val in obj.items():
             fm = mapped.get(key)
             if fm is None:
@@ -273,6 +279,29 @@ class DocMapper:
             return row
         for k, v in out.items():
             row[k] = v
+        # concatenate virtual fields: union of stringified source values
+        # (+ dynamic leaves when enabled) — field_mapping_entry.rs:662+,
+        # values gathered as in mapping_tree.rs:267-328 (no datetime/ip/bytes)
+        for fm in self.mapping.field_mappings:
+            if fm.type != "concatenate":
+                continue
+            gathered: list[str] = []
+
+            def _gather(v):
+                for item in v if isinstance(v, list) else [v]:
+                    if item is None:
+                        continue
+                    if isinstance(item, bool):
+                        gathered.append("true" if item else "false")
+                    elif isinstance(item, (str, int, float)):
+                        gathered.append(str(item))
+
+            for src in fm.source_fields:
+                _gather(out.get(src, obj.get(src)))
+            if fm.include_dynamic_fields:
+                for v in dynamic.values():
+                    _gather(v)
+            row[fm.name] = gathered
         if self.mapping.mode == "dynamic":
             row[_DYNAMIC_COL] = json.dumps(dynamic, separators=(",", ":")) if dynamic else None
         row[_CATEGORY_COL] = VALID

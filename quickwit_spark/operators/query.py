@@ -458,6 +458,20 @@ def es_dsl_to_ast(dsl: dict) -> QueryAst:
         if isinstance(spec, dict):
             return FullText(f, str(spec["query"]), spec.get("operator", "or").lower())
         return FullText(f, str(spec))
+    if kind == "multi_match":
+        q = str(body["query"])
+        fields = body.get("fields", [])
+        shoulds = [FullText(f, q, body.get("operator", "or").lower()) for f in fields]
+        return shoulds[0] if len(shoulds) == 1 else Bool(should=shoulds)
+    if kind == "match_bool_prefix":
+        (f, spec), = body.items()
+        q = str(spec["query"] if isinstance(spec, dict) else spec)
+        toks = [t for t in re.split(r"[^\w]+", q.lower()) if t]
+        if not toks:
+            return MatchAll()
+        musts: list = [Term(f, t) for t in toks[:-1]]
+        musts.append(PhrasePrefix(f, toks[-1]))
+        return musts[0] if len(musts) == 1 else Bool(must=musts)
     if kind == "match_phrase":
         (f, spec), = body.items()
         q = spec["query"] if isinstance(spec, dict) else spec

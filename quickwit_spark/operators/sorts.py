@@ -1,0 +1,100 @@
+"""Sorts, top-k, and pagination (SURVEY §2.8).
+
+Quickwit semantics (quickwit-search/src/collector.rs:42-53, root.rs:1224-1227
+— behavior only): ≤2 sort components with stable tie-break, top-k via
+per-segment heaps (Spark: TakeOrderedAndProject — chosen automatically for
+orderBy+limit), search_after cursors on sort values, from/size offset
+pagination, and scroll as an iterated search_after (no server-side context
+needed in a single engine).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _order_cols(sort_fields: list[tuple[str, bool]]):
+    return [
+        F.col(name).desc() if descending else F.col(name).asc()
+        for name, descending in sort_fields
+    ]
+
+
+def top_k(df: DataFrame, sort_fields: list[tuple[str, bool]], k: int) -> DataFrame:
+    """orderBy + limit → TakeOrderedAndProject (per-partition heaps, no
+    global sort). ``sort_fields``: [(col, descending)], first = primary."""
+    return df.orderBy(*_order_cols(sort_fields)).limit(k)
+
+
+def _after_predicate(sort_fields: list[tuple[str, bool]], cursor: dict[str, Any]):
+    """Lexicographic strictly-after predicate over the sort tuple."""
+    pred = F.lit(False)
+    eq = F.lit(True)
+    for name, descending in sort_fields:
+        c = F.col(name)
+        v = F.lit(cursor[name])
+        step = (c < v) if descending else (c > v)
+        pred = pred | (eq & step)
+        eq = eq & (c == v)
+    return pred
+
+
+def search_after(
+    df: DataFrame,
+    sort_fields: list[tuple[str, bool]],
+    cursor: dict[str, Any],
+    size: int,
+) -> DataFrame:
+    """Cursor pagination: rows strictly after ``cursor`` in sort order.
+    The predicate is plain comparisons → pushdown-eligible."""
+    return (
+        df.filter(_after_predicate(sort_fields, cursor))
+        .orderBy(*_order_cols(sort_fields))
+        .limit(size)
+    )
+
+
+def paginate(df: DataFrame, sort_fields: list[tuple[str, bool]], frm: int, size: int) -> DataFrame:
+    """from/size offset pagination via a global row_number window.
+
+    Note: fine for UI-depth offsets; deep pagination should use
+    :func:`search_after` (same guidance as the reference)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*_order_cols(sort_fields))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") > frm) & (F.col("__rn") <= frm + size))
+        .drop("__rn")
+    )
+
+
+def scroll(
+    df: DataFrame,
+    sort_fields: list[tuple[str, bool]],
+    page_size: int = 1000,
+    max_pages: int | None = None,
+) -> Iterator[list]:
+    """Scroll = iterated search_after: yields pages of Rows until exhausted.
+    Stateless on the cluster (the cursor is the last row's sort values) —
+    the single-engine analog of the reference's scroll context cache."""
+    cursor: dict[str, Any] | None = None
+    pages = 0
+    while True:
+        page_df = (
+            top_k(df, sort_fields, page_size)
+            if cursor is None
+            else search_after(df, sort_fields, cursor, page_size)
+        )
+        rows = page_df.collect()
+        if not rows:
+            return
+        yield rows
+        pages += 1
+        if max_pages is not None and pages >= max_pages:
+            return
+        last = rows[-1]
+        cursor = {name: last[name] for name, _ in sort_fields}
