@@ -163,6 +163,18 @@ def coerce_timestamp_pandas(
     allow_ts = "unix_timestamp" in input_formats
 
     if is_int.any():
+        # ints outside int64 can't be epoch values in any unit — route them to
+        # the normal per-row error path instead of OverflowError-ing the task
+        # (one bad doc must quarantine, not kill the job)
+        in_i64 = np.fromiter(
+            (
+                is_int[i] and -(1 << 63) <= vals[i] < (1 << 63)
+                for i in range(n)
+            ),
+            dtype=bool, count=n,
+        )
+        is_int = in_i64
+    if is_int.any():
         iv = np.array([vals[i] for i in np.nonzero(is_int)[0]], dtype=np.int64)
         if allow_ts:
             sub_nanos, sub_ok = _infer_unit_nanos(iv)

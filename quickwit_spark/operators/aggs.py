@@ -289,10 +289,13 @@ def range_agg(
 ) -> DataFrame:
     """ES range agg: user buckets ``[from, to)``; unbounded edges allowed.
 
-    Bucket name defaults to ``from-to`` with ``*`` for open edges.
+    Bucket name defaults to ``from-to`` with ``*`` for open edges. Ranges may
+    OVERLAP — a doc is counted in every matching range (ES semantics), so the
+    row fans out via an explode over its matching range keys (still one
+    shuffle; rows matching nothing drop at the explode).
     """
     c = F.col(field)
-    whens = None
+    tagged = []
     names = []
     for r in ranges:
         frm, to = r.get("from"), r.get("to")
@@ -303,12 +306,11 @@ def range_agg(
             cond = cond & (c >= F.lit(frm))
         if to is not None:
             cond = cond & (c < F.lit(to))
-        whens = F.when(cond, F.lit(name)) if whens is None else whens.when(cond, F.lit(name))
-    bucket = whens.otherwise(F.lit(None))
+        tagged.append(F.when(cond, F.lit(name)))
+    matching = F.filter(F.array(*tagged), lambda x: x.isNotNull())
     grouped = (
         df.filter(c.isNotNull())
-        .withColumn("range_key", bucket)
-        .filter(F.col("range_key").isNotNull())
+        .withColumn("range_key", F.explode(matching))
         .groupBy("range_key")
         .agg(F.count(F.lit(1)).alias("doc_count"), *metric_exprs(metrics))
     )

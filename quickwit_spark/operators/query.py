@@ -103,6 +103,9 @@ class Bool:
     should: list = dfield(default_factory=list)
     must_not: list = dfield(default_factory=list)
     filter: list = dfield(default_factory=list)
+    # ES/tantivy default: should is REQUIRED only when no must/filter clause
+    # exists (bool_query.rs builds minimum_should_match=0 otherwise)
+    minimum_should_match: int | None = None
 
 
 QueryAst = Any
@@ -116,7 +119,7 @@ QueryAst = Any
 @dataclass
 class FieldInfo:
     """How a field compiles: ``kind`` ∈ text (tokenized), raw (exact string),
-    numeric, datetime, bool."""
+    numeric, datetime, bool, ip (IPv6-normalized, u128-ordered ranges)."""
 
     kind: str = "raw"
 
@@ -157,6 +160,10 @@ class QueryCompiler:
                 return F.array_contains(tokenize_default(c), ast.value.lower())
             if info.kind == "datetime":
                 return c == F.to_timestamp(F.lit(ast.value))
+            if info.kind == "ip":
+                from quickwit_spark.functions.ip import ip_normalize
+
+                return c == F.lit(ip_normalize(ast.value))
             return c == F.lit(_literal(info, ast.value))
         if isinstance(ast, TermSet):
             info = self.info(ast.field)
@@ -166,6 +173,10 @@ class QueryCompiler:
                 return F.arrays_overlap(
                     toks, F.array(*[F.lit(v.lower()) for v in ast.values])
                 )
+            if info.kind == "ip":
+                from quickwit_spark.functions.ip import ip_normalize
+
+                return c.isin([ip_normalize(v) for v in ast.values])
             return c.isin([_literal(info, v) for v in ast.values])
         if isinstance(ast, Exists):
             return F.col(ast.field).isNotNull()
@@ -193,11 +204,48 @@ class QueryCompiler:
             pattern = r"(^|[^\w])" + r"[^\w]+".join(toks) + r"\w*"
             return F.lower(F.col(ast.field)).rlike(pattern)
         if isinstance(ast, Wildcard):
+            info = self.info(ast.field)
+            if info.kind == "text":
+                # wildcard runs over tokenized terms, lowercased like the
+                # field's normalizer (wildcard_query.rs:60-98): the pattern
+                # must match a WHOLE token
+                pat = _wildcard_to_regex(ast.pattern.lower())
+                return F.exists(
+                    tokenize_default(F.col(ast.field)), lambda t: t.rlike(pat)
+                )
             return F.col(ast.field).rlike(_wildcard_to_regex(ast.pattern))
         if isinstance(ast, Regex):
+            info = self.info(ast.field)
+            if info.kind == "text":
+                # tantivy RegexQuery matches full terms in the field's token
+                # stream (regex_query.rs) — anchor per token, not per raw value
+                pat = "^(?:" + ast.pattern + ")$"
+                return F.exists(
+                    tokenize_default(F.col(ast.field)), lambda t: t.rlike(pat)
+                )
             return F.col(ast.field).rlike(ast.pattern)
         if isinstance(ast, Range):
             info = self.info(ast.field)
+            if info.kind == "ip":
+                # ips are stored in docmapper's normalized string form; order
+                # them by the 32-hex-digit expanded u128 form (u128 compare,
+                # mapping_tree.rs stores IpV6 values numerically)
+                from quickwit_spark.functions.ip import ip_sortable_col, ip_sortable_literal
+
+                c = ip_sortable_col(F.col(ast.field))
+                conds = []
+                if ast.lower is not None:
+                    lo = F.lit(ip_sortable_literal(ast.lower))
+                    conds.append(c >= lo if ast.lower_inclusive else c > lo)
+                if ast.upper is not None:
+                    hi = F.lit(ip_sortable_literal(ast.upper))
+                    conds.append(c <= hi if ast.upper_inclusive else c < hi)
+                if not conds:
+                    return F.col(ast.field).isNotNull()
+                out = conds[0]
+                for p in conds[1:]:
+                    out = out & p
+                return out
             c = F.col(ast.field)
             conds = []
             if ast.lower is not None:
@@ -216,11 +264,23 @@ class QueryCompiler:
             out = F.lit(True)
             for q in ast.must + ast.filter:
                 out = out & self.compile(q)
-            if ast.should:
-                s = F.lit(False)
-                for q in ast.should:
-                    s = s | self.compile(q)
-                out = out & s
+            msm = ast.minimum_should_match
+            if msm is None:
+                # ES semantics: should clauses are optional once a must/filter
+                # clause is present (minimum_should_match defaults to 0), and
+                # required (=1) when the bool is pure-should.
+                msm = 0 if (ast.must or ast.filter) else 1
+            if ast.should and msm >= 1:
+                if msm == 1:
+                    s = F.lit(False)
+                    for q in ast.should:
+                        s = s | self.compile(q)
+                    out = out & s
+                else:
+                    n = F.lit(0)
+                    for q in ast.should:
+                        n = n + _null_as_false(self.compile(q)).cast("int")
+                    out = out & (n >= F.lit(msm))
             for q in ast.must_not:
                 out = out & ~_null_as_false(self.compile(q))
             return out
@@ -509,11 +569,13 @@ def es_dsl_to_ast(dsl: dict) -> QueryAst:
         def as_list(x):
             return x if isinstance(x, list) else [x] if x else []
 
+        msm = body.get("minimum_should_match")
         return Bool(
             must=[es_dsl_to_ast(q) for q in as_list(body.get("must"))],
             should=[es_dsl_to_ast(q) for q in as_list(body.get("should"))],
             must_not=[es_dsl_to_ast(q) for q in as_list(body.get("must_not"))],
             filter=[es_dsl_to_ast(q) for q in as_list(body.get("filter"))],
+            minimum_should_match=int(msm) if msm is not None else None,
         )
     if kind == "query_string":
         return parse_query(body["query"], tuple(body.get("fields", ())))

@@ -100,16 +100,21 @@ def run_chunk(
         "tenant_name", "tier", "region",
         "partition_id", "partition_bucket", "fingerprint",
     ]
+    # per-commit writes use mode("overwrite") on the commit-scoped directory:
+    # a crash after the sink job commits but before store.commit() leaves an
+    # uncheckpointed directory that the retry REPLACES (not appends), keeping
+    # the publish exactly-once (publisher.rs behavior: splits are staged, the
+    # metastore publish is the commit point).
     (
         salted_repartition(valid.select("sink", *out_cols), n_shuffle, cfg.salt_buckets)
         .sortWithinPartitions("conv_id", "turn_idx")
-        .write.mode("append")
+        .write.mode("overwrite")
         .partitionBy("sink")
         .parquet(os.path.join(sink_dir, f"commit={commit_id}"))
     )
     (
         quarantine.select("sink", "conv_id", "turn_idx", "text", "_error", "_error_category")
-        .write.mode("append")
+        .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "quarantine", f"commit={commit_id}"))
     )
 
@@ -125,11 +130,14 @@ def run_chunk(
             F.slice(F.collect_set("level"), 1, MAX_VALUES_PER_TAG).alias("tags_level"),
             F.slice(F.collect_set("tier"), 1, MAX_VALUES_PER_TAG).alias("tags_tier"),
         )
-        .withColumn("commit_id", F.lit(commit_id))
         .withColumn("source_id", F.lit(cfg.source_id))
         .withColumn("create_timestamp", F.current_timestamp())
     )
-    lineage.write.mode("append").parquet(os.path.join(out_dir, "_lineage"))
+    # commit_id comes back as a partition column on read; per-commit overwrite
+    # makes the lineage write idempotent under crash-retry.
+    lineage.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "_lineage", f"commit_id={commit_id}")
+    )
 
     # per-sink aggregates: date_histogram + terms + cardinality in ONE pass
     aggs = (
@@ -143,9 +151,10 @@ def run_chunk(
             F.sum(F.when(F.col("level") == "ERROR", 1).otherwise(0)).alias("error_count"),
             F.avg("latency_ms").alias("avg_latency_ms"),
         )
-        .withColumn("commit_id", F.lit(commit_id))
     )
-    aggs.write.mode("append").parquet(os.path.join(out_dir, "_metrics"))
+    aggs.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "_metrics", f"commit_id={commit_id}")
+    )
 
     # outcome counters (doc_processor.rs counters)
     outcome = {

@@ -131,8 +131,18 @@ def route_stage(
     expr = RoutingExpr(partition_expr)
     fields = sorted({f.split(".")[0] for f in expr.field_names()})
     out = df.withColumn("partition_id", routing_hash_col(partition_expr, fields))
+    # hash_mod semantics are u64 % N; partition_id is the signed two's-complement
+    # view, so for hashes >= 2^63 (negative longs) correct the signed pmod by
+    # the missing 2^64 % N term — exact u64 modulo, pure codegen.
+    wrap = (1 << 64) % max_num_partitions
+    pid = F.col("partition_id")
     out = out.withColumn(
-        "partition_bucket", F.pmod(F.col("partition_id"), F.lit(max_num_partitions))
+        "partition_bucket",
+        F.pmod(
+            F.pmod(pid, F.lit(max_num_partitions))
+            + F.when(pid < 0, F.lit(wrap)).otherwise(F.lit(0)),
+            F.lit(max_num_partitions),
+        ),
     )
     return out.withColumn(
         "sink",

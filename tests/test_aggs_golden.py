@@ -197,3 +197,17 @@ def test_find_trace_ids(fixture_df):
 def test_empty_input_no_buckets(spark, fixture_df):
     empty = fixture_df.filter(F.lit(False))
     assert date_histogram(empty, "date", "30d").count() == 0
+
+
+def test_range_agg_overlapping_ranges(spark):
+    """ES counts a doc in EVERY matching range, not just the first."""
+    from quickwit_spark.operators.aggs import range_agg
+
+    df = spark.createDataFrame([(v,) for v in [5.0, 15.0, 25.0, 35.0]], ["v"])
+    out = {
+        r["range_key"]: r["doc_count"]
+        for r in range_agg(
+            df, "v", [{"from": 0, "to": 30}, {"from": 10, "to": 40}]
+        ).collect()
+    }
+    assert out == {"0-30": 3, "10-40": 3}  # 15 and 25 land in both

@@ -116,3 +116,18 @@ def test_batch_mixed():
     assert nanos.isna().iat[3] and err.iat[3] is not None
     assert nanos.isna().iat[4] and err.iat[4] is None
     assert int(nanos.iat[5]) == 1337602154 * 10**9 + 250_000_000
+
+
+def test_out_of_int64_range_int_is_error_not_crash():
+    """A doc with timestamp 10**20 must quarantine as a parse error, not
+    OverflowError the whole task (ADVICE r1)."""
+    import pandas as pd
+
+    from quickwit_spark.functions.datetime import coerce_timestamp_pandas
+
+    s = pd.Series([10**20, -(10**20), 1700000000, None], dtype=object)
+    nanos, errors = coerce_timestamp_pandas(s)
+    assert errors[0] is not None and "failed to parse datetime" in errors[0]
+    assert errors[1] is not None
+    assert errors[2] is None and nanos[2] == 1700000000 * 1_000_000_000
+    assert errors[3] is None

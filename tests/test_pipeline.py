@@ -238,3 +238,56 @@ def test_pipeline_resume_no_duplicates(spark, data_dir, tmp_path_factory):
         f"SELECT count(*) FROM '{tpath}/*.parquet' WHERE regexp_matches(text, 'level=\\w+')"
     ).fetchone()[0]
     assert sinks.count() == oracle_valid
+
+
+def test_partition_bucket_is_unsigned_u64_mod(spark):
+    """hash_mod caps on the u64 value: for hashes >= 2^63 the signed pmod is
+    off by (2^64 % N) when N isn't a power of two (ADVICE r1)."""
+    from quickwit_spark.pipeline.stages import route_stage
+    from quickwit_spark.routing import RoutingExpr
+
+    expr = RoutingExpr("tenant_id")
+    # find tenants hashing into the top half of u64 space (negative as i64)
+    import numpy as np
+    import pandas as pd
+
+    names = [f"tenant-{i}" for i in range(64)]
+    hashes = expr.eval_hash_columns({"tenant_id": pd.Series(names)})
+    assert (hashes >= np.uint64(1) << np.uint64(63)).any(), "fixture needs a high hash"
+
+    df = spark.createDataFrame(
+        [(n, "user", None) for n in names],
+        "tenant_id string, role string, tool string",
+    )
+    got = {
+        r["tenant_id"]: r["partition_bucket"]
+        for r in route_stage(df, "tenant_id", max_num_partitions=200).collect()
+    }
+    for name, h in zip(names, hashes):
+        assert got[name] == int(h) % 200, (name, int(h))
+
+
+def test_run_chunk_crash_retry_is_idempotent(spark, data_dir, tmp_path_factory):
+    """Crash AFTER sink write but BEFORE checkpoint commit: the retry must
+    replace (not append) the per-commit outputs — exactly-once publish."""
+    import glob
+
+    out = str(tmp_path_factory.mktemp("retry_out"))
+    run_pipeline(spark, data_dir, out, PipelineConfig(), num_chunks=1)
+    baseline = read_sinks(spark, out).count()
+    base_lineage = spark.read.parquet(os.path.join(out, "_lineage")).count()
+
+    # simulate the crash: data landed, checkpoint didn't
+    for p in glob.glob(os.path.join(out, "_checkpoints", "*.json")):
+        os.remove(p)
+    run_pipeline(spark, data_dir, out, PipelineConfig(), num_chunks=1)
+
+    assert read_sinks(spark, out).count() == baseline  # no duplicate part files
+    assert spark.read.parquet(os.path.join(out, "_lineage")).count() == base_lineage
+    assert (
+        spark.read.parquet(os.path.join(out, "quarantine"))
+        .select("conv_id", "turn_idx")
+        .distinct()
+        .count()
+        == spark.read.parquet(os.path.join(out, "quarantine")).count()
+    )

@@ -148,3 +148,114 @@ def test_es_dsl(qc, docs_df):
     assert docs_df.filter(qc.compile(ast3)).count() == 3
     ast4 = es_dsl_to_ast({"prefix": {"level": "ERR"}})
     assert docs_df.filter(qc.compile(ast4)).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# round 2: ES bool should-semantics, token-level regex/wildcard, ip kind
+# ---------------------------------------------------------------------------
+
+
+def test_bool_should_optional_with_must(qc, docs_df):
+    """ES/tantivy: should clauses don't filter when must/filter present
+    (minimum_should_match defaults to 0)."""
+    ast = Bool(
+        must=[Term("level", "INFO")],
+        should=[Term("port", "8080")],
+    )
+    got = sorted(r["id"] for r in docs_df.filter(qc.compile(ast)).select("id").collect())
+    assert got == [1, 2]  # doc 2 matches the must but not the should — kept
+
+    # explicit minimum_should_match=1 restores the requirement
+    ast.minimum_should_match = 1
+    got = sorted(r["id"] for r in docs_df.filter(qc.compile(ast)).select("id").collect())
+    assert got == [1]
+
+
+def test_bool_minimum_should_match_2(qc, docs_df):
+    ast = Bool(
+        should=[Term("level", "INFO"), Term("port", "8080"), Term("port", "9090")],
+        minimum_should_match=2,
+    )
+    got = sorted(r["id"] for r in docs_df.filter(qc.compile(ast)).select("id").collect())
+    assert got == [1, 2]
+
+
+def test_es_dsl_bool_must_plus_should(qc, docs_df):
+    ast = es_dsl_to_ast(
+        {
+            "bool": {
+                "must": [{"term": {"level": {"value": "INFO"}}}],
+                "should": [{"term": {"port": {"value": "8080"}}}],
+            }
+        }
+    )
+    assert docs_df.filter(qc.compile(ast)).count() == 2
+    ast2 = es_dsl_to_ast(
+        {
+            "bool": {
+                "must": [{"term": {"level": {"value": "INFO"}}}],
+                "should": [{"term": {"port": {"value": "8080"}}}],
+                "minimum_should_match": 1,
+            }
+        }
+    )
+    assert docs_df.filter(qc.compile(ast2)).count() == 1
+
+
+def test_regex_over_tokens(qc, docs_df):
+    """tantivy regex matches whole TERMS in the token stream — `/conn.*/`
+    must hit the token `connection` inside a longer message."""
+    assert ids(qc, docs_df, "msg:/conn.*/") == [3]
+    # anchored per token: a mid-token pattern without wildcards doesn't match
+    assert ids(qc, docs_df, "msg:/onnection/") == []
+    assert ids(qc, docs_df, "msg:/.*fused/") == [3]
+
+
+def test_wildcard_over_tokens(qc, docs_df):
+    # token-level, lowercased by the normalizer
+    assert ids(qc, docs_df, "msg:Dis*") == [4]
+    assert ids(qc, docs_df, "msg:start*") == [1, 2]
+    # whole-token: pattern must cover the entire term
+    assert ids(qc, docs_df, "msg:tarted") == []
+
+
+@pytest.fixture(scope="module")
+def ip_df(spark):
+    from quickwit_spark.functions.ip import ip_normalize
+
+    rows = [
+        (1, ip_normalize("10.0.0.5")),
+        (2, ip_normalize("10.0.0.200")),
+        (3, ip_normalize("10.0.1.5")),
+        (4, ip_normalize("2001:db8::1")),
+        (5, ip_normalize("::1")),
+        (6, None),
+    ]
+    return spark.createDataFrame(rows, ["id", "addr"]).cache()
+
+
+def test_ip_term_and_range(ip_df):
+    qc_ip = QueryCompiler(field_types={"addr": "ip"})
+
+    def ip_ids(q):
+        return sorted(r["id"] for r in qc_ip.where(ip_df, q).select("id").collect())
+
+    # term equality via docmapper normalization (v4 → ::ffff: form)
+    assert ip_ids("addr:10.0.0.200") == [2]
+    # range must be NUMERIC u128 order: lexicographic on the stored string
+    # would put "::ffff:10.0.0.200" < "::ffff:10.0.0.5"
+    assert ip_ids("addr:[10.0.0.1 TO 10.0.0.255]") == [1, 2]
+    assert ip_ids("addr:[10.0.0.6 TO 10.0.1.255]") == [2, 3]
+    # v6 bounds, compressed storage form
+    assert ip_ids("addr:[2001:db8:: TO 2001:db8::ffff]") == [4]
+    assert ip_ids("addr:[:: TO ::2]") == [5]
+
+
+def test_ip_sortable_col_matches_python(spark, ip_df):
+    from quickwit_spark.functions.ip import ip_sortable_col, ip_sortable_literal
+
+    rows = ip_df.filter(F.col("addr").isNotNull()).select(
+        "addr", ip_sortable_col(F.col("addr")).alias("sortable")
+    ).collect()
+    for r in rows:
+        assert r["sortable"] == ip_sortable_literal(r["addr"]), r["addr"]
