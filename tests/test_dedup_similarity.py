@@ -189,3 +189,90 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(Exception):
         image_features(media.filter(F.col("kind") == "image")).collect()
+
+
+# ---------------------------------------------------------------------------
+# round 2: vectorized SimHash parity, stop-shingle cap, blocked exact pairs
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_vectorized_matches_sql(docs):
+    """The Arrow pandas-UDF SimHash must be bit-for-bit the old all-SQL one."""
+    from quickwit_spark.operators.dedup import _simhash_col_sql
+
+    rows = docs.select(
+        "doc_id", simhash_col().alias("fast"), _simhash_col_sql().alias("ref")
+    ).collect()
+    assert rows, "fixture empty"
+    for r in rows:
+        assert r["fast"] == r["ref"], r["doc_id"]
+
+
+def test_ngram_stop_shingle_cap(spark, docs):
+    """A shingle shared by EVERY doc must not blow up the candidate join, and
+    capping it must not change the output pairs (Jaccard is computed from the
+    full shingle sets, not the pruned index)."""
+    # every doc starts with the same 3-gram → df = n_docs for that shingle
+    common = spark.createDataFrame(
+        [(i, "zz yy xx unique%d stuff%d tail%d" % (i, i, i)) for i in range(30)]
+        + [(100, "zz yy xx alpha beta gamma"), (101, "zz yy xx alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    # cap excludes the universal shingle (df=32 > 10); the (100,101) exact-dup
+    # pair still surfaces through its rare shingles, with the TRUE jaccard
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(common, threshold=0.5, max_shingle_df=10).collect()
+    }
+    assert pairs == {(100, 101): 1.0}
+    # uncapped on the original fixture == capped with a high cap
+    base = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, max_shingle_df=10**6).collect()
+    }
+    capped = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert base == capped
+
+
+def test_blocked_exact_pairs_match_naive(spark):
+    from quickwit_spark.operators.similarity import (
+        cosine_col,
+        embedding_exact_pairs_blocked,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(rng.standard_normal((60, 8)))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+    naive = df.alias("l").join(
+        df.alias("r"), F.col("l.vec_id") < F.col("r.vec_id")
+    ).select(
+        F.col("l.vec_id").alias("a"),
+        F.col("r.vec_id").alias("b"),
+        F.round(cosine_col(F.col("l.embedding"), F.col("r.embedding")), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= 0.3)
+    got = {
+        (r["a"], r["b"]) for r in embedding_exact_pairs_blocked(df, 0.3, num_blocks=4).collect()
+    }
+    want = {(r["a"], r["b"]) for r in naive.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_lsh_near_dup_recall_and_no_false_positives(spark):
+    """OR-amplified LSH: all true near-dups found (verified exact), nothing
+    below threshold survives the exact verify."""
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((100 + i, [float(x) for x in v + rng.standard_normal(16) * 0.01]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {(r["a"], r["b"]) for r in embedding_near_dup_pairs(df, 0.99).collect()}
+    assert {(i, 100 + i) for i in range(40)} <= got
+    from quickwit_spark.operators.similarity import embedding_exact_pairs_blocked
+
+    exact = {(r["a"], r["b"]) for r in embedding_exact_pairs_blocked(df, 0.99).collect()}
+    assert got <= exact  # exact verify kills every sub-threshold candidate
