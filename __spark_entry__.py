@@ -379,6 +379,49 @@ def _q_text_fingerprint(spark, sf_dir):
     return docs.select("doc_id", TX.fingerprint_col(F.col("text")).alias("fingerprint"))
 
 
+# -- janitor: delete-by-query / retention over a day-partitioned index -------
+
+
+def _janitor_index(spark, sf_dir):
+    """Fresh day-partitioned index of the events table (split per day)."""
+    import tempfile
+
+    from quickwit_spark.pipeline.janitor import build_time_partitioned_index
+
+    out = tempfile.mkdtemp(prefix="qs_janitor_")
+    build_time_partitioned_index(
+        spark, _t(spark, sf_dir, "events"), out,
+        sink_expr=F.col("event_type"), ts_col="ts", source_id="events",
+    )
+    return out
+
+
+def _q_janitor_delete(spark, sf_dir):
+    from quickwit_spark.pipeline.janitor import delete_by_query, read_index
+
+    out = _janitor_index(spark, sf_dir)
+    delete_by_query(
+        spark, out, "event_type:error AND value:>=50", _QC_EVENTS, source_id="events"
+    )
+    return (
+        read_index(spark, out)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
+def _q_janitor_retention(spark, sf_dir):
+    from quickwit_spark.pipeline.janitor import apply_retention, read_index
+
+    out = _janitor_index(spark, sf_dir)
+    apply_retention(spark, out, "2024-01-15 00:00:00")
+    return (
+        read_index(spark, out)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
 # -- transcripts pipeline (rows-only: input is the deterministic generated
 #    table, not a DuckDB view) ------------------------------------------------
 
@@ -480,6 +523,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
+        # janitor (SURVEY §2.5: delete-by-query, retention)
+        "janitor_delete_count": _q_janitor_delete,
+        "janitor_retention_count": _q_janitor_retention,
         # transcripts pipeline (SURVEY §2.1-2.4; rows-only)
         "pipeline_route_counts": _q_pipeline_route_counts,
         "pipeline_outcomes": _q_pipeline_outcomes,
@@ -670,6 +716,16 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(CAST(r.embedding AS DOUBLE[]), q.emb) DESC,
                      r.vec_id ASC
             LIMIT 10
+        """,
+        "janitor_delete_count": """
+            SELECT event_type, count(*) AS doc_count FROM events
+            WHERE NOT (event_type = 'error' AND value >= 50)
+            GROUP BY 1
+        """,
+        "janitor_retention_count": """
+            SELECT event_type, count(*) AS doc_count FROM events
+            WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+            GROUP BY 1
         """,
         "text_token_count": """
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents

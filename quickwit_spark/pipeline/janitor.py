@@ -1,0 +1,327 @@
+"""Janitor surface: delete-by-query, retention, garbage collection.
+
+Spark re-expression of the reference janitor actors (behavior studied from
+quickwit-janitor/src/actors/delete_task_planner.rs,
+retention_policy_executor.rs, garbage_collector.rs and the retention config
+in quickwit-config/src/index_config/mod.rs:311-328):
+
+- **Delete-by-query**: a delete task is (opstamp, query). Splits whose rows
+  match are REWRITTEN (the reference piggy-backs deletes on merges; here the
+  rewrite is an explicit anti-filter job per affected commit directory),
+  staged then atomically swapped, so a crash mid-delete never loses data.
+  Split lineage records the applied ``delete_opstamp``.
+- **Retention**: splits age out by their lineage ``time_range_end`` — a
+  METADATA-ONLY plan (no data scan), exactly like the reference dropping
+  whole splits; data is only deleted at split granularity.
+- **GC**: dangling split directories that were staged/written but never
+  published (no checkpoint commit) are removed after a grace period, plus
+  leftover ``.staging``/``.trash`` from interrupted janitor runs.
+
+Scale notes: delete planning reads lineage + one pass over only the AFFECTED
+commit dirs (predicate evaluated once to find them — pushed-down parquet
+filter); retention/GC touch metadata and the filesystem only. At 10^12 turns
+the data plane is never scanned for retention, and delete rewrites
+parallelize per (commit, sink) leaf like any other partitioned write.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quickwit_spark.operators.query import QueryCompiler
+from quickwit_spark.pipeline.checkpoint import CheckpointStore
+
+MAX_VALUES_PER_TAG = 64
+
+
+def build_lineage(
+    written: DataFrame,
+    source_id: str = "",
+    tag_fields: tuple[str, ...] = (),
+    ts_col: str = "ts",
+    text_col: str = "text",
+    delete_opstamp: int = 0,
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-(sink, partition_bucket) split metadata (SplitMetadata analog).
+
+    Column-presence aware so one builder serves the transcripts pipeline and
+    generic indexes; always includes ``delete_opstamp`` (delete-task water
+    mark, delete_task_planner.rs behavior)."""
+    cols = set(written.columns)
+    keys = list(extra_keys) + ["sink"] + (
+        ["partition_bucket"] if "partition_bucket" in cols else []
+    )
+    aggs = [F.count(F.lit(1)).alias("num_docs")]
+    if text_col in cols:
+        aggs.append(F.sum(F.length(text_col)).alias("uncompressed_size_bytes"))
+    if ts_col in cols:
+        aggs.append(F.min(ts_col).alias("time_range_start"))
+        aggs.append(F.max(ts_col).alias("time_range_end"))
+    for t in tag_fields:
+        if t in cols:
+            aggs.append(
+                F.slice(F.collect_set(t), 1, MAX_VALUES_PER_TAG).alias(f"tags_{t}")
+            )
+    return (
+        written.groupBy(*keys)
+        .agg(*aggs)
+        .withColumn("source_id", F.lit(source_id))
+        .withColumn("create_timestamp", F.current_timestamp())
+        .withColumn("delete_opstamp", F.lit(delete_opstamp))
+    )
+
+
+def _sinks_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "sinks")
+
+
+def _commit_dirs(out_dir: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(_sinks_dir(out_dir), "commit=*")))
+
+
+def read_index(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All rows across commits with `commit` + `sink` partition columns."""
+    return spark.read.option("basePath", _sinks_dir(out_dir)).parquet(
+        os.path.join(_sinks_dir(out_dir), "commit=*")
+    )
+
+
+def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "_lineage"))
+
+
+# ---------------------------------------------------------------------------
+# delete-by-query
+# ---------------------------------------------------------------------------
+
+
+def next_opstamp(out_dir: str) -> int:
+    d = os.path.join(out_dir, "_deletes")
+    existing = [int(os.path.basename(p)[: -len(".json")]) for p in glob.glob(os.path.join(d, "*.json"))]
+    return (max(existing) + 1) if existing else 1
+
+
+def delete_by_query(
+    spark: SparkSession,
+    out_dir: str,
+    query: str,
+    compiler: QueryCompiler,
+    tag_fields: tuple[str, ...] = (),
+    source_id: str = "",
+) -> dict:
+    """Apply a delete task: rewrite every commit containing matching rows.
+
+    Plan phase finds affected commits with ONE filtered scan (predicate pushes
+    to parquet); rewrite phase runs one staged write per affected commit and
+    swaps it in atomically (stage → trash original → rename staged). Lineage
+    for rewritten commits is recomputed with the new ``delete_opstamp``.
+    """
+    opstamp = next_opstamp(out_dir)
+    pred = F.coalesce(compiler.compile(compiler.parse(query)), F.lit(False))
+    every = read_index(spark, out_dir)
+    plan = every.filter(pred).groupBy("commit").agg(F.count(F.lit(1)).alias("n")).collect()
+    affected = [r["commit"] for r in plan]
+    rows_deleted = int(sum(r["n"] for r in plan))
+
+    staging_root = os.path.join(out_dir, ".staging")
+    trash_root = os.path.join(out_dir, ".trash")
+    os.makedirs(staging_root, exist_ok=True)
+    os.makedirs(trash_root, exist_ok=True)
+    sinks = _sinks_dir(out_dir)
+
+    if affected:
+        # ONE staged rewrite job over all affected commits (partitioned write
+        # fans the work out per (commit, sink) leaf), then per-commit atomic
+        # swaps — a crash mid-swap leaves each commit either old or new, never
+        # half-written
+        staged = os.path.join(staging_root, f"delete-{opstamp}")
+        kept_all = every.filter(F.col("commit").isin(affected)).filter(~pred)
+        kept_all.write.mode("overwrite").partitionBy("commit", "sink").parquet(staged)
+
+        # recompute lineage for every rewritten commit in one aggregate
+        staged_lineage = os.path.join(staging_root, f"delete-{opstamp}-lineage")
+        new_rows = spark.read.option("basePath", staged).parquet(
+            os.path.join(staged, "commit=*")
+        )
+        (
+            build_lineage(
+                new_rows.withColumnRenamed("commit", "commit_id"),
+                source_id=source_id, tag_fields=tag_fields, delete_opstamp=opstamp,
+                extra_keys=("commit_id",),
+            )
+            .write.mode("overwrite").partitionBy("commit_id").parquet(staged_lineage)
+        )
+
+        for commit in affected:
+            commit_dir = os.path.join(sinks, f"commit={commit}")
+            staged_commit = os.path.join(staged, f"commit={commit}")
+            lineage_dir = os.path.join(out_dir, "_lineage", f"commit_id={commit}")
+            staged_lin = os.path.join(staged_lineage, f"commit_id={commit}")
+            shutil.move(commit_dir, os.path.join(trash_root, f"delete-{opstamp}-{commit}"))
+            shutil.rmtree(lineage_dir, ignore_errors=True)
+            if os.path.isdir(staged_commit) and glob.glob(os.path.join(staged_commit, "sink=*")):
+                shutil.move(staged_commit, commit_dir)
+                shutil.move(staged_lin, lineage_dir)
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(staged_lineage, ignore_errors=True)
+
+    os.makedirs(os.path.join(out_dir, "_deletes"), exist_ok=True)
+    with open(os.path.join(out_dir, "_deletes", f"{opstamp}.json"), "w") as fh:
+        json.dump({"opstamp": opstamp, "query": query, "applied_commits": affected}, fh)
+    # rewrites are applied; trash is GC'd separately (grace period)
+    return {"opstamp": opstamp, "commits_rewritten": affected, "rows_deleted": rows_deleted}
+
+
+# ---------------------------------------------------------------------------
+# retention
+# ---------------------------------------------------------------------------
+
+
+def apply_retention(spark: SparkSession, out_dir: str, cutoff) -> dict:
+    """Drop every (commit, sink) split whose lineage ``time_range_end`` <
+    ``cutoff`` — metadata-only planning, split-granularity deletion
+    (retention_policy_executor.rs: splits are dropped whole, rows inside a
+    straddling split are retained until the whole split ages out)."""
+    lineage = read_lineage(spark, out_dir)
+    doomed = (
+        lineage.groupBy("commit_id", "sink")
+        .agg(F.max("time_range_end").alias("end"))
+        .filter(F.col("end") < F.lit(cutoff).cast("timestamp"))
+        .select("commit_id", "sink")
+        .collect()
+    )
+    sinks = _sinks_dir(out_dir)
+    dropped = []
+    for r in doomed:
+        leaf = os.path.join(sinks, f"commit={r['commit_id']}", f"sink={r['sink']}")
+        shutil.rmtree(leaf, ignore_errors=True)
+        dropped.append((r["commit_id"], r["sink"]))
+
+    # rewrite lineage for affected commits (driver-side: metadata plane)
+    for commit in {c for c, _ in dropped}:
+        ldir = os.path.join(out_dir, "_lineage", f"commit_id={commit}")
+        gone = {s for c, s in dropped if c == commit}
+        cur = spark.read.parquet(ldir)
+        kept = cur.filter(~F.col("sink").isin(list(gone)))
+        rows = kept.collect()
+        if rows:
+            spark.createDataFrame(rows, kept.schema).write.mode("overwrite").parquet(
+                ldir + ".new"
+            )
+            shutil.rmtree(ldir)
+            shutil.move(ldir + ".new", ldir)
+        else:
+            shutil.rmtree(ldir)
+        commit_dir = os.path.join(sinks, f"commit={commit}")
+        if not glob.glob(os.path.join(commit_dir, "sink=*")):
+            shutil.rmtree(commit_dir, ignore_errors=True)
+    return {"splits_dropped": dropped}
+
+
+# ---------------------------------------------------------------------------
+# garbage collection
+# ---------------------------------------------------------------------------
+
+
+def garbage_collect(
+    out_dir: str,
+    source_id: str,
+    grace_seconds: float = 0.0,
+    now: float | None = None,
+) -> dict:
+    """Remove dangling data (garbage_collector.rs behavior):
+
+    - commit dirs with NO checkpoint commit (staged by a run that died before
+      publish) once older than the grace period;
+    - leftover ``.staging`` / ``.trash`` entries older than the grace period.
+    """
+    now = time.time() if now is None else now
+    store = CheckpointStore(out_dir)
+    committed = {
+        os.path.basename(p)[: -len(".json")]
+        for p in glob.glob(os.path.join(store.dir, "*.json"))
+        if not os.path.basename(p).startswith(".tmp-")
+    }
+    removed = []
+    for commit_dir in _commit_dirs(out_dir):
+        commit = os.path.basename(commit_dir).split("=", 1)[1]
+        if commit in committed:
+            continue
+        if now - os.path.getmtime(commit_dir) >= grace_seconds:
+            shutil.rmtree(commit_dir, ignore_errors=True)
+            shutil.rmtree(
+                os.path.join(out_dir, "_lineage", f"commit_id={commit}"),
+                ignore_errors=True,
+            )
+            removed.append(commit)
+    swept = 0
+    for root in (".staging", ".trash"):
+        for p in glob.glob(os.path.join(out_dir, root, "*")):
+            if now - os.path.getmtime(p) >= grace_seconds:
+                shutil.rmtree(p, ignore_errors=True)
+                swept += 1
+    return {"dangling_commits_removed": removed, "tmp_swept": swept}
+
+
+# ---------------------------------------------------------------------------
+# generic time-partitioned index builder (one commit per time bucket)
+# ---------------------------------------------------------------------------
+
+
+def build_time_partitioned_index(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    sink_expr,
+    ts_col: str = "ts",
+    source_id: str = "index",
+) -> None:
+    """Materialize a DataFrame as a janitor-manageable index: one commit per
+    DAY of ``ts_col`` (split time-alignment is what makes retention's
+    split-granularity pruning exact), fan-out by ``sink_expr``, per-commit
+    lineage, one checkpoint commit per day. Single partitioned write job.
+    """
+    # "d" prefix keeps partition-value type inference from turning the commit
+    # id into a DATE on read
+    day_expr = F.concat(
+        F.lit("d"), F.date_format(F.col(ts_col).cast("timestamp"), "yyyy-MM-dd")
+    )
+    days = df.select(day_expr.alias("commit")).distinct().orderBy("commit").collect()
+    day_ids = [r["commit"] for r in days]
+
+    staged = df.withColumn("sink", sink_expr).withColumn("commit", day_expr)
+    staged.write.mode("overwrite").partitionBy("commit", "sink").parquet(
+        _sinks_dir(out_dir)
+    )
+    # lineage for ALL commits in one aggregate + one partitioned write
+    written = read_index(spark, out_dir)
+    cols = set(written.columns)
+    aggs = [F.count(F.lit(1)).alias("num_docs")]
+    if "text" in cols:
+        aggs.append(F.sum(F.length("text")).alias("uncompressed_size_bytes"))
+    aggs.append(F.min(ts_col).alias("time_range_start"))
+    aggs.append(F.max(ts_col).alias("time_range_end"))
+    (
+        written.groupBy(F.col("commit").alias("commit_id"), "sink")
+        .agg(*aggs)
+        .withColumn("source_id", F.lit(source_id))
+        .withColumn("create_timestamp", F.current_timestamp())
+        .withColumn("delete_opstamp", F.lit(0))
+        .write.mode("overwrite")
+        .partitionBy("commit_id")
+        .parquet(os.path.join(out_dir, "_lineage"))
+    )
+
+    store = CheckpointStore(out_dir)
+    for i, day in enumerate(day_ids):
+        delta = {"time": (i, i + 1)}
+        if not store.already_committed(source_id, delta):
+            store.commit(source_id, delta, commit_id=day)

@@ -37,9 +37,6 @@ from quickwit_spark.pipeline.stages import (
     salted_repartition,
 )
 
-MAX_VALUES_PER_TAG = 64  # packager.rs MAX_VALUES_PER_TAG_FIELD analog
-
-
 @dataclass
 class PipelineConfig:
     partition_expr: str = "tenant_id"
@@ -119,20 +116,10 @@ def run_chunk(
     )
 
     # ---- per-sink lineage (SplitMetadata analog) + metrics -----------------
+    from quickwit_spark.pipeline.janitor import build_lineage
+
     written = spark.read.parquet(os.path.join(sink_dir, f"commit={commit_id}"))
-    lineage = (
-        written.groupBy("sink", "partition_bucket")
-        .agg(
-            F.count(F.lit(1)).alias("num_docs"),
-            F.sum(F.length("text")).alias("uncompressed_size_bytes"),
-            F.min("ts").alias("time_range_start"),
-            F.max("ts").alias("time_range_end"),
-            F.slice(F.collect_set("level"), 1, MAX_VALUES_PER_TAG).alias("tags_level"),
-            F.slice(F.collect_set("tier"), 1, MAX_VALUES_PER_TAG).alias("tags_tier"),
-        )
-        .withColumn("source_id", F.lit(cfg.source_id))
-        .withColumn("create_timestamp", F.current_timestamp())
-    )
+    lineage = build_lineage(written, source_id=cfg.source_id, tag_fields=cfg.tag_fields)
     # commit_id comes back as a partition column on read; per-commit overwrite
     # makes the lineage write idempotent under crash-retry.
     lineage.write.mode("overwrite").parquet(

@@ -1,0 +1,166 @@
+"""Janitor tests: delete-by-query, retention, GC over a time-partitioned
+index (reference behavior: quickwit-janitor actors — delete_task_planner,
+retention_policy_executor, garbage_collector)."""
+
+import glob
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from quickwit_spark.operators.query import QueryCompiler
+from quickwit_spark.pipeline.janitor import (
+    apply_retention,
+    build_time_partitioned_index,
+    delete_by_query,
+    garbage_collect,
+    read_index,
+    read_lineage,
+)
+
+EVENTS_FIELDS = {"event_type": "raw", "user_id": "numeric", "value": "numeric", "ts": "datetime"}
+
+
+@pytest.fixture(scope="module")
+def base_index(spark, tiny_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("janitor_base"))
+    events = spark.read.parquet(os.path.join(tiny_dir, "events.parquet"))
+    build_time_partitioned_index(
+        spark, events, out, sink_expr=F.col("event_type"), ts_col="ts", source_id="events"
+    )
+    return out
+
+
+@pytest.fixture()
+def index_dir(base_index, tmp_path_factory):
+    """Fresh mutable copy per test (janitor ops mutate the index)."""
+    import shutil
+
+    out = os.path.join(str(tmp_path_factory.mktemp("janitor_idx")), "idx")
+    shutil.copytree(base_index, out)
+    return out
+
+
+def _events_path(tiny_dir):
+    return os.path.join(tiny_dir, "events.parquet")
+
+
+def test_index_roundtrip(spark, tiny_dir, index_dir):
+    got = read_index(spark, index_dir).count()
+    want = duckdb.sql(f"SELECT count(*) FROM '{_events_path(tiny_dir)}'").fetchone()[0]
+    assert got == want
+
+
+def test_delete_by_query_rewrites_only_matches(spark, tiny_dir, index_dir):
+    qc = QueryCompiler(EVENTS_FIELDS)
+    stats = delete_by_query(
+        spark, index_dir, "event_type:error AND value:>=50", qc, source_id="events"
+    )
+    want = duckdb.sql(
+        f"SELECT count(*) FROM '{_events_path(tiny_dir)}' "
+        "WHERE NOT (event_type = 'error' AND value >= 50)"
+    ).fetchone()[0]
+    after = read_index(spark, index_dir)
+    assert after.count() == want
+    assert stats["rows_deleted"] > 0
+    # no matching row survives anywhere
+    assert after.filter((F.col("event_type") == "error") & (F.col("value") >= 50)).count() == 0
+    # rewritten splits carry the delete opstamp; untouched ones stay at 0
+    lin = read_lineage(spark, index_dir)
+    ops = {r["commit_id"]: r["delete_opstamp"] for r in lin.collect()}
+    assert stats["opstamp"] in set(ops.values())
+    # lineage doc counts still match the data
+    lin_total = lin.agg(F.sum("num_docs")).collect()[0][0]
+    assert lin_total == want
+    # a second delete gets a new opstamp
+    stats2 = delete_by_query(spark, index_dir, "event_type:signup", qc, source_id="events")
+    assert stats2["opstamp"] == stats["opstamp"] + 1
+
+
+def test_delete_by_query_no_match_is_noop(spark, index_dir):
+    qc = QueryCompiler(EVENTS_FIELDS)
+    before = read_index(spark, index_dir).count()
+    stats = delete_by_query(spark, index_dir, "event_type:nope_never", qc)
+    assert stats["rows_deleted"] == 0 and stats["commits_rewritten"] == []
+    assert read_index(spark, index_dir).count() == before
+
+
+def test_retention_drops_whole_day_splits(spark, tiny_dir, index_dir):
+    cutoff = "2024-01-04 00:00:00"
+    stats = apply_retention(spark, index_dir, cutoff)
+    assert stats["splits_dropped"], "fixture should have old splits"
+    got = read_index(spark, index_dir).count()
+    # day-aligned splits ⇒ split-granularity retention == row-level cutoff
+    want = duckdb.sql(
+        f"SELECT count(*) FROM '{_events_path(tiny_dir)}' WHERE ts >= TIMESTAMP '{cutoff}'"
+    ).fetchone()[0]
+    assert got == want
+    # lineage agrees and has no pre-cutoff split left
+    lin = read_lineage(spark, index_dir)
+    assert lin.agg(F.sum("num_docs")).collect()[0][0] == want
+    assert lin.filter(F.col("time_range_end") < F.lit(cutoff).cast("timestamp")).count() == 0
+
+
+def test_gc_removes_dangling_commits_only(spark, index_dir):
+    sinks = os.path.join(index_dir, "sinks")
+    committed_before = len(glob.glob(os.path.join(sinks, "commit=*")))
+    # fabricate a dangling commit (written but never checkpoint-published)
+    dangling = os.path.join(sinks, "commit=zz-dangling", "sink=error")
+    os.makedirs(dangling)
+    with open(os.path.join(dangling, "part-000.parquet"), "wb") as fh:
+        fh.write(b"not really parquet")
+    # and a leftover staging dir
+    os.makedirs(os.path.join(index_dir, ".staging", "delete-9-zz"))
+
+    # inside the grace period nothing is removed
+    stats = garbage_collect(index_dir, "events", grace_seconds=3600)
+    assert stats["dangling_commits_removed"] == [] and stats["tmp_swept"] == 0
+
+    stats = garbage_collect(index_dir, "events", grace_seconds=0)
+    assert stats["dangling_commits_removed"] == ["zz-dangling"]
+    assert stats["tmp_swept"] == 1
+    assert len(glob.glob(os.path.join(sinks, "commit=*"))) == committed_before
+
+
+def test_delete_then_retention_then_gc_consistent(spark, tiny_dir, index_dir):
+    qc = QueryCompiler(EVENTS_FIELDS)
+    delete_by_query(spark, index_dir, "event_type:click", qc, source_id="events")
+    apply_retention(spark, index_dir, "2024-01-03 00:00:00")
+    garbage_collect(index_dir, "events", grace_seconds=0)
+    got = read_index(spark, index_dir).count()
+    want = duckdb.sql(
+        f"SELECT count(*) FROM '{_events_path(tiny_dir)}' "
+        "WHERE event_type <> 'click' AND ts >= TIMESTAMP '2024-01-03 00:00:00'"
+    ).fetchone()[0]
+    assert got == want
+
+
+def test_delete_on_transcripts_pipeline_output(spark, tmp_path_factory):
+    """delete_by_query over the runner's sink layout (tagged lineage schema)."""
+    from quickwit_spark.pipeline.runner import PipelineConfig, run_pipeline, read_sinks
+    from quickwit_spark.pipeline.transcripts import materialize
+
+    src = str(tmp_path_factory.mktemp("jan_pipe_in"))
+    out = str(tmp_path_factory.mktemp("jan_pipe_out"))
+    materialize(3_000, src, seed=7)
+    run_pipeline(spark, src, out, PipelineConfig(), num_chunks=2)
+
+    before = read_sinks(spark, out)
+    n_err = before.filter(F.col("level") == "ERROR").count()
+    n_all = before.count()
+    assert n_err > 0
+
+    qc = QueryCompiler({"level": "raw"})
+    stats = delete_by_query(
+        spark, out, "level:ERROR", qc, tag_fields=("level", "tier"),
+        source_id="transcripts",
+    )
+    assert stats["rows_deleted"] == n_err
+    after = read_sinks(spark, out)
+    assert after.count() == n_all - n_err
+    assert after.filter(F.col("level") == "ERROR").count() == 0
+    # lineage schema kept the tag columns and the opstamp advanced
+    lin = read_lineage(spark, out)
+    assert "tags_level" in lin.columns
+    assert lin.filter(F.col("delete_opstamp") == stats["opstamp"]).count() > 0
