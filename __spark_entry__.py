@@ -145,6 +145,28 @@ def _q_agg_composite_after(spark, sf_dir):
     ).select("event_type", "user_id", "doc_count")
 
 
+def _q_agg_composite_datehist(spark, sf_dir):
+    # composite with a date_histogram source paginated by after_key
+    # (aggregations.rs:500-570): (day-bucket, event_type) tuples
+    return A.composite(
+        _t(spark, sf_dir, "events"),
+        [
+            {"day": {"date_histogram": {"field": "ts", "fixed_interval": "1d"}}},
+            {"etype": {"terms": {"field": "event_type"}}},
+        ],
+        size=40,
+        after={"day": 1704240000000, "etype": "error"},
+    ).select("day", "etype", "doc_count")
+
+
+def _q_agg_terms_order_by_avg(spark, sf_dir):
+    # terms ordered by a sub-aggregation value (aggregation.md:504-566)
+    return A.terms(
+        _t(spark, sf_dir, "events"), "event_type", size=3,
+        metrics={"avg_value": ("avg", "value")}, order=("avg_value", "desc"),
+    ).select("key", "doc_count", F.round("avg_value", 6).alias("avg_value"))
+
+
 def _q_agg_top_hits(spark, sf_dir):
     events = _t(spark, sf_dir, "events")
     w = W.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").asc())
@@ -486,6 +508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentiles_value": _q_agg_percentiles_value,
         "agg_range_value": _q_agg_range_value,
         "agg_composite_after": _q_agg_composite_after,
+        "agg_composite_datehist": _q_agg_composite_datehist,
+        "agg_terms_order_by_avg": _q_agg_terms_order_by_avg,
         "agg_top_hits": _q_agg_top_hits,
         "agg_find_trace_ids": _q_agg_find_trace_ids,
         # query operators (SURVEY §2.6)
@@ -610,6 +634,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING event_type > 'click' OR (event_type = 'click' AND user_id > 10)
             ORDER BY event_type ASC, user_id ASC LIMIT 50
+        """,
+        "agg_composite_datehist": f"""
+            SELECT {_DH_KEY} AS day, event_type AS etype, count(*) AS doc_count
+            FROM events
+            GROUP BY 1, 2
+            HAVING day > 1704240000000 OR (day = 1704240000000 AND etype > 'error')
+            ORDER BY day ASC, etype ASC LIMIT 40
+        """,
+        "agg_terms_order_by_avg": """
+            SELECT event_type AS key, count(*) AS doc_count,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1
+            ORDER BY avg(value) DESC, key ASC LIMIT 3
         """,
         "agg_top_hits": """
             SELECT event_type, event_id, round(value, 6) AS value FROM (

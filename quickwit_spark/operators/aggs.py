@@ -225,12 +225,19 @@ def terms(
     missing: Any | None = None,
     metrics: dict[str, tuple[str, str]] | None = None,
     order_by_key: bool = False,
+    order: tuple[str, str] | None = None,
 ) -> DataFrame:
-    """Terms agg: top-``size`` buckets by doc_count desc (key asc tiebreak).
+    """Terms agg: top-``size`` buckets, default doc_count desc (key asc
+    tiebreak).
+
+    ``order=(target, "asc"|"desc")`` supports the reference's custom orders
+    (docs/reference/aggregation.md:504-566): ``"_count"``, ``"_key"``, or the
+    NAME of a metric in ``metrics`` (order by sub-aggregation value).
 
     Exact mode (no per-shard cutoff): ``doc_count_error_upper_bound`` is 0,
-    matching the reference when a single segment is searched. Emits
-    ``sum_other_doc_count`` via one extra global count.
+    matching the reference when a single segment is searched; see
+    :func:`terms_shard_emulated` for the per-shard ``shard_size`` cutoff +
+    error-bound emulation.
     """
     key = F.col(field)
     if missing is not None:
@@ -243,9 +250,61 @@ def terms(
     )
     if min_doc_count > 1:
         grouped = grouped.filter(F.col("doc_count") >= min_doc_count)
-    if order_by_key:
-        return grouped.orderBy("key").limit(size)
-    return grouped.orderBy(F.col("doc_count").desc(), F.col("key").asc()).limit(size)
+    if order is None:
+        order = ("_key", "asc") if order_by_key else ("_count", "desc")
+    target, direction = order
+    col = {"_count": F.col("doc_count"), "_key": F.col("key")}.get(target)
+    if col is None:
+        if not metrics or target not in metrics:
+            raise ValueError(f"terms order target `{target}` is not a metric sub-agg name")
+        col = F.col(target)
+    lead = col.desc() if direction == "desc" else col.asc()
+    return grouped.orderBy(lead, F.col("key").asc()).limit(size)
+
+
+def terms_shard_emulated(
+    df: DataFrame,
+    field: str,
+    size: int = 10,
+    shard_size: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Distributed terms with ES ``shard_size`` semantics and a non-zero
+    ``doc_count_error_upper_bound`` (docs/reference/aggregation.md:504-566).
+
+    Each Spark partition plays the reference's per-segment collector: it
+    keeps only its local top ``shard_size`` terms (default ``size*1.5+10``);
+    survivors merge globally. A term missing from a shard could hide at most
+    that shard's cutoff count, so the error bound is the SUM of the
+    per-shard cutoffs — exactly ES's bound. Returns ``(buckets,
+    doc_count_error_upper_bound)``; buckets may undercount by ≤ the bound
+    (the price of bounded per-shard state at scale).
+    """
+    from pyspark.sql import Window
+
+    shard_size = shard_size or int(size * 1.5 + 10)
+    local = (
+        df.filter(F.col(field).isNotNull())
+        .groupBy(F.spark_partition_id().alias("__shard"), F.col(field).alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("__shard").orderBy(F.col("cnt").desc(), F.col("key").asc())
+    ranked = local.withColumn("__rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("__rn") <= shard_size)
+    # per-shard cutoff = count of the last RETURNED term when the shard was
+    # actually cut (ES: the bound each shard reports)
+    cut = (
+        ranked.groupBy("__shard")
+        .agg(F.max("__rn").alias("n"), F.max(F.when(F.col("__rn") == shard_size, F.col("cnt"))).alias("last"))
+        .filter(F.col("n") > shard_size)
+    )
+    error_bound = int(cut.agg(F.coalesce(F.sum("last"), F.lit(0))).collect()[0][0])
+    buckets = (
+        kept.groupBy("key")
+        .agg(F.sum("cnt").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+        .limit(size)
+    )
+    return buckets, error_bound
 
 
 def terms_with_other(df: DataFrame, field: str, size: int = 10) -> tuple[DataFrame, int, int]:
@@ -327,24 +386,51 @@ def range_agg(
     )
 
 
+def _composite_source(src) -> tuple[str, Column]:
+    """A composite source: a plain column name, or an ES-style spec
+    ``{name: {"terms"|"date_histogram"|"histogram": {...}}}``
+    (quickwit-query/src/aggregations.rs:500-570 source kinds)."""
+    if isinstance(src, str):
+        return src, F.col(src)
+    (name, spec), = src.items()
+    if "terms" in spec:
+        return name, F.col(spec["terms"]["field"])
+    if "date_histogram" in spec:
+        p = spec["date_histogram"]
+        interval_ms = interval_to_millis(p["fixed_interval"])
+        offset_ms = interval_to_millis(p.get("offset", "0ms"))
+        return name, _bucket_key(_ts_ms(F.col(p["field"])), interval_ms, offset_ms)
+    if "histogram" in spec:
+        p = spec["histogram"]
+        return name, (
+            F.floor(F.col(p["field"]) / F.lit(p["interval"])) * F.lit(p["interval"])
+        ).cast("double")
+    raise ValueError(f"unsupported composite source {spec}")
+
+
 def composite(
     df: DataFrame,
-    sources: list[str],
+    sources: list,
     size: int = 10,
     after: dict[str, Any] | None = None,
 ) -> DataFrame:
     """Composite agg: cross-product buckets ordered by keys, paginated by
-    ``after_key`` (aggregations.rs:176-183). The after-filter is a
-    lexicographic predicate so pagination pushes into the aggregate."""
-    grouped = df.groupBy(*sources).agg(F.count(F.lit(1)).alias("doc_count"))
+    ``after_key`` (aggregations.rs:176-183). Sources may be plain columns or
+    date_histogram/histogram specs (bucket keys become composite key parts).
+    The after-filter is a lexicographic predicate over the computed keys so
+    pagination pushes into the aggregate."""
+    named = [_composite_source(s) for s in sources]
+    grouped = df.groupBy(*[expr.alias(n) for n, expr in named]).agg(
+        F.count(F.lit(1)).alias("doc_count")
+    )
     if after:
         pred = F.lit(False)
         eq = F.lit(True)
-        for s in sources:
-            pred = pred | (eq & (F.col(s) > F.lit(after[s])))
-            eq = eq & (F.col(s) == F.lit(after[s]))
+        for n, _ in named:
+            pred = pred | (eq & (F.col(n) > F.lit(after[n])))
+            eq = eq & (F.col(n) == F.lit(after[n]))
         grouped = grouped.filter(pred)
-    return grouped.orderBy(*[F.col(s).asc() for s in sources]).limit(size)
+    return grouped.orderBy(*[F.col(n).asc() for n, _ in named]).limit(size)
 
 
 # ---------------------------------------------------------------------------
@@ -444,108 +530,332 @@ def find_trace_ids(df: DataFrame, trace_field: str, ts_field: str, k: int = 10) 
 # ---------------------------------------------------------------------------
 
 
+def _bucket_kind(spec: dict) -> str | None:
+    for k in ("date_histogram", "histogram", "terms", "range"):
+        if k in spec:
+            return k
+    return None
+
+
+def _fmt_key_ms(key_ms: int) -> str:
+    """Python mirror of :func:`key_as_string_col` (driver-side assembly)."""
+    from datetime import datetime, timezone
+
+    sec, ms = divmod(int(key_ms), 1000)
+    base = datetime.fromtimestamp(sec, tz=timezone.utc).strftime("%Y-%m-%dT%H:%M:%S")
+    return f"{base}Z" if ms == 0 else f"{base}.{ms:03d}Z"
+
+
+def _collect_metric_subaggs(sub: dict) -> tuple[list, dict, dict]:
+    """Split sub-aggs into same-groupBy metric exprs and nested bucket aggs.
+
+    Returns ``(agg_exprs, metric_specs, nested_bucket_specs)``; every metric
+    kind the reference supports under a bucket (avg/sum/min/max/value_count/
+    cardinality/stats/extended_stats/percentiles) aggregates in the SAME pass
+    as the bucket keys — no per-bucket queries.
+    """
+    exprs: list[Column] = []
+    specs: dict[str, dict] = {}
+    nested: dict[str, dict] = {}
+    for sname, sspec in sub.items():
+        if _bucket_kind(sspec) is not None:
+            nested[sname] = sspec
+            continue
+        if "stats" in sspec:
+            c = F.col(sspec["stats"]["field"])
+            exprs += [
+                F.count(c).alias(f"{sname}__count"),
+                F.min(c).cast("double").alias(f"{sname}__min"),
+                F.max(c).cast("double").alias(f"{sname}__max"),
+                F.sum(c).cast("double").alias(f"{sname}__sum"),
+                F.avg(c).alias(f"{sname}__avg"),
+            ]
+            specs[sname] = {"kind": "stats"}
+        elif "extended_stats" in sspec:
+            c = F.col(sspec["extended_stats"]["field"]).cast("double")
+            exprs += [
+                F.count(c).alias(f"{sname}__count"),
+                F.min(c).alias(f"{sname}__min"),
+                F.max(c).alias(f"{sname}__max"),
+                F.sum(c).alias(f"{sname}__sum"),
+                F.avg(c).alias(f"{sname}__avg"),
+                F.sum(c * c).alias(f"{sname}__sum_of_squares"),
+                F.var_pop(c).alias(f"{sname}__variance"),
+                F.stddev_pop(c).alias(f"{sname}__std_deviation"),
+            ]
+            specs[sname] = {"kind": "extended_stats", "sigma": sspec["extended_stats"].get("sigma", 2.0)}
+        elif "percentiles" in sspec:
+            c = F.col(sspec["percentiles"]["field"])
+            percents = tuple(sspec["percentiles"].get("percents", (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)))
+            exprs += [
+                F.percentile(c, F.lit(p / 100.0)).alias(f"{sname}__q{i}")
+                for i, p in enumerate(percents)
+            ]
+            specs[sname] = {"kind": "percentiles", "percents": percents}
+        else:
+            kinds = ("avg", "sum", "min", "max", "value_count", "cardinality")
+            kind = next((k for k in kinds if k in sspec), None)
+            if kind is None:
+                raise ValueError(f"unsupported sub-aggregation spec: {sspec}")
+            exprs += metric_exprs({sname: (kind, sspec[kind]["field"])})
+            specs[sname] = {"kind": kind}
+    return exprs, specs, nested
+
+
+def _metrics_from_row(row, specs: dict) -> dict:
+    out = {}
+    for sname, spec in specs.items():
+        kind = spec["kind"]
+        if kind == "stats":
+            cnt = row[f"{sname}__count"] or 0
+            out[sname] = {
+                "count": cnt,
+                "min": _f(row[f"{sname}__min"]),
+                "max": _f(row[f"{sname}__max"]),
+                "sum": _f(row[f"{sname}__sum"]) if cnt else 0.0,
+                "avg": _f(row[f"{sname}__avg"]),
+            }
+        elif kind == "extended_stats":
+            cnt = row[f"{sname}__count"] or 0
+            avg = _f(row[f"{sname}__avg"])
+            std = _f(row[f"{sname}__std_deviation"])
+            out[sname] = {
+                "count": cnt,
+                "min": _f(row[f"{sname}__min"]),
+                "max": _f(row[f"{sname}__max"]),
+                "sum": _f(row[f"{sname}__sum"]) if cnt else 0.0,
+                "avg": avg,
+                "sum_of_squares": _f(row[f"{sname}__sum_of_squares"]),
+                "variance": _f(row[f"{sname}__variance"]),
+                "std_deviation": std,
+                "std_deviation_bounds_upper": (
+                    avg + spec["sigma"] * std if avg is not None and std is not None else None
+                ),
+                "std_deviation_bounds_lower": (
+                    avg - spec["sigma"] * std if avg is not None and std is not None else None
+                ),
+            }
+        elif kind == "percentiles":
+            out[sname] = {
+                "values": {
+                    str(p): _f(row[f"{sname}__q{i}"])
+                    for i, p in enumerate(spec["percents"])
+                }
+            }
+        else:
+            out[sname] = {"value": _f(row[sname])}
+    return out
+
+
+class _Level:
+    """One bucket level in a nested aggregation chain: its key expression
+    over the (possibly range-exploded) frame, plus assembly parameters."""
+
+    def __init__(self, df: DataFrame, name: str, spec: dict, depth: int):
+        self.name = name
+        self.kind = _bucket_kind(spec)
+        self.alias = f"__k{depth}"
+        p = spec[self.kind]
+        self.params = p
+        self.df = df  # frame for this level and below (range levels explode)
+        if self.kind == "terms":
+            key = F.col(p["field"])
+            if p.get("missing") is not None:
+                key = F.coalesce(key, F.lit(p["missing"]))
+            self.key = key
+        elif self.kind == "date_histogram":
+            self.interval = interval_to_millis(p["fixed_interval"])
+            self.offset = interval_to_millis(p.get("offset", "0ms"))
+            self.key = _bucket_key(_ts_ms(F.col(p["field"])), self.interval, self.offset)
+            if p.get("hard_bounds"):
+                hb = p["hard_bounds"]
+                self.df = df.filter(
+                    (self.key >= F.lit(hb["min"])) & (self.key <= F.lit(hb["max"]))
+                )
+        elif self.kind == "histogram":
+            self.interval = float(p["interval"])
+            self.offset = float(p.get("offset", 0.0))
+            self.key = (
+                F.floor((F.col(p["field"]) - F.lit(self.offset)) / F.lit(self.interval))
+                * F.lit(self.interval) + F.lit(self.offset)
+            ).cast("double")
+        elif self.kind == "range":
+            self.range_names = []
+            tagged = []
+            c = F.col(p["field"])
+            for r in p["ranges"]:
+                frm, to = r.get("from"), r.get("to")
+                nm = r.get("key") or f"{frm if frm is not None else '*'}-{to if to is not None else '*'}"
+                self.range_names.append(nm)
+                cond = F.lit(True)
+                if frm is not None:
+                    cond = cond & (c >= F.lit(frm))
+                if to is not None:
+                    cond = cond & (c < F.lit(to))
+                tagged.append(F.when(cond, F.lit(nm)))
+            matching = F.filter(F.array(*tagged), lambda x: x.isNotNull())
+            # explode BEFORE grouping this level and everything below it:
+            # overlapping ranges count the doc in every matching bucket, and
+            # sub-aggs see the doc in each bucket (ES semantics). Ancestor
+            # levels grouped separately on the unexploded frame stay exact.
+            self.df = df.filter(c.isNotNull()).withColumn(
+                self.alias, F.explode(matching)
+            )
+            self.key = F.col(self.alias)
+        else:  # pragma: no cover
+            raise ValueError(f"unknown bucket kind {self.kind}")
+
+    def assemble(self, rows: list, metric_specs: dict, children: dict) -> dict:
+        """rows: collected Rows for THIS level (already restricted to one
+        parent bucket); children: {child_name: {key: child_result}}."""
+        def mk(row):
+            d = {"key": row[self.alias], "doc_count": row["doc_count"]}
+            if self.kind == "date_histogram":
+                d["key_as_string"] = _fmt_key_ms(d["key"])
+            d.update(_metrics_from_row(row, metric_specs))
+            for cname, by_key in children.items():
+                d[cname] = by_key.get(d["key"], _EMPTY_BUCKETS)
+            return d
+
+        def empty(key):
+            d = {"key": key, "doc_count": 0}
+            if self.kind == "date_histogram":
+                d["key_as_string"] = _fmt_key_ms(key)
+            d.update({cname: _EMPTY_BUCKETS for cname in children})
+            # zero-bucket metrics: value-style metrics are null/0-count
+            for sname, spec in metric_specs.items():
+                if spec["kind"] in ("stats", "extended_stats"):
+                    d[sname] = {"count": 0, "min": None, "max": None, "sum": 0.0, "avg": None}
+                elif spec["kind"] == "percentiles":
+                    d[sname] = {"values": {}}
+                else:
+                    d[sname] = {"value": 0 if spec["kind"] == "value_count" else None}
+            return d
+
+        p = self.params
+        if self.kind == "terms":
+            size = p.get("size", 10)
+            mdc = p.get("min_doc_count", 1)
+            buckets = [mk(r) for r in rows if r[self.alias] is not None]
+            total = sum(b["doc_count"] for b in buckets)
+            buckets = [b for b in buckets if b["doc_count"] >= mdc]
+            order = p.get("order") or {"_count": "desc"}
+            (target, direction), = order.items()
+
+            def sort_val(b):
+                if target == "_count":
+                    return b["doc_count"]
+                if target == "_key":
+                    return b["key"]
+                head, _, part = target.partition(".")
+                v = b[head]
+                return v[part] if part else v["value"]
+
+            rev = direction == "desc"
+            buckets.sort(key=lambda b: b["key"])  # stable key-asc tiebreak
+            buckets.sort(key=sort_val, reverse=rev)
+            shown = buckets[:size]
+            return {
+                "buckets": shown,
+                "sum_other_doc_count": int(total - sum(b["doc_count"] for b in shown)),
+                "doc_count_error_upper_bound": 0,
+            }
+        if self.kind == "range":
+            by_key = {r[self.alias]: mk(r) for r in rows if r[self.alias] is not None}
+            return {"buckets": [by_key.get(nm, empty(nm)) for nm in self.range_names]}
+        # date_histogram / histogram
+        mdc = p.get("min_doc_count", 0)
+        buckets = {r[self.alias]: mk(r) for r in rows if r[self.alias] is not None}
+        if mdc == 0 and buckets:
+            keys = sorted(buckets)
+            lo, hi = keys[0], keys[-1]
+            eb = p.get("extended_bounds")
+            if eb and self.kind == "date_histogram":
+                lo = min(lo, (eb["min"] - self.offset) // self.interval * self.interval + self.offset)
+                hi = max(hi, (eb["max"] - self.offset) // self.interval * self.interval + self.offset)
+            out, k = [], lo
+            while k <= hi:
+                out.append(buckets.get(k, empty(k)))
+                k += self.interval
+            return {"buckets": out}
+        ordered = [buckets[k] for k in sorted(buckets)]
+        if mdc > 1:
+            ordered = [b for b in ordered if b["doc_count"] >= mdc]
+        return {"buckets": ordered}
+
+
+_EMPTY_BUCKETS: dict = {"buckets": []}
+
+
+def _eval_bucket_tree(
+    df: DataFrame, spec: dict, ancestors: list
+) -> dict:
+    """Evaluate one bucket agg (+ its whole sub-tree) with ONE groupBy per
+    level — grouped on (ancestor keys…, own key) — and driver-side
+    reassembly. No per-bucket filtering, no per-bucket collects: the number
+    of Spark jobs equals the number of bucket levels in the request
+    (SURVEY §2.7's prescribed groupBy(bucket_key, sub_key) shape).
+
+    ``ancestors``: list of ``(alias, Column)`` for enclosing bucket keys.
+    Returns ``{parent_key_tuple: result_dict}``.
+    """
+    name = "__root"
+    level = _Level(df, name, spec, depth=len(ancestors))
+    sub = spec.get("aggs") or spec.get("aggregations") or {}
+    agg_exprs, metric_specs, nested = _collect_metric_subaggs(sub)
+
+    keys = [expr.alias(a) for a, expr in ancestors] + [level.key.alias(level.alias)]
+    rows = (
+        level.df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("doc_count"), *agg_exprs)
+        .collect()
+    )
+
+    child_maps: dict[str, dict] = {}
+    next_ancestors = ancestors + [(level.alias, level.key)]
+    for cname, cspec in nested.items():
+        child_maps[cname] = _eval_bucket_tree(level.df, cspec, next_ancestors)
+
+    # group collected rows by parent tuple and assemble each parent's buckets
+    by_parent: dict[tuple, list] = {}
+    for r in rows:
+        pk = tuple(r[a] for a, _ in ancestors)
+        by_parent.setdefault(pk, []).append(r)
+
+    out: dict[tuple, dict] = {}
+    for pk, prows in by_parent.items():
+        children_for_parent = {
+            cname: {
+                k[-1]: v for k, v in cmap.items() if k[:-1] == pk
+            }
+            for cname, cmap in child_maps.items()
+        }
+        out[pk] = level.assemble(prows, metric_specs, children_for_parent)
+    return out
+
+
 def run_es_aggs(df: DataFrame, aggs: dict[str, dict]) -> dict[str, Any]:
     """Interpret an ES-style aggregations request → nested response dict.
 
-    Supports the Quickwit-supported set: date_histogram, histogram, terms,
-    range, and the metric aggs, with arbitrary nesting of metric sub-aggs
-    under buckets (sub-buckets recurse — fine for golden tests; the scale
-    path uses the flat functions above)."""
+    Supports the Quickwit-supported set (date_histogram, histogram, terms,
+    range + the metric aggs) with arbitrary nesting; every bucket level is a
+    single distributed groupBy over (ancestor keys, level key) — metric
+    sub-aggs ride along in the same pass, and bucket-in-bucket costs exactly
+    one extra shuffle per level, never a per-bucket re-query."""
     out: dict[str, Any] = {}
     for name, spec in aggs.items():
-        sub = spec.get("aggs") or spec.get("aggregations") or {}
-        if "date_histogram" in spec:
-            p = spec["date_histogram"]
-            metrics, metric_specs = _collect_metric_subaggs(sub)
-            eb = p.get("extended_bounds")
-            interval_ms = interval_to_millis(p["fixed_interval"])
-            offset_ms = interval_to_millis(p.get("offset", "0ms"))
-            buckets_df = date_histogram(
-                df,
-                p["field"],
-                p["fixed_interval"],
-                offset=p.get("offset", "0ms"),
-                min_doc_count=p.get("min_doc_count", 0),
-                extended_bounds=(eb["min"], eb["max"]) if eb else None,
-                hard_bounds=(
-                    (p["hard_bounds"]["min"], p["hard_bounds"]["max"])
-                    if p.get("hard_bounds")
-                    else None
-                ),
-                metrics=metrics,
-            )
-
-            def dh_pred(key, _f=p["field"], _i=interval_ms, _o=offset_ms):
-                return _bucket_key(_ts_ms(F.col(_f)), _i, _o) == F.lit(key)
-
-            out[name] = {
-                "buckets": [
-                    _bucket_dict(r, metric_specs, df, dh_pred)
-                    for r in buckets_df.collect()
-                ]
-            }
-        elif "terms" in spec:
-            p = spec["terms"]
-            metrics, metric_specs = _collect_metric_subaggs(sub)
-            total = df.filter(F.col(p["field"]).isNotNull()).count()
-            bdf = terms(
-                df,
-                p["field"],
-                size=p.get("size", 10),
-                min_doc_count=p.get("min_doc_count", 1),
-                missing=p.get("missing"),
-                metrics=metrics,
-            )
-            rows = bdf.collect()
-            shown = sum(r["doc_count"] for r in rows)
-
-            def t_pred(key, _f=p["field"]):
-                return F.col(_f) == F.lit(key)
-
-            out[name] = {
-                "buckets": [_bucket_dict(r, metric_specs, df, t_pred) for r in rows],
-                "sum_other_doc_count": int(total - shown),
-                "doc_count_error_upper_bound": 0,
-            }
-        elif "histogram" in spec:
-            p = spec["histogram"]
-            metrics, metric_specs = _collect_metric_subaggs(sub)
-            bdf = histogram(
-                df, p["field"], p["interval"], offset=p.get("offset", 0.0),
-                min_doc_count=p.get("min_doc_count", 0), metrics=metrics,
-            )
-
-            def h_pred(key, _f=p["field"], _i=p["interval"], _o=p.get("offset", 0.0)):
-                return (
-                    F.floor((F.col(_f) - F.lit(_o)) / F.lit(_i)) * F.lit(_i) + F.lit(_o)
-                ) == F.lit(key)
-
-            out[name] = {
-                "buckets": [_bucket_dict(r, metric_specs, df, h_pred) for r in bdf.collect()]
-            }
-        elif "range" in spec:
-            p = spec["range"]
-            metrics, metric_specs = _collect_metric_subaggs(sub)
-            bdf = range_agg(df, p["field"], p["ranges"], metrics=metrics)
-
-            def r_pred(key, _f=p["field"], _ranges=p["ranges"]):
-                for r in _ranges:
-                    frm, to = r.get("from"), r.get("to")
-                    nm = r.get("key") or f"{frm if frm is not None else '*'}-{to if to is not None else '*'}"
-                    if nm == key:
-                        cond = F.lit(True)
-                        if frm is not None:
-                            cond = cond & (F.col(_f) >= F.lit(frm))
-                        if to is not None:
-                            cond = cond & (F.col(_f) < F.lit(to))
-                        return cond
-                return F.lit(False)
-
-            out[name] = {
-                "buckets": [_bucket_dict(r, metric_specs, df, r_pred) for r in bdf.collect()]
-            }
+        if _bucket_kind(spec) is not None:
+            out[name] = _eval_bucket_tree(df, spec, []).get((), _EMPTY_BUCKETS)
+            if "terms" in spec and "buckets" not in out[name]:
+                out[name] = {
+                    "buckets": [], "sum_other_doc_count": 0,
+                    "doc_count_error_upper_bound": 0,
+                }
         elif "stats" in spec:
-            r = stats(df.filter(F.col(spec["stats"]["field"]).isNotNull()), spec["stats"]["field"]).collect()[0]
+            r = stats(
+                df.filter(F.col(spec["stats"]["field"]).isNotNull()),
+                spec["stats"]["field"],
+            ).collect()[0]
             out[name] = {k: r[k] for k in ("count", "min", "max", "sum", "avg")}
         elif "extended_stats" in spec:
             r = extended_stats(df, spec["extended_stats"]["field"]).collect()[0]
@@ -563,57 +873,6 @@ def run_es_aggs(df: DataFrame, aggs: dict[str, dict]) -> dict[str, Any]:
         else:
             raise ValueError(f"unsupported aggregation spec: {spec}")
     return out
-
-
-def _collect_metric_subaggs(sub: dict) -> tuple[dict, dict]:
-    """Flatten metric sub-aggs into same-groupBy agg expressions.
-
-    stats expands to 5 columns; returns (metrics_for_groupby, reassembly_spec).
-    """
-    metrics: dict[str, tuple[str, str]] = {}
-    specs: dict[str, dict] = {}
-    for sname, sspec in sub.items():
-        if "stats" in sspec:
-            fld = sspec["stats"]["field"]
-            for part, kind in (
-                ("count", "value_count"), ("min", "min"), ("max", "max"),
-                ("sum", "sum"), ("avg", "avg"),
-            ):
-                metrics[f"{sname}__{part}"] = (kind, fld)
-            specs[sname] = {"kind": "stats"}
-        elif any(k in sspec for k in ("avg", "sum", "min", "max", "value_count", "cardinality")):
-            kind = next(
-                k for k in ("avg", "sum", "min", "max", "value_count", "cardinality") if k in sspec
-            )
-            metrics[sname] = (kind, sspec[kind]["field"])
-            specs[sname] = {"kind": kind}
-        else:
-            specs[sname] = {"kind": "nested", "spec": sspec}
-    return metrics, specs
-
-
-def _bucket_dict(row, metric_specs: dict, df: DataFrame, bucket_pred) -> dict:
-    fields = row.__fields__
-    d = {"key": row["key"] if "key" in fields else row["range_key"], "doc_count": row["doc_count"]}
-    if "key_as_string" in fields:
-        d["key_as_string"] = row["key_as_string"]
-    for sname, spec in metric_specs.items():
-        if spec["kind"] == "stats":
-            cnt = row[f"{sname}__count"]
-            d[sname] = {
-                "count": cnt if cnt is not None else 0,
-                "min": _f(row[f"{sname}__min"]),
-                "max": _f(row[f"{sname}__max"]),
-                "sum": _f(row[f"{sname}__sum"]) if cnt else 0.0,
-                "avg": _f(row[f"{sname}__avg"]),
-            }
-        elif spec["kind"] == "nested":
-            # bucket-in-bucket: re-filter the frame to this bucket and recurse
-            # (golden-test path; the scale path composes the flat functions)
-            d[sname] = run_es_aggs(df.filter(bucket_pred(d["key"])), {sname: spec["spec"]})[sname]
-        else:
-            d[sname] = {"value": _f(row[sname])}
-    return d
 
 
 def _f(v):
