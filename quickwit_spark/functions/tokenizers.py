@@ -77,3 +77,72 @@ TOKENIZERS = {
     "whitespace": tokenize_whitespace,
     "source_code_default": tokenize_source_code,
 }
+
+
+_CJK = r"[\p{IsHan}\p{IsHiragana}\p{IsKatakana}\p{IsHangul}]"
+
+
+def tokenize_chinese_compatible(col: Column) -> Column:
+    """chinese_compatible (tokenizers/mod.rs:35-110 behavior): every CJK
+    codepoint becomes its own token; non-CJK runs tokenize like `default`
+    (lowercase + 255 cap). Implemented by spacing out CJK chars JVM-side."""
+    spaced = F.regexp_replace(col, f"({_CJK})", " $1 ")
+    return tokenize_default(spaced)
+
+
+def _build_fold_table() -> tuple[str, str]:
+    """1:1 fold pairs for Latin-1 Supplement + Latin Extended-A, derived from
+    NFD decomposition (strip combining marks) — guaranteed equal-length
+    translate strings — plus the non-decomposable strokes (ø, đ, ħ, ł, ŧ)."""
+    import unicodedata
+
+    src, dst = [], []
+    for cp in range(0xC0, 0x180):
+        ch = chr(cp)
+        decomp = unicodedata.normalize("NFD", ch)
+        base = "".join(c for c in decomp if not unicodedata.combining(c))
+        if base != ch and len(base) == 1 and ord(base) < 128:
+            src.append(ch)
+            dst.append(base)
+    for s, d in zip("øØđĐðÐħĦłŁŧŦıſ", "oOdDdDhHlLtTis"):
+        src.append(s)
+        dst.append(d)
+    return "".join(src), "".join(dst)
+
+
+_FOLD_SRC, _FOLD_DST = _build_fold_table()
+
+
+def fold_ascii_col(col: Column) -> Column:
+    """ASCII-folding normalization (tantivy AsciiFoldingFilter behavior for
+    the Latin-1/Latin-A range): accented chars → ASCII base, plus the 1→2
+    expansions (æ→ae, œ→oe, ß→ss). Pure translate/regexp_replace chain."""
+    out = F.regexp_replace(col, "æ", "ae")
+    out = F.regexp_replace(out, "Æ", "AE")
+    out = F.regexp_replace(out, "œ", "oe")
+    out = F.regexp_replace(out, "Œ", "OE")
+    out = F.regexp_replace(out, "ß", "ss")
+    return F.translate(out, _FOLD_SRC, _FOLD_DST)
+
+
+def tokenize_ascii_folding(col: Column) -> Column:
+    """`default` tokenizer + ASCII folding filter: café ≡ cafe."""
+    return tokenize_default(fold_ascii_col(col))
+
+
+def tokenize_multilang(col: Column) -> Column:
+    """multilang tokenizer: per-value language dispatch — values containing
+    CJK take the chinese_compatible path, everything else the default path
+    (the reference detects language per document and picks the tokenizer)."""
+    return F.when(
+        col.rlike(_CJK), tokenize_chinese_compatible(col)
+    ).otherwise(tokenize_default(col))
+
+
+TOKENIZERS.update(
+    {
+        "chinese_compatible": tokenize_chinese_compatible,
+        "ascii_folding": tokenize_ascii_folding,
+        "multilang": tokenize_multilang,
+    }
+)

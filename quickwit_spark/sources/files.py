@@ -163,10 +163,141 @@ def parse_otlp_logs_json(requests: DataFrame, input_col: str = "value") -> DataF
     )
 
 
+_OTLP_SPAN = T.StructType(
+    [
+        T.StructField("traceId", T.StringType()),
+        T.StructField("spanId", T.StringType()),
+        T.StructField("parentSpanId", T.StringType()),
+        T.StructField("traceState", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("kind", T.IntegerType()),
+        T.StructField("startTimeUnixNano", T.StringType()),
+        T.StructField("endTimeUnixNano", T.StringType()),
+        T.StructField("attributes", _OTLP_KV),
+        T.StructField("droppedAttributesCount", T.IntegerType()),
+        T.StructField(
+            "events",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("timeUnixNano", T.StringType()),
+                        T.StructField("name", T.StringType()),
+                        T.StructField("attributes", _OTLP_KV),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "status",
+            T.StructType(
+                [T.StructField("message", T.StringType()), T.StructField("code", T.IntegerType())]
+            ),
+        ),
+    ]
+)
+_OTLP_TRACES_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "resourceSpans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "resource",
+                            T.StructType([T.StructField("attributes", _OTLP_KV)]),
+                        ),
+                        T.StructField(
+                            "scopeSpans",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField(
+                                            "scope",
+                                            T.StructType(
+                                                [
+                                                    T.StructField("name", T.StringType()),
+                                                    T.StructField("version", T.StringType()),
+                                                ]
+                                            ),
+                                        ),
+                                        T.StructField("spans", T.ArrayType(_OTLP_SPAN)),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+# OTLP SpanKind / StatusCode enum names (proto3; traces.rs:95-135 behavior)
+_SPAN_KINDS = ["unspecified", "internal", "server", "client", "producer", "consumer"]
+_STATUS_CODES = ["unset", "ok", "error"]
+
+
+def parse_otlp_traces_json(requests: DataFrame, input_col: str = "value") -> DataFrame:
+    """OTLP traces JSON → one row per Span (UDTF semantics via explode).
+
+    Output mirrors the reference's OTel trace doc mapping
+    (quickwit-opentelemetry/src/otlp/traces.rs — behavior only): trace_id,
+    span_id, parent_span_id, trace_state, span_name, span_kind,
+    span_start/end_timestamp_nanos, span_duration_millis, span_status_*,
+    span_attributes, resource_attributes, scope_name, event_names.
+    Entirely JVM-side: from_json + three explodes.
+    """
+    parsed = requests.select(
+        F.from_json(F.col(input_col), _OTLP_TRACES_SCHEMA).alias("req")
+    )
+    rs = parsed.select(F.explode("req.resourceSpans").alias("rs"))
+    ss = rs.select(
+        F.col("rs.resource.attributes").alias("_res_attrs"),
+        F.explode("rs.scopeSpans").alias("ss"),
+    )
+    sp = ss.select(
+        "_res_attrs",
+        F.col("ss.scope.name").alias("scope_name"),
+        F.explode("ss.spans").alias("sp"),
+    )
+    start = F.col("sp.startTimeUnixNano").cast("long")
+    end = F.col("sp.endTimeUnixNano").cast("long")
+    kind_arr = F.array(*[F.lit(k) for k in _SPAN_KINDS])
+    code_arr = F.array(*[F.lit(c) for c in _STATUS_CODES])
+    return sp.select(
+        F.col("sp.traceId").alias("trace_id"),
+        F.col("sp.spanId").alias("span_id"),
+        F.col("sp.parentSpanId").alias("parent_span_id"),
+        F.col("sp.traceState").alias("trace_state"),
+        F.col("sp.name").alias("span_name"),
+        F.element_at(kind_arr, F.coalesce(F.col("sp.kind"), F.lit(0)) + 1).alias("span_kind"),
+        start.alias("span_start_timestamp_nanos"),
+        end.alias("span_end_timestamp_nanos"),
+        ((end - start) / F.lit(1_000_000)).cast("long").alias("span_duration_millis"),
+        F.element_at(code_arr, F.coalesce(F.col("sp.status.code"), F.lit(0)) + 1).alias(
+            "span_status_code"
+        ),
+        F.col("sp.status.message").alias("span_status_message"),
+        _attrs_to_map(F.col("sp.attributes")).alias("span_attributes"),
+        _attrs_to_map(F.col("_res_attrs")).alias("resource_attributes"),
+        "scope_name",
+        F.transform(F.coalesce(F.col("sp.events"), F.array()), lambda e: e["name"]).alias(
+            "event_names"
+        ),
+    )
+
+
 def parse_otlp_logs_protobuf(*_args, **_kwargs):
     raise NotImplementedError(
         "otlp_logs_protobuf requires a protobuf runtime (not in this container); "
         "use otlp_logs_json"
+    )
+
+
+def parse_otlp_traces_protobuf(*_args, **_kwargs):
+    raise NotImplementedError(
+        "otlp_traces_protobuf requires a protobuf runtime (not in this container); "
+        "use otlp_traces_json"
     )
 
 

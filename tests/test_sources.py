@@ -90,3 +90,66 @@ def test_otlp_protobuf_stubbed():
 
 def test_void_source(spark):
     assert read_void_source(spark).count() == 0
+
+
+def test_otlp_traces_json(spark):
+    import json
+
+    from quickwit_spark.sources.files import parse_otlp_traces_json, read_vec_source
+
+    req = {
+        "resourceSpans": [
+            {
+                "resource": {"attributes": [{"key": "service.name", "value": {"stringValue": "qs"}}]},
+                "scopeSpans": [
+                    {
+                        "scope": {"name": "lib", "version": "1"},
+                        "spans": [
+                            {
+                                "traceId": "0102", "spanId": "aa", "name": "root",
+                                "kind": 2,
+                                "startTimeUnixNano": "1700000000000000000",
+                                "endTimeUnixNano": "1700000001500000000",
+                                "attributes": [{"key": "http.status", "value": {"intValue": "200"}}],
+                                "events": [{"timeUnixNano": "1700000000100000000", "name": "ev1"}],
+                                "status": {"code": 2, "message": "boom"},
+                            },
+                            {
+                                "traceId": "0102", "spanId": "bb", "parentSpanId": "aa",
+                                "name": "child",
+                                "startTimeUnixNano": "1700000000200000000",
+                                "endTimeUnixNano": "1700000000300000000",
+                            },
+                        ],
+                    }
+                ],
+            }
+        ]
+    }
+    df = read_vec_source(spark, [json.dumps(req)])
+    rows = {r["span_id"]: r for r in parse_otlp_traces_json(df).collect()}
+    assert set(rows) == {"aa", "bb"}
+    root = rows["aa"]
+    assert root["span_name"] == "root" and root["span_kind"] == "server"
+    assert root["span_duration_millis"] == 1500
+    assert root["span_status_code"] == "error" and root["span_status_message"] == "boom"
+    assert root["span_attributes"]["http.status"] == "200"
+    assert root["resource_attributes"]["service.name"] == "qs"
+    assert root["event_names"] == ["ev1"]
+    child = rows["bb"]
+    assert child["parent_span_id"] == "aa" and child["span_kind"] == "unspecified"
+    assert child["span_status_code"] == "unset"
+
+
+def test_otlp_protobuf_variants_raise(spark):
+    import pytest as _pytest
+
+    from quickwit_spark.sources.files import (
+        parse_otlp_logs_protobuf,
+        parse_otlp_traces_protobuf,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        parse_otlp_logs_protobuf()
+    with _pytest.raises(NotImplementedError):
+        parse_otlp_traces_protobuf()

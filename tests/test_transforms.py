@@ -70,3 +70,34 @@ def test_case_and_trim(spark):
         [{"op": "trim", "field": "v"}, {"op": "lowercase", "field": "v"}],
     )
     assert out.collect()[0]["v"] == "mixed"
+
+
+def test_chinese_compatible_tokenizer(spark):
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.functions.tokenizers import tokenize_chinese_compatible
+
+    df = spark.createDataFrame([("Hello 你好世界 rust",)], ["t"])
+    toks = df.select(tokenize_chinese_compatible(F.col("t")).alias("x")).first()["x"]
+    assert toks == ["hello", "你", "好", "世", "界", "rust"]
+
+
+def test_ascii_folding_tokenizer(spark):
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.functions.tokenizers import tokenize_ascii_folding
+
+    df = spark.createDataFrame([("Café Über straße Œuvre łódź",)], ["t"])
+    toks = df.select(tokenize_ascii_folding(F.col("t")).alias("x")).first()["x"]
+    assert toks == ["cafe", "uber", "strasse", "oeuvre", "lodz"]
+
+
+def test_multilang_tokenizer_dispatch(spark):
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.functions.tokenizers import tokenize_multilang
+
+    df = spark.createDataFrame([("搜索 engine",), ("plain English text",)], ["t"])
+    got = [r["x"] for r in df.select(tokenize_multilang(F.col("t")).alias("x")).collect()]
+    assert got[0] == ["搜", "索", "engine"]
+    assert got[1] == ["plain", "english", "text"]
