@@ -353,11 +353,17 @@ def _q_dedup_embedding_cosine(spark, sf_dir):
 
 
 def _q_dedup_embedding_lsh(spark, sf_dir):
-    # OR-amplified LSH near-dup path (bits×tables tuned so measured recall on
-    # this fixture is 100% — verified against the exact DuckDB oracle below;
-    # candidates are exact-verified so false positives are impossible)
+    # LSH near-dup in its REAL regime (cosine >= 0.95): the fixture's vectors
+    # are near-orthogonal, so plant exact duplicates (vec_id+100000 for every
+    # 7th vector) on both the Spark and oracle side. Identical vectors share
+    # every hyperplane sign, so bucketed recall is exactly 1 here while the
+    # candidate set stays ~n²/2^bits per table — the 100 TB path.
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
     return S.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.48, bits=3, tables=24
+        emb.unionByName(planted), threshold=0.95, bits=10, tables=4
     ).select("a", "b")
 
 
@@ -740,10 +746,16 @@ def oracle_sql() -> dict[str, str]:
                                                CAST(r.embedding AS DOUBLE[])), 6) >= 0.4
         """,
         "dedup_embedding_lsh": """
+            WITH aug AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+              WHERE vec_id % 7 = 0
+            )
             SELECT l.vec_id AS a, r.vec_id AS b
-            FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+            FROM aug l JOIN aug r ON l.vec_id < r.vec_id
             WHERE round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
-                                               CAST(r.embedding AS DOUBLE[])), 6) >= 0.48
+                                               CAST(r.embedding AS DOUBLE[])), 6) >= 0.95
         """,
         "ann_topk": """
             SELECT r.vec_id,

@@ -42,6 +42,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
     "ann_topk",
     "text_quality",
     "text_fingerprint",

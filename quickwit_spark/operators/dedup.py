@@ -147,8 +147,12 @@ def minhash_dedup_pairs(
     num_bands: int = 16,
 ) -> DataFrame:
     """Near-dup pairs: LSH candidates verified by estimated Jaccard
-    (signature agreement ratio ≥ threshold)."""
-    sigs = minhash_signatures(df, text_col, id_col, shingle_size, num_perm)
+    (signature agreement ratio ≥ threshold).
+
+    Signatures are materialized once (localCheckpoint): they feed BOTH sides
+    of the band join plus the two verify joins — without it the signature
+    UDF re-executes up to 4×."""
+    sigs = minhash_signatures(df, text_col, id_col, shingle_size, num_perm).localCheckpoint()
     cands = lsh_candidate_pairs(sigs, id_col, num_bands, num_perm=num_perm)
     sl = sigs.select(F.col(id_col).alias("a"), F.col("signature").alias("sig_a"))
     sr = sigs.select(F.col(id_col).alias("b"), F.col("signature").alias("sig_b"))
@@ -324,8 +328,11 @@ def simhash_near_dup_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ k, bucketed on 16-bit
-    chunks (pigeonhole: any pair within distance 3 shares ≥1 of 4 chunks)."""
-    sh = df.select(F.col(id_col), simhash_col(text_col).alias("sim"))
+    chunks (pigeonhole: any pair within distance 3 shares ≥1 of 4 chunks).
+
+    Signatures are materialized once (localCheckpoint) — both sides of the
+    chunk join would otherwise recompute the SimHash UDF."""
+    sh = df.select(F.col(id_col), simhash_col(text_col).alias("sim")).localCheckpoint()
     chunks = sh.select(
         id_col,
         "sim",
