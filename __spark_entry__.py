@@ -252,6 +252,36 @@ def _q_json_extract(spark, sf_dir):
     )
 
 
+_QC_IP = QueryCompiler({"client_ip": "ip", "event_type": "raw"})
+
+
+def _with_ip(spark, sf_dir):
+    """events + derived client_ip in the docmapper's normalized storage form
+    (v4-mapped ::ffff:a.b.c.d; monotone in user_id for oracle parity)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn(
+        "client_ip",
+        F.concat(
+            F.lit("::ffff:10.0."),
+            F.floor(F.col("user_id") / 256).cast("long").cast("string"),
+            F.lit("."),
+            F.pmod(F.col("user_id"), F.lit(256)).cast("string"),
+        ),
+    )
+
+
+def _q_ip_term(spark, sf_dir):
+    return _QC_IP.where(_with_ip(spark, sf_dir), "client_ip:10.0.0.42").select("event_id")
+
+
+def _q_ip_range(spark, sf_dir):
+    # u128-ordered range: lexicographic order on the stored string would be
+    # wrong (e.g. "….120" < "….20"), the sortable-hex compile path is exact
+    return _QC_IP.where(
+        _with_ip(spark, sf_dir), "client_ip:[10.0.0.20 TO 10.0.0.120]"
+    ).select("event_id")
+
+
 def _q_sort_topk(spark, sf_dir):
     return (
         _t(spark, sf_dir, "events")
@@ -531,6 +561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phrase": _q_phrase,
         "q_phrase_prefix": _q_phrase_prefix,
         "q_json_extract": _q_json_extract,
+        "q_ip_term": _q_ip_term,
+        "q_ip_range": _q_ip_range,
         # sorts / pagination (SURVEY §2.8)
         "sort_topk": _q_sort_topk,
         "search_after": _q_search_after,
@@ -699,6 +731,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_val, count(*) AS doc_count
             FROM events GROUP BY 1
         """,
+        "q_ip_term": "SELECT event_id FROM events WHERE user_id = 42",
+        "q_ip_range": "SELECT event_id FROM events WHERE user_id BETWEEN 20 AND 120",
         "sort_topk": """
             SELECT event_id, round(value, 6) AS value FROM events
             ORDER BY value DESC, event_id ASC LIMIT 10
