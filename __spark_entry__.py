@@ -311,12 +311,13 @@ def _q_search_after(spark, sf_dir):
 
 
 def _q_from_size(spark, sf_dir):
+    # TakeOrderedAndProject keeps frm+size rows; the slicing window runs over
+    # those 20 rows, never a single-partition sort of the relation
+    from quickwit_spark.operators.sorts import paginate
+
     events = _t(spark, sf_dir, "events")
-    w = W.orderBy(F.col("value").desc(), F.col("event_id").asc())
-    return (
-        events.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 10) & (F.col("rn") <= 20))
-        .select("event_id", F.round("value", 6).alias("value"))
+    return paginate(events, [("value", True), ("event_id", False)], frm=10, size=10).select(
+        "event_id", F.round("value", 6).alias("value")
     )
 
 

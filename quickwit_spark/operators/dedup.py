@@ -92,15 +92,15 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_bands: int = 16,
-    num_perm: int | None = None,
+    num_perm: int = 64,
 ) -> DataFrame:
     """Banded LSH: rows sharing any band bucket become candidate pairs.
 
     One shuffle on (band, bucket); self-join within buckets only. Returns
-    distinct (a, b) with a < b.
+    distinct (a, b) with a < b. ``num_perm`` must match the signature width
+    (explicit — no driver-side ``.first()`` probe).
     """
-    n_perm = num_perm or len(signatures.select("signature").first()["signature"])
-    rows_per_band = n_perm // num_bands
+    rows_per_band = num_perm // num_bands
     banded = signatures.select(
         id_col,
         F.explode(

@@ -58,16 +58,20 @@ def search_after(
 
 
 def paginate(df: DataFrame, sort_fields: list[tuple[str, bool]], frm: int, size: int) -> DataFrame:
-    """from/size offset pagination via a global row_number window.
+    """from/size offset pagination.
 
-    Note: fine for UI-depth offsets; deep pagination should use
+    TakeOrderedAndProject keeps only the top ``frm+size`` rows (per-partition
+    heaps + driver merge); the row_number window that slices off the first
+    ``frm`` then runs over those ≤ frm+size rows — NOT a single-partition
+    sort of the whole relation. Deep offsets should still prefer
     :func:`search_after` (same guidance as the reference)."""
     from pyspark.sql import Window
 
+    top = df.orderBy(*_order_cols(sort_fields)).limit(frm + size)
     w = Window.orderBy(*_order_cols(sort_fields))
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") > frm) & (F.col("__rn") <= frm + size))
+        top.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > frm)
         .drop("__rn")
     )
 
