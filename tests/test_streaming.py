@@ -60,3 +60,85 @@ def test_windowed_stream_aggregate(spark, data_dir):
     assert got == N
     roles = {r["role"] for r in spark.sql("SELECT DISTINCT role FROM winagg").collect()}
     assert {"user", "assistant", "tool"} <= roles
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path_factory):
+    """Exactly-one-emission per distinct text even when duplicates arrive in
+    DIFFERENT micro-batches (maxFilesPerTrigger=1 forces multi-batch)."""
+    import pandas as pd
+
+    from quickwit_spark.streaming.stateful import streaming_dedup
+
+    d = tmp_path_factory.mktemp("sdedup")
+    src = str(d / "in")
+    os.makedirs(src)
+    # batch 1: a, b ; batch 2: b (dup), c ; batch 3: a (dup), c (dup), d
+    pd.DataFrame({"text": ["a", "b"]}).to_parquet(os.path.join(src, "f1.parquet"))
+    pd.DataFrame({"text": ["b", "c"]}).to_parquet(os.path.join(src, "f2.parquet"))
+    pd.DataFrame({"text": ["a", "c", "d"]}).to_parquet(os.path.join(src, "f3.parquet"))
+
+    stream = (
+        spark.readStream.schema("text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_dedup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(d / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["first_value"]
+        for r in spark.sql("SELECT * FROM sdedup_out").collect()
+    }
+    assert got == {"a", "b", "c", "d"}
+    # exactly one emission per distinct value
+    assert spark.sql("SELECT count(*) FROM sdedup_out").collect()[0][0] == 4
+
+
+def test_conversation_sessions_state_accumulates(spark, tmp_path_factory):
+    import pandas as pd
+
+    from quickwit_spark.streaming.stateful import conversation_sessions
+
+    d = tmp_path_factory.mktemp("sess")
+    src = str(d / "in")
+    os.makedirs(src)
+    pd.DataFrame(
+        {"conv_id": ["c1", "c1"], "turn_idx": [0, 1],
+         "text": ["level=INFO ok", "level=ERROR boom"]}
+    ).to_parquet(os.path.join(src, "f1.parquet"))
+    pd.DataFrame(
+        {"conv_id": ["c1", "c2"], "turn_idx": [2, 0],
+         "text": ["level=ERROR again", "level=INFO hi"]}
+    ).to_parquet(os.path.join(src, "f2.parquet"))
+
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        conversation_sessions(stream)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(d / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sess_out").collect()
+    # the memory sink keeps every update; the LATEST c1 update (highest
+    # n_turns) must reflect ALL 3 turns and both errors
+    c1 = max((r for r in rows if r["conv_id"] == "c1"), key=lambda r: r["n_turns"])
+    assert c1["n_turns"] == 3
+    assert c1["max_turn_idx"] == 2
+    assert c1["n_error_turns"] == 2
+    c2 = [r for r in rows if r["conv_id"] == "c2"]
+    assert c2 and c2[0]["n_turns"] == 1
