@@ -404,6 +404,20 @@ def _q_ann_topk(spark, sf_dir):
     return S.cosine_topk(emb, list(q), k=10).select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def _q_ann_ivf(spark, sf_dir):
+    # IVF cell assignment end-to-end; probing ALL cells makes it exact, so the
+    # brute-force oracle applies (partial-probe recall is pytest-covered)
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    rng = np.random.default_rng(3)
+    centroids = rng.standard_normal((4, len(q))) * 0.1
+    return S.ivf_topk(emb, list(q), centroids, k=10, n_probe=4).select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def _q_ann_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
@@ -581,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "ann_topk": _q_ann_topk,
+        "ann_ivf": _q_ann_ivf,
         "ann_lsh": _q_ann_lsh,
         "text_token_count": _q_text_token_count,
         "text_quality": _q_text_quality,
@@ -810,6 +825,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS doc_count FROM events
             WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
             GROUP BY 1
+        """,
+        "ann_ivf": """
+            SELECT r.vec_id,
+                   round(list_cosine_similarity(CAST(r.embedding AS DOUBLE[]), q.emb), 4) AS cosine
+            FROM embeddings r,
+                 (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id = 0) q
+            ORDER BY list_cosine_similarity(CAST(r.embedding AS DOUBLE[]), q.emb) DESC,
+                     r.vec_id ASC
+            LIMIT 10
         """,
         "text_token_count": """
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents

@@ -140,10 +140,40 @@ def _literal(info: FieldInfo, v: str):
 # ---------------------------------------------------------------------------
 
 
+_DOCMAPPER_KIND = {
+    "text": "text",
+    "u64": "numeric",
+    "i64": "numeric",
+    "f64": "numeric",
+    "bool": "bool",
+    "ip": "ip",
+    "datetime": "datetime",
+    # bytes/json/object/concatenate compare as raw strings
+}
+
+
 class QueryCompiler:
     def __init__(self, field_types: dict[str, str] | None = None, default_fields: tuple[str, ...] = ()):
         self.field_types = {k: FieldInfo(v) for k, v in (field_types or {}).items()}
         self.default_fields = default_fields
+
+    @classmethod
+    def from_doc_mapping(cls, mapping, default_fields: tuple[str, ...] = ()) -> "QueryCompiler":
+        """Build the compiler from a docmapper ``DocMapping`` — the same type
+        table drives ingest coercion AND query compilation (doc_mapper is the
+        single source of field truth in the reference too)."""
+        types: dict[str, str] = {}
+
+        def walk(fms, prefix=""):
+            for fm in fms:
+                name = f"{prefix}{fm.name}"
+                if fm.type == "object":
+                    walk(fm.fields, prefix=f"{name}.")
+                else:
+                    types[name] = _DOCMAPPER_KIND.get(fm.type, "raw")
+
+        walk(mapping.field_mappings)
+        return cls(types, default_fields=default_fields)
 
     def info(self, field: str) -> FieldInfo:
         return self.field_types.get(field, FieldInfo("raw"))

@@ -1,0 +1,105 @@
+"""ES `_search` request surface: query + aggs + sort + pagination in one body
+(root.rs:1224-1290 / rest handler behavior)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from quickwit_spark.api import es_search
+
+FIELDS = {"level": "raw", "msg": "text", "latency": "numeric", "ts": "datetime"}
+
+
+@pytest.fixture(scope="module")
+def logs(spark):
+    rows = [
+        (1, "ERROR", "connection refused to db", 120, "2024-01-01T00:00:00"),
+        (2, "INFO", "server started at 8080", 5, "2024-01-01T01:00:00"),
+        (3, "ERROR", "disk is full", 300, "2024-01-02T00:00:00"),
+        (4, "WARN", "slow query detected", 250, "2024-01-02T06:00:00"),
+        (5, "ERROR", "connection reset", 80, "2024-01-03T00:00:00"),
+        (6, "INFO", "healthy", 1, "2024-01-03T12:00:00"),
+    ]
+    return (
+        spark.createDataFrame(rows, ["id", "level", "msg", "latency", "ts_str"])
+        .withColumn("ts", F.to_timestamp("ts_str"))
+        .drop("ts_str")
+        .cache()
+    )
+
+
+def test_search_query_sort_size(logs):
+    res = es_search(
+        logs,
+        {
+            "query": {"term": {"level": {"value": "ERROR"}}},
+            "sort": [{"latency": {"order": "desc"}}],
+            "size": 2,
+        },
+        field_types=FIELDS,
+    )
+    assert res["hits"]["total"]["value"] == 3
+    got = [h["_source"]["id"] for h in res["hits"]["hits"]]
+    assert got == [3, 1]
+    assert res["hits"]["hits"][0]["sort"] == [300]
+
+
+def test_search_after_cursor_roundtrip(logs):
+    page1 = es_search(
+        logs, {"sort": [{"latency": "desc"}], "size": 2}, field_types=FIELDS
+    )
+    cursor = page1["hits"]["hits"][-1]["sort"]
+    page2 = es_search(
+        logs,
+        {"sort": [{"latency": "desc"}], "size": 2, "search_after": cursor},
+        field_types=FIELDS,
+    )
+    ids1 = [h["_source"]["id"] for h in page1["hits"]["hits"]]
+    ids2 = [h["_source"]["id"] for h in page2["hits"]["hits"]]
+    assert ids1 == [3, 4] and ids2 == [1, 5]
+
+
+def test_from_size_offset(logs):
+    res = es_search(
+        logs, {"sort": [{"latency": "desc"}], "from": 2, "size": 2},
+        field_types=FIELDS,
+    )
+    assert [h["_source"]["id"] for h in res["hits"]["hits"]] == [1, 5]
+
+
+def test_agg_only_request_size_zero(logs):
+    res = es_search(
+        logs,
+        {
+            "query": {"query_string": {"query": "level:ERROR OR level:WARN"}},
+            "size": 0,
+            "aggs": {
+                "levels": {
+                    "terms": {"field": "level"},
+                    "aggs": {"lat": {"avg": {"field": "latency"}}},
+                }
+            },
+        },
+        field_types=FIELDS,
+    )
+    assert res["hits"]["hits"] == []
+    assert res["hits"]["total"]["value"] == 4
+    buckets = {b["key"]: b for b in res["aggregations"]["levels"]["buckets"]}
+    assert buckets["ERROR"]["doc_count"] == 3
+    assert buckets["ERROR"]["lat"]["value"] == pytest.approx((120 + 300 + 80) / 3)
+    assert buckets["WARN"]["doc_count"] == 1
+
+
+def test_combined_query_hits_and_datehist(logs):
+    res = es_search(
+        logs,
+        {
+            "query": {"bool": {"must_not": [{"term": {"level": "INFO"}}]}},
+            "sort": [{"ts": {"order": "asc"}}],
+            "size": 10,
+            "aggs": {"daily": {"date_histogram": {"field": "ts", "fixed_interval": "1d"}}},
+        },
+        field_types=FIELDS,
+    )
+    assert [h["_source"]["id"] for h in res["hits"]["hits"]] == [1, 3, 4, 5]
+    days = [b["doc_count"] for b in res["aggregations"]["daily"]["buckets"]]
+    assert days == [1, 2, 1]

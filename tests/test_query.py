@@ -259,3 +259,26 @@ def test_ip_sortable_col_matches_python(spark, ip_df):
     ).collect()
     for r in rows:
         assert r["sortable"] == ip_sortable_literal(r["addr"]), r["addr"]
+
+
+def test_compiler_from_doc_mapping(spark):
+    from quickwit_spark.operators.docmapper import DocMapping, FieldMapping
+
+    mapping = DocMapping(
+        field_mappings=[
+            FieldMapping("msg", "text"),
+            FieldMapping("latency", "u64"),
+            FieldMapping("addr", "ip"),
+            FieldMapping(
+                "nested", "object",
+                fields=[FieldMapping("inner", "i64")],
+            ),
+        ],
+        timestamp_field=None,
+    )
+    qc2 = QueryCompiler.from_doc_mapping(mapping, default_fields=("msg",))
+    assert qc2.info("msg").kind == "text"
+    assert qc2.info("latency").kind == "numeric"
+    assert qc2.info("addr").kind == "ip"
+    assert qc2.info("nested.inner").kind == "numeric"
+    assert qc2.info("unknown").kind == "raw"
