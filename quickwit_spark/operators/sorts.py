@@ -17,10 +17,28 @@ from pyspark.sql import functions as F
 
 
 def _order_cols(sort_fields: list[tuple[str, bool]]):
+    # ES/Quickwit put documents MISSING the sort field last in BOTH
+    # directions (missing defaults to _last; rest-api-tests/scenarii/
+    # sort_orders vector 4 shows desc+missing-last) — Spark's asc default is
+    # nulls-first, so force nulls_last explicitly.
     return [
-        F.col(name).desc() if descending else F.col(name).asc()
+        F.col(name).desc_nulls_last() if descending else F.col(name).asc_nulls_last()
         for name, descending in sort_fields
     ]
+
+
+def _cursor_lit(v):
+    """search_after cursor literal with the reference's numeric-coercion
+    edge semantics (search_after/0001-search_after_edge_case.yaml): an
+    integer cursor beyond i64 range compares EXACTLY (decimal literal, so
+    `after: 18_000_000_000_000_000_000 asc` matches nothing and desc matches
+    everything); float cursors compare as f64 (inheriting f64 precision near
+    i64::MAX, same as the reference)."""
+    if isinstance(v, int) and not (-(1 << 63) <= v < (1 << 63)):
+        from decimal import Decimal
+
+        return F.lit(Decimal(v))
+    return F.lit(v)
 
 
 def top_k(df: DataFrame, sort_fields: list[tuple[str, bool]], k: int) -> DataFrame:
@@ -35,7 +53,7 @@ def _after_predicate(sort_fields: list[tuple[str, bool]], cursor: dict[str, Any]
     eq = F.lit(True)
     for name, descending in sort_fields:
         c = F.col(name)
-        v = F.lit(cursor[name])
+        v = _cursor_lit(cursor[name])
         step = (c < v) if descending else (c > v)
         pred = pred | (eq & step)
         eq = eq & (c == v)
