@@ -43,12 +43,20 @@ class MatchNone:
 class Term:
     field: str
     value: str
+    # query-string terms are ANALYZED (run through the field's normalizer →
+    # lowercased for text); ES DSL `term` is NOT (term_query.rs: the value
+    # must match the post-tokenization form exactly, so `PushEvent` misses
+    # lowercased tokens unless case_insensitive is set)
+    analyzed: bool = True
+    case_insensitive: bool = False
 
 
 @dataclass
 class TermSet:
     field: str
     values: tuple[str, ...]
+    analyzed: bool = True
+    case_insensitive: bool = False
 
 
 @dataclass
@@ -61,6 +69,9 @@ class FullText:
     field: str
     text: str
     operator: str = "or"  # or|and
+    # ES zero_terms_query: a query that tokenizes to nothing matches NONE by
+    # default (0003-match.yaml: `match: ","` → 0 hits), or ALL when "all"
+    zero_terms_query: str = "none"
 
 
 @dataclass
@@ -80,12 +91,17 @@ class PhrasePrefix:
 class Wildcard:
     field: str
     pattern: str
+    analyzed: bool = True  # DSL wildcard/prefix are case-sensitive by default
+    case_insensitive: bool = False
 
 
 @dataclass
 class Regex:
     field: str
     pattern: str
+    # regex is NEVER analyzed (regex_query.rs) — only the explicit ES
+    # case_insensitive flag relaxes case
+    case_insensitive: bool = False
 
 
 @dataclass
@@ -187,22 +203,30 @@ class QueryCompiler:
             info = self.info(ast.field)
             c = F.col(ast.field)
             if info.kind == "text":
-                return F.array_contains(tokenize_default(c), ast.value.lower())
+                # default-tokenizer tokens are lowercased, so an analyzed or
+                # case-insensitive lookup lowers the value; a raw DSL term
+                # must match the post-tokenization form exactly
+                v = ast.value.lower() if (ast.analyzed or ast.case_insensitive) else ast.value
+                return F.array_contains(tokenize_default(c), v)
             if info.kind == "datetime":
                 return c == F.to_timestamp(F.lit(ast.value))
             if info.kind == "ip":
                 from quickwit_spark.functions.ip import ip_normalize
 
                 return c == F.lit(ip_normalize(ast.value))
+            if info.kind == "raw" and ast.case_insensitive:
+                return F.lower(c) == F.lit(str(ast.value).lower())
             return c == F.lit(_literal(info, ast.value))
         if isinstance(ast, TermSet):
             info = self.info(ast.field)
             c = F.col(ast.field)
             if info.kind == "text":
                 toks = tokenize_default(c)
-                return F.arrays_overlap(
-                    toks, F.array(*[F.lit(v.lower()) for v in ast.values])
-                )
+                vals = [
+                    v.lower() if (ast.analyzed or ast.case_insensitive) else v
+                    for v in ast.values
+                ]
+                return F.arrays_overlap(toks, F.array(*[F.lit(v) for v in vals]))
             if info.kind == "ip":
                 from quickwit_spark.functions.ip import ip_normalize
 
@@ -213,7 +237,7 @@ class QueryCompiler:
         if isinstance(ast, FullText):
             toks = [t for t in re.split(r"[^\w]+", ast.text.lower()) if t]
             if not toks:
-                return F.lit(True)
+                return F.lit(ast.zero_terms_query == "all")
             col_toks = tokenize_default(F.col(ast.field))
             preds = [F.array_contains(col_toks, t) for t in toks]
             out = preds[0]
@@ -235,25 +259,33 @@ class QueryCompiler:
             return F.lower(F.col(ast.field)).rlike(pattern)
         if isinstance(ast, Wildcard):
             info = self.info(ast.field)
+            lowered = ast.analyzed or ast.case_insensitive
             if info.kind == "text":
-                # wildcard runs over tokenized terms, lowercased like the
-                # field's normalizer (wildcard_query.rs:60-98): the pattern
-                # must match a WHOLE token
-                pat = _wildcard_to_regex(ast.pattern.lower())
+                # wildcard runs over tokenized terms (wildcard_query.rs:60-98):
+                # the pattern must match a WHOLE token. Query-string wildcards
+                # are normalized like the field (lowercased); DSL wildcards
+                # are case-sensitive unless case_insensitive is set.
+                pat = _wildcard_to_regex(ast.pattern.lower() if lowered else ast.pattern)
                 return F.exists(
                     tokenize_default(F.col(ast.field)), lambda t: t.rlike(pat)
                 )
-            return F.col(ast.field).rlike(_wildcard_to_regex(ast.pattern))
+            c = F.col(ast.field)
+            if ast.case_insensitive:
+                return F.lower(c).rlike(_wildcard_to_regex(ast.pattern.lower()))
+            return c.rlike(_wildcard_to_regex(ast.pattern))
         if isinstance(ast, Regex):
             info = self.info(ast.field)
+            flags = "(?i)" if ast.case_insensitive else ""
             if info.kind == "text":
                 # tantivy RegexQuery matches full terms in the field's token
-                # stream (regex_query.rs) — anchor per token, not per raw value
-                pat = "^(?:" + ast.pattern + ")$"
+                # stream (regex_query.rs) — anchor per token, not per raw
+                # value; the pattern itself is never analyzed
+                pat = flags + "^(?:" + ast.pattern + ")$"
                 return F.exists(
                     tokenize_default(F.col(ast.field)), lambda t: t.rlike(pat)
                 )
-            return F.col(ast.field).rlike(ast.pattern)
+            # tantivy regexes are implicitly anchored (`(re)` ≡ `^(re)$`)
+            return F.col(ast.field).rlike(flags + "^(?:" + ast.pattern + ")$")
         if isinstance(ast, Range):
             info = self.info(ast.field)
             if info.kind == "ip":
@@ -539,14 +571,22 @@ def es_dsl_to_ast(dsl: dict) -> QueryAst:
     if kind == "term":
         (f, spec), = body.items()
         v = spec["value"] if isinstance(spec, dict) else spec
-        return Term(f, str(v))
+        ci = bool(spec.get("case_insensitive", False)) if isinstance(spec, dict) else False
+        # DSL terms are NOT analyzed: they must match the post-tokenization
+        # form (0006-term_query.yaml: `PushEvent` → 0 hits, `pushevent` → 60)
+        return Term(f, str(v), analyzed=False, case_insensitive=ci)
     if kind == "terms":
         (f, vals), = body.items()
-        return TermSet(f, tuple(str(v) for v in vals))
+        return TermSet(f, tuple(str(v) for v in vals), analyzed=False)
     if kind == "match":
         (f, spec), = body.items()
         if isinstance(spec, dict):
-            return FullText(f, str(spec["query"]), spec.get("operator", "or").lower())
+            return FullText(
+                f,
+                str(spec["query"]),
+                spec.get("operator", "or").lower(),
+                zero_terms_query=str(spec.get("zero_terms_query", "none")).lower(),
+            )
         return FullText(f, str(spec))
     if kind == "multi_match":
         q = str(body["query"])
@@ -587,14 +627,19 @@ def es_dsl_to_ast(dsl: dict) -> QueryAst:
         return r
     if kind == "regexp":
         (f, spec), = body.items()
-        return Regex(f, spec["value"] if isinstance(spec, dict) else spec)
+        v = spec["value"] if isinstance(spec, dict) else spec
+        ci = bool(spec.get("case_insensitive", False)) if isinstance(spec, dict) else False
+        return Regex(f, v, case_insensitive=ci)
     if kind == "wildcard":
         (f, spec), = body.items()
-        return Wildcard(f, spec["value"] if isinstance(spec, dict) else spec)
+        v = spec["value"] if isinstance(spec, dict) else spec
+        ci = bool(spec.get("case_insensitive", False)) if isinstance(spec, dict) else False
+        return Wildcard(f, v, analyzed=False, case_insensitive=ci)
     if kind == "prefix":
         (f, spec), = body.items()
         v = spec["value"] if isinstance(spec, dict) else spec
-        return Wildcard(f, f"{v}*")
+        ci = bool(spec.get("case_insensitive", False)) if isinstance(spec, dict) else False
+        return Wildcard(f, f"{v}*", analyzed=False, case_insensitive=ci)
     if kind == "bool":
         def as_list(x):
             return x if isinstance(x, list) else [x] if x else []
