@@ -120,8 +120,11 @@ class Bool:
     must_not: list = dfield(default_factory=list)
     filter: list = dfield(default_factory=list)
     # ES/tantivy default: should is REQUIRED only when no must/filter clause
-    # exists (bool_query.rs builds minimum_should_match=0 otherwise)
-    minimum_should_match: int | None = None
+    # exists (bool_query.rs builds minimum_should_match=0 otherwise).
+    # Accepts ints, negative ints (= n_should + msm) and "NN%" strings with
+    # the reference's clamping (0009-bool_query.yaml vectors): a pure-should
+    # bool never drops below 1; an impossible msm (> n_should) matches none.
+    minimum_should_match: int | str | None = None
 
 
 QueryAst = Any
@@ -326,13 +329,26 @@ class QueryCompiler:
             out = F.lit(True)
             for q in ast.must + ast.filter:
                 out = out & self.compile(q)
-            msm = ast.minimum_should_match
-            if msm is None:
+            n_should = len(ast.should)
+            has_anchor = bool(ast.must or ast.filter)
+            raw_msm = ast.minimum_should_match
+            if raw_msm is None:
                 # ES semantics: should clauses are optional once a must/filter
                 # clause is present (minimum_should_match defaults to 0), and
                 # required (=1) when the bool is pure-should.
-                msm = 0 if (ast.must or ast.filter) else 1
+                msm = 0 if has_anchor else 1
+            else:
+                if isinstance(raw_msm, str) and raw_msm.strip().endswith("%"):
+                    msm = int(n_should * float(raw_msm.strip()[:-1]) / 100.0)
+                else:
+                    msm = int(raw_msm)
+                if msm < 0:  # -N means "all but N"
+                    msm = n_should + msm
+                # a pure-should bool still has to match SOMETHING
+                msm = max(msm, 0 if has_anchor else 1)
             if ast.should and msm >= 1:
+                if msm > n_should:
+                    return F.lit(False)  # impossible requirement matches none
                 if msm == 1:
                     s = F.lit(False)
                     for q in ast.should:
@@ -591,7 +607,19 @@ def es_dsl_to_ast(dsl: dict) -> QueryAst:
     if kind == "multi_match":
         q = str(body["query"])
         fields = body.get("fields", [])
-        shoulds = [FullText(f, q, body.get("operator", "or").lower()) for f in fields]
+        if isinstance(fields, str):  # ES accepts a bare string
+            fields = [fields]
+        if not fields:
+            raise ValueError("multi_match requires a non-empty fields list")
+        mtype = body.get("type", "best_fields")
+        if mtype == "phrase":
+            slop = int(body.get("slop", 0))
+            shoulds: list = [Phrase(f, q, slop) for f in fields]
+        elif mtype == "phrase_prefix":
+            shoulds = [PhrasePrefix(f, q) for f in fields]
+        else:  # best_fields / most_fields / cross_fields → per-field match
+            op = body.get("operator", "or").lower()
+            shoulds = [FullText(f, q, op) for f in fields]
         return shoulds[0] if len(shoulds) == 1 else Bool(should=shoulds)
     if kind == "match_bool_prefix":
         (f, spec), = body.items()
@@ -644,13 +672,12 @@ def es_dsl_to_ast(dsl: dict) -> QueryAst:
         def as_list(x):
             return x if isinstance(x, list) else [x] if x else []
 
-        msm = body.get("minimum_should_match")
         return Bool(
             must=[es_dsl_to_ast(q) for q in as_list(body.get("must"))],
             should=[es_dsl_to_ast(q) for q in as_list(body.get("should"))],
             must_not=[es_dsl_to_ast(q) for q in as_list(body.get("must_not"))],
             filter=[es_dsl_to_ast(q) for q in as_list(body.get("filter"))],
-            minimum_should_match=int(msm) if msm is not None else None,
+            minimum_should_match=body.get("minimum_should_match"),
         )
     if kind == "query_string":
         return parse_query(body["query"], tuple(body.get("fields", ())))

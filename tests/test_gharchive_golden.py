@@ -144,3 +144,64 @@ def test_0031_regexp(gh):
     assert _total(gh, {"regexp": {"type": {"value": "RUST.*", "case_insensitive": False}}}) == 0
     # regex through the query string
     assert _total(gh, {"query_string": {"query": "type:/pushevent/"}}) == 60
+
+
+def test_0009_bool_minimum_should_match(gh):
+    Q = lambda s: {"query_string": {"query": s}}  # noqa: E731
+    shoulds = [
+        Q("type:PushEvent"), Q("actor.login:jadonk"),
+        Q("actor.login:teozfrank"), Q("type:IssueCommentEvent"),
+    ]
+    assert _total(gh, {"bool": {"filter": [{"match_all": {}}]}}) == 100
+    assert _total(gh, {"bool": {}}) == 100
+    assert _total(gh, {"bool": {"must_not": [{"match_none": {}}]}}) == 100
+    assert _total(gh, {"bool": {"must_not": [Q("type:PushEvent AND actor.login:jadonk")]}}) == 98
+    assert _total(gh, {"bool": {"should": [{"match_none": {}}]}}) == 0
+    assert _total(gh, {"bool": {"must": [{"match_all": {}}], "should": [{"match_none": {}}]}}) == 100
+    assert _total(gh, {"bool": {"must": None, "should": None, "must_not": None, "filter": None}}) == 100
+    for msm, want in [(1, 69), (2, 3), (3, 0), ("50%", 3), (-2, 3), (-3, 69), (-10, 69), (0, 69)]:
+        assert _total(gh, {"bool": {"should": shoulds, "minimum_should_match": msm}}) == want, msm
+    # with a must anchor the floor drops to 0 and the count is over shoulds
+    assert _total(gh, {"bool": {"must": [Q("type:PushEvent")], "should": shoulds[1:], "minimum_should_match": 1}}) == 2
+    assert _total(gh, {"bool": {"must": [Q("type:PushEvent")], "should": [Q("actor.login:jadonk")], "minimum_should_match": 2}}) == 0
+    assert _total(gh, {"bool": {"must": [Q("type:PushEvent")], "should": shoulds[1:], "minimum_should_match": -10}}) == 60
+
+
+def test_0017_match_bool_prefix(gh):
+    body = F.col  # noqa: F841 (keep import used)
+    gh2 = gh.withColumn("pr_body", F.col("payload.pull_request.body"))
+    fields = {**FIELDS, "pr_body": "text"}
+
+    def total(query):
+        return es_search(gh2, {"query": query, "size": 0}, field_types=fields)["hits"]["total"]["value"]
+
+    assert total({"match_bool_prefix": {"pr_body": {"query": "file not ch"}}}) == 1
+    assert total({"match_bool_prefix": {"pr_body": {"query": "file not chzn", "operator": "AND"}}}) == 0
+    assert total({"match_bool_prefix": {"pr_body": {"query": "file not ch", "operator": "AND"}}}) == 1
+    assert total({"match_bool_prefix": {"pr_body": "file not ch"}}) == 1
+    assert _total(gh, {"match_phrase_prefix": {"commits_msg": {"query": "fix"}}}) == 7
+
+
+def test_0014_multi_match(gh):
+    assert _total(gh, {"multi_match": {"query": "sign decoration", "fields": ["commits_msg"]}}) == 1
+    assert _total(gh, {"multi_match": {"query": "sign decoration", "fields": "commits_msg"}}) == 1
+    assert _total(gh, {"multi_match": {"type": "phrase", "query": "sign decoration", "fields": ["commits_msg"]}}) == 1
+    assert _total(gh, {"multi_match": {"type": "phrase", "query": "zone explosion", "fields": ["commits_msg"]}}) == 0
+    assert _total(gh, {"multi_match": {"type": "phrase", "query": "zone explosion", "slop": 1, "fields": ["commits_msg"]}}) == 1
+    assert _total(gh, {"multi_match": {"type": "most_fields", "query": "the pomle missingtoken", "fields": ["commits_msg", "actor.login"]}}) == 4
+    assert _total(gh, {"multi_match": {"type": "phrase", "query": "zone of expl", "fields": ["commits_msg"]}}) == 0
+    assert _total(gh, {"multi_match": {"type": "phrase_prefix", "query": "zone of expl", "fields": ["commits_msg"]}}) == 1
+    with pytest.raises(ValueError):
+        _total(gh, {"multi_match": {"query": "sign decoration", "fields": []}})
+
+
+def test_0005_0019_query_string_and_count(gh):
+    assert _total(gh, {"query_string": {"query": "type:PushEvent AND actor.login:jadonk"}}) == 2
+    assert _total(gh, {"query_string": {"query": "PushEvent", "fields": ["type"]}}) == 60
+    assert _total(gh, {"query_string": {"query": "actor.id:1315639"}}) == 1
+    with pytest.raises(ValueError):
+        _total(gh, {"query_string": {"query": "type:PushEvent OR"}})
+    # _count endpoint ≡ size:0 track_total_hits
+    res = es_search(gh, {"query": {"query_string": {"query": "type:PushEvent"}}, "size": 0}, field_types=FIELDS)
+    assert res["hits"]["total"]["value"] == 60
+    assert es_search(gh, {"size": 0}, field_types=FIELDS)["hits"]["total"]["value"] == 100
