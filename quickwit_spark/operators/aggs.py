@@ -273,11 +273,14 @@ def terms_shard_emulated(
 
     Each Spark partition plays the reference's per-segment collector: it
     keeps only its local top ``shard_size`` terms (default ``size*1.5+10``);
-    survivors merge globally. A term missing from a shard could hide at most
-    that shard's cutoff count, so the error bound is the SUM of the
-    per-shard cutoffs — exactly ES's bound. Returns ``(buckets,
-    doc_count_error_upper_bound)``; buckets may undercount by ≤ the bound
-    (the price of bounded per-shard state at scale).
+    survivors merge globally. A term missing from a shard was DROPPED there,
+    so its hidden count is at most that shard's LARGEST DROPPED bucket — the
+    bound is the sum of those over cut shards (the reference's accounting:
+    sum of largest dropped bucket per split, golden-tested against
+    0001-aggregations.yaml's split_size vectors; slightly tighter than ES's
+    last-returned bound). Returns ``(buckets, doc_count_error_upper_bound)``;
+    buckets may undercount by ≤ the bound (the price of bounded per-shard
+    state at scale).
     """
     from pyspark.sql import Window
 
@@ -290,14 +293,17 @@ def terms_shard_emulated(
     w = Window.partitionBy("__shard").orderBy(F.col("cnt").desc(), F.col("key").asc())
     ranked = local.withColumn("__rn", F.row_number().over(w))
     kept = ranked.filter(F.col("__rn") <= shard_size)
-    # per-shard cutoff = count of the last RETURNED term when the shard was
-    # actually cut (ES: the bound each shard reports)
+    # per-shard bound = the largest DROPPED count (rank shard_size+1 in the
+    # count-desc order) for shards that were actually cut
     cut = (
         ranked.groupBy("__shard")
-        .agg(F.max("__rn").alias("n"), F.max(F.when(F.col("__rn") == shard_size, F.col("cnt"))).alias("last"))
+        .agg(
+            F.max("__rn").alias("n"),
+            F.max(F.when(F.col("__rn") == shard_size + 1, F.col("cnt"))).alias("dropped"),
+        )
         .filter(F.col("n") > shard_size)
     )
-    error_bound = int(cut.agg(F.coalesce(F.sum("last"), F.lit(0))).collect()[0][0])
+    error_bound = int(cut.agg(F.coalesce(F.sum("dropped"), F.lit(0))).collect()[0][0])
     buckets = (
         kept.groupBy("key")
         .agg(F.sum("cnt").alias("doc_count"))
@@ -320,9 +326,12 @@ def multi_terms(
     fields: list[str],
     size: int = 10,
     metrics: dict[str, tuple[str, str]] | None = None,
+    order_by_key: bool = False,
 ) -> DataFrame:
     """Tuple-key terms; key_as_string is the pipe-joined key
-    (aggregations.rs:392-401)."""
+    (aggregations.rs:392-401). ``order_by_key`` gives the `{_key: asc}`
+    order; multi-valued (array) source fields should be exploded by the
+    caller first (ES counts a doc once per value combination)."""
     cols = [F.col(f) for f in fields]
     not_null = cols[0].isNotNull()
     for c in cols[1:]:
@@ -336,6 +345,8 @@ def multi_terms(
             F.concat_ws("|", *[F.col(f).cast("string") for f in fields]),
         )
     )
+    if order_by_key:
+        return grouped.orderBy(*[F.col(f).asc() for f in fields]).limit(size)
     return grouped.orderBy(F.col("doc_count").desc(), F.col("key_as_string").asc()).limit(size)
 
 
@@ -386,25 +397,35 @@ def range_agg(
     )
 
 
-def _composite_source(src) -> tuple[str, Column]:
+def _composite_source(src) -> tuple[str, Column, bool]:
     """A composite source: a plain column name, or an ES-style spec
     ``{name: {"terms"|"date_histogram"|"histogram": {...}}}``
-    (quickwit-query/src/aggregations.rs:500-570 source kinds)."""
+    (quickwit-query/src/aggregations.rs:500-570 source kinds). Returns
+    ``(name, key_expr, missing_bucket)`` — docs whose source key is null are
+    EXCLUDED unless the source sets ``missing_bucket: true``, in which case
+    the null bucket sorts FIRST (0001-aggregations.yaml composite vectors).
+    """
     if isinstance(src, str):
-        return src, F.col(src)
+        return src, F.col(src), False
     (name, spec), = src.items()
     if "terms" in spec:
-        return name, F.col(spec["terms"]["field"])
+        p = spec["terms"]
+        return name, F.col(p["field"]), bool(p.get("missing_bucket", False))
     if "date_histogram" in spec:
         p = spec["date_histogram"]
         interval_ms = interval_to_millis(p["fixed_interval"])
         offset_ms = interval_to_millis(p.get("offset", "0ms"))
-        return name, _bucket_key(_ts_ms(F.col(p["field"])), interval_ms, offset_ms)
+        return (
+            name,
+            _bucket_key(_ts_ms(F.col(p["field"])), interval_ms, offset_ms),
+            bool(p.get("missing_bucket", False)),
+        )
     if "histogram" in spec:
         p = spec["histogram"]
-        return name, (
+        key = (
             F.floor(F.col(p["field"]) / F.lit(p["interval"])) * F.lit(p["interval"])
         ).cast("double")
+        return name, key, bool(p.get("missing_bucket", False))
     raise ValueError(f"unsupported composite source {spec}")
 
 
@@ -420,17 +441,33 @@ def composite(
     The after-filter is a lexicographic predicate over the computed keys so
     pagination pushes into the aggregate."""
     named = [_composite_source(s) for s in sources]
-    grouped = df.groupBy(*[expr.alias(n) for n, expr in named]).agg(
+    base = df
+    for n, expr, missing_ok in named:
+        if not missing_ok:
+            base = base.filter(expr.isNotNull())
+    grouped = base.groupBy(*[expr.alias(n) for n, expr, _ in named]).agg(
         F.count(F.lit(1)).alias("doc_count")
     )
     if after:
         pred = F.lit(False)
         eq = F.lit(True)
-        for n, _ in named:
-            pred = pred | (eq & (F.col(n) > F.lit(after[n])))
-            eq = eq & (F.col(n) == F.lit(after[n]))
-        grouped = grouped.filter(pred)
-    return grouped.orderBy(*[F.col(n).asc() for n, _ in named]).limit(size)
+        for n, _, missing_ok in named:
+            a = after.get(n)
+            c = F.col(n)
+            if a is None:
+                # null sorts first: anything non-null is strictly after it
+                pred = pred | (eq & c.isNotNull())
+                eq = eq & c.isNull()
+            else:
+                step = c > F.lit(a)
+                if missing_ok:
+                    step = F.coalesce(step, F.lit(False))  # null is before any value
+                pred = pred | (eq & step)
+                eq = eq & (c == F.lit(a))
+        grouped = grouped.filter(F.coalesce(pred, F.lit(False)))
+    return grouped.orderBy(
+        *[F.col(n).asc_nulls_first() for n, _, _ in named]
+    ).limit(size)
 
 
 # ---------------------------------------------------------------------------

@@ -314,7 +314,13 @@ class DocMapper:
         and the timestamp-required check over the whole batch.
         """
         rows = [self.parse_doc(r) for r in docs]
-        pdf = pd.DataFrame(rows, columns=[f.name for f in self.schema.fields])
+        # dtype=object keeps large integers exact: the default constructor
+        # promotes a None+int column to float64, silently rounding u64s above
+        # 2^53 (the reference's "term aggs number precision" golden vector);
+        # _arrow_safe then converts long columns to exact nullable Int64
+        pdf = pd.DataFrame(
+            rows, columns=[f.name for f in self.schema.fields], dtype=object
+        )
 
         for name, fm in self._datetime_fields.items():
             vals = pdf[name]

@@ -211,3 +211,115 @@ def test_range_agg_overlapping_ranges(spark):
         ).collect()
     }
     assert out == {"0-30": 3, "10-40": 3}  # 15 and 25 land in both
+
+
+# ---------------------------------------------------------------------------
+# round 2: remaining 0001-aggregations.yaml vectors
+# ---------------------------------------------------------------------------
+
+IP1, IP10, IP11 = "::ffff:192.168.0.1", "::ffff:192.168.0.10", "::ffff:192.168.0.11"
+
+
+def test_terms_split_size_error_bound_golden(spark):
+    """0001-aggregations.yaml split_size vectors: two 5-doc splits; with
+    shard_size=1 one 'Fritz' is cut (count 2 of 3, sum_other 8, bound 2);
+    with shard_size=5 the result is exact (count 3, bound 0)."""
+    from quickwit_spark.operators.aggs import terms_shard_emulated
+
+    split1 = ["Albert", "Fred", "Manfred", "Horst", "Fritz"]
+    split2 = ["Fritz", "Fritz", "Holger", "Werner", "Bernhard"]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize([(n,) for n in split1 + split2], 2),
+        "name string",
+    )
+    buckets, bound = terms_shard_emulated(df, "name", size=1, shard_size=1)
+    rows = buckets.collect()
+    assert [(r["key"], r["doc_count"]) for r in rows] == [("Fritz", 2)]
+    assert bound == 2
+    assert 10 - rows[0]["doc_count"] == 8  # sum_other_doc_count
+
+    buckets5, bound5 = terms_shard_emulated(df, "name", size=1, shard_size=5)
+    assert [(r["key"], r["doc_count"]) for r in buckets5.collect()] == [("Fritz", 3)]
+    assert bound5 == 0
+
+
+def test_cardinality_golden(fixture_df):
+    got = {
+        f: cardinality(fixture_df, f).collect()[0]["value"]
+        for f in ("name", "response", "date")
+    }
+    assert got == {"name": 8, "response": 5, "date": 6}
+
+
+def test_extended_stats_sum_of_squares_golden(fixture_df):
+    from quickwit_spark.operators.aggs import extended_stats
+
+    r = extended_stats(fixture_df, "response").collect()[0]
+    assert r["sum_of_squares"] == 55300.0
+
+
+def test_terms_high_precision_u64_golden(fixture_df):
+    rows = terms(fixture_df, "high_prec_test").collect()
+    assert [(r["key"], r["doc_count"]) for r in rows] == [(1769070189829214200, 1)]
+
+
+def test_histogram_golden_vector(fixture_df):
+    rows = histogram(fixture_df, "response", 50.0).collect()
+    assert [(r["key"], r["doc_count"]) for r in rows] == [(0.0, 5), (50.0, 0), (100.0, 4)]
+
+
+_COMPOSITE_SOURCES = [
+    {"host": {"terms": {"field": "host", "missing_bucket": True}}},
+    {"name_": {"terms": {"field": "name"}}},
+    {"response": {"histogram": {"field": "response", "interval": 50}}},
+]
+
+
+def test_composite_missing_bucket_and_after_golden(fixture_df):
+    # page 1 (size 5): null-host buckets first; Horst (no response) excluded
+    rows = composite(fixture_df, _COMPOSITE_SOURCES, size=5).collect()
+    got = [(r["host"], r["name_"], r["response"], r["doc_count"]) for r in rows]
+    assert got == [
+        (None, "Bernhard", 100.0, 1),
+        (None, "Fritz", 0.0, 2),
+        (IP1, "Fred", 100.0, 1),
+        (IP1, "Fritz", 0.0, 1),
+        (IP10, "Albert", 100.0, 1),
+    ]
+    # page 2 via after_key = last row of page 1
+    after = {"host": IP10, "name_": "Albert", "response": 100.0}
+    rows2 = composite(fixture_df, _COMPOSITE_SOURCES, size=5, after=after).collect()
+    got2 = [(r["host"], r["name_"], r["response"], r["doc_count"]) for r in rows2]
+    assert got2 == [
+        (IP10, "Holger", 0.0, 1),
+        (IP10, "Werner", 0.0, 1),
+        (IP11, "Manfred", 100.0, 1),
+    ]
+
+
+def test_multi_terms_key_order_and_multivalue_golden(fixture_df):
+    # 0003-multi-terms.yaml vector 1: (host, response) ordered by _key asc
+    base = fixture_df.filter(F.col("host").isNotNull() & F.col("response").isNotNull())
+    rows = multi_terms(base, ["host", "response"], size=10, order_by_key=True).collect()
+    got = [(r["host"], r["response"], r["doc_count"]) for r in rows]
+    assert got == [
+        (IP1, 30.0, 1), (IP1, 100.0, 1),
+        (IP10, 20.0, 1), (IP10, 30.0, 1), (IP10, 100.0, 1),
+        (IP11, 120.0, 1),
+    ]
+    # vector 2: multivalued tags exploded + avg sub-agg; Horst (no response)
+    # contributes nothing
+    tagged = fixture_df.withColumn("tag", F.explode("tags")).filter(
+        F.col("response").isNotNull()
+    )
+    rows2 = multi_terms(
+        tagged, ["tag", "response"], size=10,
+        metrics={"avg_response": ("avg", "response")}, order_by_key=True,
+    ).collect()
+    got2 = [(r["tag"], r["response"], r["doc_count"], r["avg_response"]) for r in rows2]
+    assert got2 == [
+        ("cool", 30.0, 1, 30.0),
+        ("nice", 30.0, 1, 30.0),
+        ("nice", 100.0, 2, 100.0),
+        ("nice", 120.0, 1, 120.0),
+    ]
