@@ -282,12 +282,18 @@ class DocMapper:
         # concatenate virtual fields: union of stringified source values
         # (+ dynamic leaves when enabled) — field_mapping_entry.rs:662+,
         # values gathered as in mapping_tree.rs:267-328 (no datetime/ip/bytes)
+        excluded_srcs = {
+            f.name for f in self.mapping.field_mappings if f.type in ("datetime", "ip", "bytes")
+        }
         for fm in self.mapping.field_mappings:
             if fm.type != "concatenate":
                 continue
             gathered: list[str] = []
 
             def _gather(v):
+                # JSON objects contribute their LEAF values recursively
+                # (mapping_tree.rs:267-328: concat gathers json leaves, so
+                # `concat_raw:nestedstring` hits — concat_fields vectors)
                 for item in v if isinstance(v, list) else [v]:
                     if item is None:
                         continue
@@ -295,9 +301,14 @@ class DocMapper:
                         gathered.append("true" if item else "false")
                     elif isinstance(item, (str, int, float)):
                         gathered.append(str(item))
+                    elif isinstance(item, dict):
+                        for sub in item.values():
+                            _gather(sub)
 
             for src in fm.source_fields:
-                _gather(out.get(src, obj.get(src)))
+                if src in excluded_srcs:
+                    continue  # datetime/ip/bytes never feed concat fields
+                _gather(obj.get(src))
             if fm.include_dynamic_fields:
                 for v in dynamic.values():
                     _gather(v)

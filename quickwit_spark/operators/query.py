@@ -138,7 +138,10 @@ QueryAst = Any
 @dataclass
 class FieldInfo:
     """How a field compiles: ``kind`` ∈ text (tokenized), raw (exact string),
-    numeric, datetime, bool, ip (IPv6-normalized, u128-ordered ranges)."""
+    numeric, datetime, bool, ip (IPv6-normalized, u128-ordered ranges),
+    concat_raw / concat_default (concatenate virtual fields — array<string>
+    of gathered source values, matched with the CONCAT field's own tokenizer
+    per field_mapping_entry.rs:662+)."""
 
     kind: str = "raw"
 
@@ -219,6 +222,20 @@ class QueryCompiler:
                 from quickwit_spark.functions.ip import ip_normalize
 
                 return c == F.lit(ip_normalize(ast.value))
+            if info.kind == "concat_raw":
+                # each gathered value is ONE raw token
+                return F.array_contains(c, ast.value)
+            if info.kind == "concat_default":
+                # string values tokenize with the concat field's default
+                # tokenizer; gathered numbers/bools are single exact tokens
+                # (concat_default:1.5 must hit the float doc even though the
+                # text tokenizer would split on '.')
+                v = ast.value.lower() if (ast.analyzed or ast.case_insensitive) else ast.value
+                return F.exists(
+                    c,
+                    lambda item: F.array_contains(tokenize_default(item), v)
+                    | (item == F.lit(ast.value)),
+                )
             if info.kind == "raw" and ast.case_insensitive:
                 return F.lower(c) == F.lit(str(ast.value).lower())
             return c == F.lit(_literal(info, ast.value))

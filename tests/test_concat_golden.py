@@ -1,0 +1,94 @@
+"""Concatenate-field golden vectors
+(rest-api-tests/scenarii/concat_fields/0001_concat_field.yaml): the concat
+field matches with ITS OWN tokenizer, gathers bools/numbers as strings, json
+LEAF values recursively, and dynamic leaves when include_dynamic_fields."""
+
+import json
+
+import pytest
+
+from quickwit_spark.operators.docmapper import (
+    DocMapper,
+    DocMapping,
+    FieldMapping,
+    split_quarantine,
+)
+from quickwit_spark.operators.query import QueryCompiler
+
+_DOCS = [
+    {"text1": "AB-CD", "text2": "EF-GH"},
+    {"text1": "true"},
+    {"boolean": True},
+    {"text2": "i like 42"},
+    {"int": 42},
+    {"other-field": "otherfieldvalue", "other-field-number": 9, "other-field-bool": False},
+    {"json": {"some_bool": False, "some_int": 10, "nested": {"some_string": "nestedstring"}}},
+    {"float": 1.5},
+    {"json": {"val:": 2.5, "date": "2024-01-01T00:13:00Z"}},
+    {"other": 3.5},
+]
+
+_SOURCES = ("text1", "text2", "boolean", "int", "json", "float")
+
+
+@pytest.fixture(scope="module")
+def concat_df(spark):
+    mapping = DocMapping(
+        field_mappings=[
+            FieldMapping("text1", "text"),
+            FieldMapping("text2", "text"),
+            FieldMapping("boolean", "bool"),
+            FieldMapping("int", "u64"),
+            FieldMapping("float", "f64"),
+            FieldMapping("json", "json"),
+            FieldMapping(
+                "concat_raw", "concatenate",
+                source_fields=_SOURCES, include_dynamic_fields=True,
+            ),
+            FieldMapping(
+                "concat_default", "concatenate",
+                source_fields=_SOURCES, include_dynamic_fields=False,
+            ),
+        ],
+        mode="dynamic",
+    )
+    df = spark.createDataFrame([(json.dumps(d),) for d in _DOCS], ["value"])
+    valid, _ = split_quarantine(DocMapper(mapping).apply(df))
+    valid = valid.cache()
+    assert valid.count() == len(_DOCS)
+    return valid
+
+
+QC = QueryCompiler({"concat_raw": "concat_raw", "concat_default": "concat_default"})
+
+
+@pytest.mark.parametrize(
+    "query,want",
+    [
+        # the concat field's tokenizer applies, not the source field's
+        ("concat_raw:AB-CD", 1),
+        ("concat_raw:EF-GH", 1),
+        ("concat_default:AB", 1),
+        ("concat_default:GH", 1),
+        # bools found in text AND bool fields
+        ("concat_raw:true", 2),
+        ("concat_default:true", 2),
+        # numbers: raw doesn't tokenize "i like 42", default does
+        ("concat_raw:42", 1),
+        ("concat_default:42", 2),
+        # dynamic fields only in concat_raw (include_dynamic_fields)
+        ("concat_raw:otherfieldvalue", 1),
+        ("concat_raw:9", 1),
+        ("concat_default:otherfieldvalue OR concat_default:9", 0),
+        # json leaves, recursively
+        ("concat_raw:false", 2),
+        ("concat_default:false", 1),
+        ("concat_raw:10", 1),
+        ("concat_raw:nestedstring", 1),
+        ("concat_default:10", 1),
+        ("concat_default:nestedstring", 1),
+        ("concat_default:1.5", 1),
+    ],
+)
+def test_concat_field_vectors(concat_df, query, want):
+    assert QC.where(concat_df, query).count() == want, query
