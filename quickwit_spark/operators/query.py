@@ -222,6 +222,14 @@ class QueryCompiler:
                 from quickwit_spark.functions.ip import ip_normalize
 
                 return c == F.lit(ip_normalize(ast.value))
+            if info.kind == "json":
+                # json-string column (json field / `_dynamic`): match LEAF
+                # values — keys are stripped before tokenizing so a term only
+                # hits values (default_search_fields vectors: bare `allo`
+                # finds {"somefieldinjson": "allo"})
+                v = ast.value.lower() if (ast.analyzed or ast.case_insensitive) else ast.value
+                leaves = F.regexp_replace(c, r'"[^"]*"\s*:', " ")
+                return F.array_contains(tokenize_default(leaves), v)
             if info.kind == "concat_raw":
                 # each gathered value is ONE raw token
                 return F.array_contains(c, ast.value)

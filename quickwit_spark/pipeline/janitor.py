@@ -422,3 +422,35 @@ def merge_splits(
         )
         merged_ids.append(merged_id)
     return {"merged": merged_ids, "groups": groups}
+
+
+# ---------------------------------------------------------------------------
+# tag-based split pruning (query-time metadata pruning)
+# ---------------------------------------------------------------------------
+
+
+def prune_splits_by_tag(
+    spark: SparkSession, out_dir: str, field: str, values: list[str]
+) -> list[str]:
+    """Commits that can possibly contain ``field ∈ values`` — decided from
+    lineage tags ONLY (tag_pruning.rs:35,165 behavior): a commit is kept if
+    any of its splits' ``tags_<field>`` intersects ``values``, or if the tag
+    set overflowed (cap 64 → the split may contain anything). Commits without
+    the tag column at all are kept (un-taggable ⇒ never prunable).
+
+    Metadata-only: at 10^12 turns this is the difference between scanning
+    every sink file and opening only the commits whose tag sets match.
+    """
+    lineage = read_lineage(spark, out_dir)
+    col = f"tags_{field}"
+    if col not in lineage.columns:
+        return [r["commit_id"] for r in lineage.select("commit_id").distinct().collect()]
+    overflowed = F.size(F.col(col)) >= MAX_VALUES_PER_TAG
+    hit = F.arrays_overlap(F.col(col), F.array(*[F.lit(v) for v in values]))
+    rows = (
+        lineage.filter(F.coalesce(hit, F.lit(False)) | overflowed)
+        .select("commit_id")
+        .distinct()
+        .collect()
+    )
+    return [r["commit_id"] for r in rows]

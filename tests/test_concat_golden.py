@@ -92,3 +92,38 @@ QC = QueryCompiler({"concat_raw": "concat_raw", "concat_default": "concat_defaul
 )
 def test_concat_field_vectors(concat_df, query, want):
     assert QC.where(concat_df, query).count() == want, query
+
+
+def test_default_search_fields_reach_dynamic_and_json(spark):
+    """default_search_fields/0001 vectors: a bare term finds hits in the
+    declared text field, inside a json field's leaf values, and in dynamic
+    fields (via the `_dynamic` capture)."""
+    docs = [
+        {"id": 1, "some_dynamic_field": "hello"},
+        {"id": 2, "inner_json": {"somefieldinjson": "allo"}},
+        {"id": 3, "regular_field": "bonjour"},
+    ]
+    mapping = DocMapping(
+        field_mappings=[
+            FieldMapping("id", "u64"),
+            FieldMapping("inner_json", "json"),
+            FieldMapping("regular_field", "text"),
+        ],
+        mode="dynamic",
+    )
+    df = spark.createDataFrame([(json.dumps(d),) for d in docs], ["value"])
+    valid, _ = split_quarantine(DocMapper(mapping).apply(df))
+    valid = valid.cache()
+    qc = QueryCompiler(
+        {"regular_field": "text", "inner_json": "json", "_dynamic": "json"},
+        default_fields=("regular_field", "inner_json", "_dynamic"),
+    )
+
+    def hit_ids(q):
+        return sorted(r["id"] for r in qc.where(valid, q).select("id").collect())
+
+    assert hit_ids("hello") == [1]
+    assert hit_ids("allo") == [2]
+    assert hit_ids("bonjour") == [3]
+    # keys are NOT searchable as values
+    assert hit_ids("somefieldinjson") == []

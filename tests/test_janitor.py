@@ -214,3 +214,42 @@ def read_index_count_or_zero(spark, out):
     if not g.glob(os.path.join(out, "sinks", "commit=*")):
         return 0
     return read_index(spark, out).count()
+
+
+def test_tag_based_split_pruning(spark, tmp_path_factory):
+    """tag_pruning.rs analog: pruning by lineage tags reads fewer commits but
+    returns exactly the same rows as the full scan."""
+    from quickwit_spark.pipeline.janitor import prune_splits_by_tag
+    from quickwit_spark.pipeline.runner import PipelineConfig, read_sinks, run_pipeline
+    from quickwit_spark.pipeline.transcripts import materialize
+
+    src = str(tmp_path_factory.mktemp("tags_in"))
+    out = str(tmp_path_factory.mktemp("tags_out"))
+    materialize(3_000, src, seed=11)
+    run_pipeline(spark, src, out, PipelineConfig(), num_chunks=3)
+
+    commits = prune_splits_by_tag(spark, out, "level", ["ERROR"])
+    assert commits, "ERROR appears in some chunk"
+    full = read_sinks(spark, out).filter(F.col("level") == "ERROR")
+    pruned = read_sinks(spark, out).filter(
+        F.col("commit").isin(commits) & (F.col("level") == "ERROR")
+    )
+    assert pruned.count() == full.count()
+    # pruning something absent keeps nothing (no false keeps when tag sets
+    # are small and explicit)
+    assert prune_splits_by_tag(spark, out, "level", ["NO_SUCH_LEVEL"]) == []
+
+
+def test_negative_tag_queries_null_safe(spark):
+    """tag_fields/0002_negative_tags.yaml: negation over a NULL-bearing tag
+    column keeps the null docs (num_hits 4 / 2 vectors)."""
+    from quickwit_spark.operators.query import QueryCompiler
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 2), (1, 1), (3, None), (4, 1)], "seq long, tag long"
+    )
+    qc = QueryCompiler({"tag": "numeric", "seq": "numeric"})
+    assert qc.where(df, "tag:1").count() == 3
+    assert qc.where(df, "-tag:2").count() == 4
+    assert qc.where(df, "tag:2").count() == 1
+    assert qc.where(df, "-tag:1").count() == 2
