@@ -205,3 +205,18 @@ def test_0005_0019_query_string_and_count(gh):
     res = es_search(gh, {"query": {"query_string": {"query": "type:PushEvent"}}, "size": 0}, field_types=FIELDS)
     assert res["hits"]["total"]["value"] == 60
     assert es_search(gh, {"size": 0}, field_types=FIELDS)["hits"]["total"]["value"] == 100
+
+
+def test_0010_match_phrase_prefix(gh):
+    gh2 = gh.withColumn("pr_body", F.col("payload.pull_request.body"))
+    fields = {**FIELDS, "pr_body": "text"}
+
+    def total(query):
+        return es_search(gh2, {"query": query, "size": 0}, field_types=fields)[
+            "hits"
+        ]["total"]["value"]
+
+    assert total({"match_phrase_prefix": {"pr_body": {"query": "p"}}}) == 2
+    assert total({"match_phrase_prefix": {"pr_body": {"query": "to p"}}}) == 1
+    assert total({"match_phrase_prefix": {"pr_body": {"query": "be to p"}}}) == 1
+    assert total({"match_phrase_prefix": {"commits_msg": {"query": "automated comm"}}}) == 1
