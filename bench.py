@@ -116,7 +116,9 @@ def main() -> None:
         return time.time() - t0
 
     pipeline_pass()  # warm pass (page cache, codegen, python workers)
-    pipe_sec = min(pipeline_pass() for _ in range(4))
+    # this host has bursty multi-second interference windows (external load
+    # with ~0 local steal%); min over 6 fresh-plan passes rides them out
+    pipe_sec = min(pipeline_pass() for _ in range(6))
     timings["pipeline_e2e"] = round(pipe_sec, 3)
 
     total = round(sum(timings.values()), 3)
