@@ -45,6 +45,50 @@ def _parse_sort(sort_spec) -> list[tuple[str, bool]]:
     return out
 
 
+def _as_patterns(v) -> list[str]:
+    if v is None:
+        return []
+    if isinstance(v, str):
+        return [p for p in v.split(",") if p]
+    return list(v)
+
+
+def _included(path: str, includes: list[str]):
+    if not includes:
+        return True
+    for p in includes:
+        if p == path or path.startswith(p + "."):
+            return True
+        if p.startswith(path + "."):
+            return "partial"  # an ancestor of an included leaf
+    return False
+
+
+def _excluded(path: str, excludes: list[str]) -> bool:
+    return any(p == path or path.startswith(p + ".") for p in excludes)
+
+
+def filter_source(doc: dict, includes: list[str], excludes: list[str], prefix: str = "") -> dict:
+    """ES `_source_includes`/`_source_excludes` semantics over a nested doc
+    (0022-source.yaml vectors): dotted paths select subtrees; excludes apply
+    after includes."""
+    out: dict[str, Any] = {}
+    for k, v in doc.items():
+        path = f"{prefix}{k}"
+        if _excluded(path, excludes):
+            continue
+        inc = _included(path, includes)
+        if inc is True:
+            out[k] = (
+                filter_source(v, [], excludes, path + ".") if isinstance(v, dict) else v
+            )
+        elif inc == "partial" and isinstance(v, dict):
+            sub = filter_source(v, includes, excludes, path + ".")
+            if sub:
+                out[k] = sub
+    return out
+
+
 def es_search(
     df: DataFrame,
     body: dict[str, Any],
@@ -83,8 +127,21 @@ def es_search(
         rows = page.collect()
         if not sort_fields and frm > 0:
             rows = rows[frm:]
+        src_spec = body.get("_source", True)
+        includes = _as_patterns(body.get("_source_includes"))
+        excludes = _as_patterns(body.get("_source_excludes"))
+        if isinstance(src_spec, dict):
+            includes += _as_patterns(src_spec.get("includes"))
+            excludes += _as_patterns(src_spec.get("excludes"))
+        elif isinstance(src_spec, list):
+            includes += src_spec
         for r in rows:
-            h: dict[str, Any] = {"_source": r.asDict(recursive=True)}
+            src = r.asDict(recursive=True)
+            if src_spec is False:
+                src = {}
+            elif includes or excludes:
+                src = filter_source(src, includes, excludes)
+            h: dict[str, Any] = {"_source": src}
             if sort_fields:
                 h["sort"] = [r[f] for f, _ in sort_fields]
             hits.append(h)

@@ -220,3 +220,41 @@ def test_0010_match_phrase_prefix(gh):
     assert total({"match_phrase_prefix": {"pr_body": {"query": "to p"}}}) == 1
     assert total({"match_phrase_prefix": {"pr_body": {"query": "be to p"}}}) == 1
     assert total({"match_phrase_prefix": {"commits_msg": {"query": "automated comm"}}}) == 1
+
+
+def test_0022_source_filtering(gh):
+    # _source_excludes
+    res = es_search(
+        gh, {"query": {"match_all": {}}, "size": 1, "_source_excludes": ["actor"]},
+        field_types=FIELDS,
+    )
+    assert res["hits"]["total"]["value"] == 100
+    assert "actor" not in res["hits"]["hits"][0]["_source"]
+    # _source_includes
+    res = es_search(
+        gh, {"query": {"match_all": {}}, "size": 1, "_source_includes": ["actor"]},
+        field_types=FIELDS,
+    )
+    src = res["hits"]["hits"][0]["_source"]
+    assert list(src) == ["actor"]
+    # includes + excludes: excludes win for the overlapping subtree
+    res = es_search(
+        gh,
+        {"query": {"match_all": {}}, "size": 1,
+         "_source_includes": "actor,id", "_source_excludes": ["actor"]},
+        field_types=FIELDS,
+    )
+    assert list(res["hits"]["hits"][0]["_source"]) == ["id"]
+    # dotted include path selects a subtree leaf
+    res = es_search(
+        gh, {"query": {"match_all": {}}, "size": 1, "_source_includes": ["actor.id"]},
+        field_types=FIELDS,
+    )
+    src = res["hits"]["hits"][0]["_source"]
+    assert list(src) == ["actor"] and list(src["actor"]) == ["id"]
+    # _source: false drops everything
+    res = es_search(
+        gh, {"query": {"match_all": {}}, "size": 1, "_source": False},
+        field_types=FIELDS,
+    )
+    assert res["hits"]["hits"][0]["_source"] == {}
