@@ -452,6 +452,49 @@ def _q_text_fingerprint(spark, sf_dir):
     return docs.select("doc_id", TX.fingerprint_col(F.col("text")).alias("fingerprint"))
 
 
+# -- multimodal plumbing ------------------------------------------------------
+
+
+def _media_frame(spark, sf_dir):
+    """Deterministic media table derived from documents: payload = utf-8
+    bytes of the text, kind rotates by doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("doc")
+        .alias("kind"),
+        F.lit(None).cast("string").alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+
+
+def _q_multimodal_text_extract(spark, sf_dir):
+    # REAL kernel (printable-run extraction): on pure-ASCII payloads the
+    # round trip is exact, so this multimodal path is fully oracle-checked
+    from quickwit_spark.operators.multimodal import extract_text
+
+    media = _media_frame(spark, sf_dir).filter(F.col("kind") == "doc")
+    return extract_text(media).select("media_id", "extracted_text", "n_bytes")
+
+
+def _q_multimodal_image_features(spark, sf_dir):
+    # decode is a deterministic fake (no image libs in the container); the
+    # Spark plumbing — mapInPandas schema, batching, no payload shuffle — is
+    # what this entry exercises (rows-only)
+    from quickwit_spark.operators.multimodal import image_features
+
+    media = _media_frame(spark, sf_dir).filter(F.col("kind") == "image")
+    feats = image_features(media, deterministic_fake=True)
+    return feats.select(
+        "media_id", F.size("feat").alias("feat_dim"), "out_width", "out_height"
+    )
+
+
 # -- janitor: delete-by-query / retention over a day-partitioned index -------
 
 
@@ -601,6 +644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
+        "multimodal_text_extract": _q_multimodal_text_extract,
+        "multimodal_image_features": _q_multimodal_image_features,
         # janitor (SURVEY §2.5: delete-by-query, retention)
         "janitor_delete_count": _q_janitor_delete,
         "janitor_retention_count": _q_janitor_retention,
@@ -844,6 +889,11 @@ def oracle_sql() -> dict[str, str]:
                    round(len(regexp_extract_all(text, '[^\w\s]')) * 1.0
                          / greatest(length(text), 1), 6) AS punct_ratio
             FROM documents
+        """,
+        "multimodal_text_extract": """
+            SELECT doc_id AS media_id, text AS extracted_text,
+                   CAST(length(text) AS INTEGER) AS n_bytes
+            FROM documents WHERE doc_id % 3 = 2
         """,
         # rows-only (non-SQL-expressible): dedup_minhash_lsh, dedup_ngram_jaccard,
         # dedup_simhash, ann_topk (driver-side literal query vector), ann_lsh,

@@ -120,3 +120,100 @@ def frame_sample(
         ).alias("frame_ts_ms"),
     )
     return frames.withColumn("frame_key", F.xxhash64("media_id", "frame_ts_ms"))
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("rms", T.FloatType(), True),
+        T.StructField("zero_crossings", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+    ]
+)
+
+
+def decode_audio_batch(payloads: pd.Series, deterministic_fake: bool = False) -> list:
+    """Decode encoded audio bytes → float32 PCM arrays. STUB (no soundfile/
+    ffmpeg in this container); the deterministic fake derives a 1k-sample
+    waveform from a sha256 of the payload."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "audio decode requires soundfile/ffmpeg; not available in this "
+            "container — pass deterministic_fake=True for plumbing tests"
+        )
+    out = []
+    for p in payloads:
+        if p is None:
+            out.append(None)
+            continue
+        digest = hashlib.sha256(bytes(p)).digest()
+        rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
+        out.append(rng.standard_normal(1024).astype(np.float32))
+    return out
+
+
+def audio_features(media: DataFrame, deterministic_fake: bool = False) -> DataFrame:
+    """decode → per-clip features (RMS loudness, zero-crossing count) in one
+    ``mapInPandas`` pass — numpy-vectorized per batch, payloads never
+    shuffled."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pcms = decode_audio_batch(pdf["payload"], deterministic_fake=deterministic_fake)
+            rms, zc, ns = [], [], []
+            for pcm in pcms:
+                if pcm is None:
+                    rms.append(None), zc.append(None), ns.append(None)
+                    continue
+                rms.append(float(np.sqrt((pcm * pcm).mean())))
+                zc.append(int((np.diff(np.signbit(pcm)) != 0).sum()))
+                ns.append(len(pcm))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "rms": pd.array(rms, dtype="float32"),
+                    "zero_crossings": pd.array(zc, dtype="Int32"),
+                    "n_samples": pd.array(ns, dtype="Int32"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+TEXT_EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("extracted_text", T.StringType(), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+    ]
+)
+
+
+def extract_text(media: DataFrame, min_run: int = 4) -> DataFrame:
+    """REAL (not stubbed) fallback text extraction from document binaries:
+    printable-ASCII runs of length ≥ ``min_run`` (the classic `strings`
+    heuristic — works on any payload without format libs). Proper PDF/DOCX
+    parsing would slot into the same mapInPandas signature."""
+    import re as _re
+
+    run_re = _re.compile(rb"[\x20-\x7e]{%d,}" % min_run)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts, sizes = [], []
+            for p in pdf["payload"]:
+                if p is None:
+                    texts.append(None), sizes.append(None)
+                    continue
+                b = bytes(p)
+                texts.append(" ".join(m.decode("ascii") for m in run_re.findall(b)))
+                sizes.append(len(b))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "extracted_text": texts,
+                    "n_bytes": pd.array(sizes, dtype="Int32"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=TEXT_EXTRACT_SCHEMA)

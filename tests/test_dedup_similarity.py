@@ -276,3 +276,37 @@ def test_lsh_near_dup_recall_and_no_false_positives(spark):
 
     exact = {(r["a"], r["b"]) for r in embedding_exact_pairs_blocked(df, 0.99).collect()}
     assert got <= exact  # exact verify kills every sub-threshold candidate
+
+
+def test_multimodal_audio_and_text_extract(spark):
+    from quickwit_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+        extract_text,
+    )
+
+    rows = [
+        (1, "audio", "audio/wav", bytearray(b"fakewav1"), None, None, 2000),
+        (2, "audio", "audio/wav", bytearray(b"fakewav2"), None, None, 1000),
+        (3, "doc", "application/pdf", bytearray(b"\x00\x01Hello binary world\x02\xffpdf-tail"), None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = {r["media_id"]: r for r in audio_features(
+        media.filter(F.col("kind") == "audio"), deterministic_fake=True
+    ).collect()}
+    assert set(feats) == {1, 2}
+    assert feats[1]["n_samples"] == 1024 and feats[1]["rms"] > 0
+    # deterministic: same payload → same features
+    feats2 = {r["media_id"]: r for r in audio_features(
+        media.filter(F.col("kind") == "audio"), deterministic_fake=True
+    ).collect()}
+    assert feats[1]["rms"] == feats2[1]["rms"]
+    with pytest.raises(Exception):
+        audio_features(media.filter(F.col("kind") == "audio")).collect()
+
+    # text extraction is REAL: printable runs survive, binary noise doesn't
+    txt = {r["media_id"]: r["extracted_text"] for r in extract_text(
+        media.filter(F.col("kind") == "doc")
+    ).collect()}
+    assert txt[3] == "Hello binary world pdf-tail"
