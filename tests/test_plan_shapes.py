@@ -1,0 +1,85 @@
+"""Physical-plan regression tests: the shapes that matter at 100 TB must not
+silently regress (PLANS.md holds the human-readable audit)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def test_query_filters_push_to_parquet_scan(spark, events):
+    from quickwit_spark.operators.query import QueryCompiler
+
+    qc = QueryCompiler({"event_type": "raw", "value": "numeric"})
+    p = plan_of(qc.where(events, "event_type:error AND value:>=5").select("event_id"))
+    assert "PushedFilters: [" in p
+    assert "EqualTo(event_type,error)" in p
+    assert "GreaterThanOrEqual(value,5.0)" in p
+    # column pruning: a 1-column projection reads only what it needs
+    assert "ReadSchema: struct<event_id:bigint" in p
+
+
+def test_exact_embedding_pairs_has_no_join_node(spark, sf_dir):
+    from quickwit_spark.operators.similarity import embedding_exact_pairs_blocked
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    p = plan_of(embedding_exact_pairs_blocked(emb, 0.4, num_blocks=8))
+    assert "FlatMapGroupsInPandas" in p  # one BLAS matmul per tile
+    assert "Join" not in p  # the O(n²) grid is NOT a self-join
+    assert p.count("Exchange") == 1  # exactly one shuffle (on the tile key)
+
+
+def test_lsh_near_dup_plan_is_bucketed(spark, sf_dir):
+    from quickwit_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    p = plan_of(embedding_near_dup_pairs(emb, 0.95, bits=10, tables=4))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "ArrowEvalPython" in p or "FlatMap" in p  # one vectorized bucketizer
+
+
+def test_topk_uses_take_ordered(spark, events):
+    from quickwit_spark.operators.sorts import paginate, top_k
+
+    p = plan_of(top_k(events, [("value", True)], 10))
+    assert "TakeOrderedAndProject" in p
+    # from/size slices over the TakeOrdered result, not a global window sort
+    p2 = plan_of(paginate(events, [("value", True)], 10, 10))
+    assert "TakeOrderedAndProject" in p2
+
+
+def test_nested_agg_is_one_groupby_per_level(spark, events):
+    """date_histogram > terms compiles to exactly two aggregate jobs: the
+    interpreter must never re-filter per bucket."""
+    from quickwit_spark.operators import aggs as A
+
+    sc = spark.sparkContext
+    sc.setJobGroup("nested-agg-probe", "count jobs", True)
+    tracker = sc.statusTracker()
+    before = len(tracker.getJobIdsForGroup("nested-agg-probe"))
+    A.run_es_aggs(
+        events,
+        {
+            "hist": {
+                "date_histogram": {"field": "ts", "fixed_interval": "7d"},
+                "aggs": {"kinds": {"terms": {"field": "event_type"}}},
+            }
+        },
+    )
+    after = len(tracker.getJobIdsForGroup("nested-agg-probe"))
+    sc.setJobGroup("default", "", False)
+    # 2 aggregate levels × ≤3 jobs each under AQE — the invariant is that the
+    # count is CONSTANT in the number of buckets (the old per-bucket recursion
+    # fired one query per parent bucket: 30+ jobs on a month of data)
+    assert after - before <= 6
