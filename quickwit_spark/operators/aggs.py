@@ -823,6 +823,10 @@ class _Level:
 
 _EMPTY_BUCKETS: dict = {"buckets": []}
 
+# ES `search.max_buckets` default — the ceiling on buckets a single
+# aggregation response may materialize
+MAX_BUCKETS = 65536
+
 
 def _eval_bucket_tree(
     df: DataFrame, spec: dict, ancestors: list
@@ -842,11 +846,17 @@ def _eval_bucket_tree(
     agg_exprs, metric_specs, nested = _collect_metric_subaggs(sub)
 
     keys = [expr.alias(a) for a, expr in ancestors] + [level.key.alias(level.alias)]
-    rows = (
-        level.df.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("doc_count"), *agg_exprs)
-        .collect()
+    grouped = level.df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("doc_count"), *agg_exprs
     )
+    # ES search.max_buckets guard: the assembly is driver-side, so cap what
+    # can come back (the reference rejects too_many_buckets the same way)
+    rows = grouped.limit(MAX_BUCKETS + 1).collect()
+    if len(rows) > MAX_BUCKETS:
+        raise ValueError(
+            f"too_many_buckets: aggregation produced more than {MAX_BUCKETS} "
+            "buckets; narrow the query or raise the interval/size"
+        )
 
     child_maps: dict[str, dict] = {}
     next_ancestors = ancestors + [(level.alias, level.key)]

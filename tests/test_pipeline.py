@@ -291,3 +291,44 @@ def test_run_chunk_crash_retry_is_idempotent(spark, data_dir, tmp_path_factory):
         .count()
         == spark.read.parquet(os.path.join(out, "quarantine")).count()
     )
+
+
+def test_spark_submit_py_files_entrypoint(tmp_path_factory):
+    """North-rule shape: the pipeline runs under `spark-submit --py-files
+    <pkg.zip>` from OUTSIDE the repo (fresh JVM, package shipped as an
+    archive — the same mechanics as a multi-executor cluster submit)."""
+    import json
+    import shutil
+    import subprocess
+    import sys
+
+    import pyspark
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    work = str(tmp_path_factory.mktemp("submit"))
+    pkg = shutil.make_archive(
+        os.path.join(work, "quickwit_spark_pkg"), "zip",
+        root_dir=repo, base_dir="quickwit_spark",
+    )
+    src = os.path.join(work, "in")
+    out = os.path.join(work, "out")
+    metrics = os.path.join(work, "metrics.json")
+    from quickwit_spark.pipeline.transcripts import materialize
+
+    materialize(2_000, src, seed=5)
+
+    submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    proc = subprocess.run(
+        [
+            submit, "--master", "local[4]", "--py-files", pkg,
+            os.path.join(repo, "scripts", "submit_pipeline.py"),
+            "--input", src, "--output", out, "--chunks", "2",
+            "--json-metrics", metrics,
+        ],
+        capture_output=True, text=True, timeout=600, cwd=work,
+        env={**os.environ, "PYSPARK_PYTHON": sys.executable},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    m = json.load(open(metrics))
+    assert m["chunks_committed"] == ["chunk0000", "chunk0001"]
+    assert m["num_valid"] > 1500
