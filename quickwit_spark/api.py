@@ -23,6 +23,7 @@ import time
 from typing import Any
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from quickwit_spark.operators.aggs import run_es_aggs
 from quickwit_spark.operators.query import QueryCompiler, es_dsl_to_ast
@@ -89,6 +90,27 @@ def filter_source(doc: dict, includes: list[str], excludes: list[str], prefix: s
     return out
 
 
+def _coerce_cursor(df: DataFrame, field: str, value):
+    """search_after cursor values coerce to the SORT FIELD's type
+    (0018-search_after.yaml: string "5688" against a numeric field, epoch
+    millis against a datetime field — Quickwit converts, ES rejects)."""
+    from pyspark.sql import types as T
+
+    dtype = df.select(field).schema.fields[0].dataType
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        from quickwit_spark.functions.datetime import parse_query_datetime
+
+        return parse_query_datetime(value)
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)) and isinstance(value, str):
+        try:
+            return int(value)
+        except ValueError:
+            return float(value)
+    if isinstance(dtype, (T.DoubleType, T.FloatType)) and isinstance(value, str):
+        return float(value)
+    return value
+
+
 def es_search(
     df: DataFrame,
     body: dict[str, Any],
@@ -116,7 +138,10 @@ def es_search(
     if size > 0:
         if sort_fields:
             if body.get("search_after") is not None:
-                cursor = dict(zip([f for f, _ in sort_fields], body["search_after"]))
+                cursor = {
+                    f: _coerce_cursor(df, f, v)
+                    for (f, _), v in zip(sort_fields, body["search_after"])
+                }
                 page = search_after(filtered, sort_fields, cursor, size)
             elif frm > 0:
                 page = paginate(filtered, sort_fields, frm, size)
@@ -124,6 +149,10 @@ def es_search(
                 page = top_k(filtered, sort_fields, size)
         else:
             page = filtered.limit(frm + size)
+        # nested sort fields (actor.id) aren't Row-addressable by dotted
+        # name: project them as hidden columns for the cursor values
+        for i, (f, _) in enumerate(sort_fields):
+            page = page.withColumn(f"__sort_{i}", F.col(f))
         rows = page.collect()
         if not sort_fields and frm > 0:
             rows = rows[frm:]
@@ -137,13 +166,15 @@ def es_search(
             includes += src_spec
         for r in rows:
             src = r.asDict(recursive=True)
+            for i in range(len(sort_fields)):
+                src.pop(f"__sort_{i}", None)
             if src_spec is False:
                 src = {}
             elif includes or excludes:
                 src = filter_source(src, includes, excludes)
             h: dict[str, Any] = {"_source": src}
             if sort_fields:
-                h["sort"] = [r[f] for f, _ in sort_fields]
+                h["sort"] = [r[f"__sort_{i}"] for i in range(len(sort_fields))]
             hits.append(h)
 
     out: dict[str, Any] = {

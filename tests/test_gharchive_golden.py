@@ -258,3 +258,44 @@ def test_0022_source_filtering(gh):
         field_types=FIELDS,
     )
     assert res["hits"]["hits"][0]["_source"] == {}
+
+
+def test_0018_search_after_coercion(gh):
+    gh2 = gh.withColumn("created_ts", F.to_timestamp("created_at"))
+    fields = {**FIELDS, "created_ts": "datetime"}
+
+    def first_sort(body):
+        res = es_search(gh2, body, field_types=fields)
+        return res["hits"]["hits"][0]["sort"][0] if res["hits"]["hits"] else None, res
+
+    v, res = first_sort({"size": 1, "sort": [{"actor.id": "desc"}]})
+    assert res["hits"]["total"]["value"] == 100 and v == 10791502
+    v, _ = first_sort({"size": 1, "sort": [{"actor.id": "desc"}], "search_after": [10791502]})
+    assert v == 10791466
+    v, _ = first_sort({"size": 1, "sort": [{"actor.id": "asc"}], "search_after": [5688]})
+    assert v == 9018
+    # string cursor coerces to the numeric sort field's type
+    v, _ = first_sort({"size": 1, "sort": [{"actor.id": "asc"}], "search_after": ["5688"]})
+    assert v == 9018
+    # epoch-millis cursor coerces against a datetime sort field
+    res = es_search(
+        gh2,
+        {"size": 100, "sort": [{"created_ts": "asc"}], "search_after": [1422748815000]},
+        field_types=fields,
+    )
+    assert len(res["hits"]["hits"]) == 4
+
+
+def test_0012_scroll_over_sorted_pages(gh):
+    """scroll ≡ iterated search_after: pages are disjoint, ordered, complete."""
+    from quickwit_spark.operators.sorts import scroll
+
+    pages = list(
+        scroll(
+            gh.select("id", F.col("actor.id").alias("aid")), [("id", False)], page_size=30
+        )
+    )
+    seen = [r["id"] for page in pages for r in page]
+    assert len(seen) == 100 and len(set(seen)) == 100
+    assert seen == sorted(seen)
+    assert [len(p) for p in pages] == [30, 30, 30, 10]
