@@ -108,6 +108,41 @@ def apply_transforms(df: DataFrame, steps: list[dict]) -> DataFrame:
                     F.lit(f"grok pattern did not match on field `{step['field']}`"),
                 )
                 err = F.coalesce(err, this_err)
+        elif op == "parse_json":
+            # VRL parse_json!(.field) — without a declared schema the result
+            # is a string map of the TOP-LEVEL entries (nested values stay
+            # JSON text); typed access belongs to the doc mapper
+            df = df.withColumn(
+                step.get("to", step["field"]),
+                F.from_json(F.col(step["field"]), "map<string,string>"),
+            )
+        elif op == "to_int":
+            df = df.withColumn(step["field"], F.col(step["field"]).cast("long"))
+        elif op == "to_float":
+            df = df.withColumn(step["field"], F.col(step["field"]).cast("double"))
+        elif op == "to_string":
+            df = df.withColumn(step["field"], F.col(step["field"]).cast("string"))
+        elif op == "split":
+            df = df.withColumn(
+                step.get("to", step["field"]),
+                F.split(F.col(step["field"]), step.get("separator", r"\s+")),
+            )
+        elif op == "concat":
+            df = df.withColumn(
+                step["to"],
+                F.concat_ws(step.get("separator", ""), *[F.col(f) for f in step["fields"]]),
+            )
+        elif op == "replace":
+            df = df.withColumn(
+                step["field"],
+                F.regexp_replace(F.col(step["field"]), step["pattern"], step["replacement"]),
+            )
+        elif op == "hash":
+            # VRL sha2/md5 — stable pseudonymization for PII columns
+            algo = step.get("algo", "sha256")
+            c = F.col(step["field"]).cast("string")
+            hashed = F.sha2(c, 256) if algo == "sha256" else F.md5(c)
+            df = df.withColumn(step.get("to", step["field"]), hashed)
         else:
             raise ValueError(f"unknown transform op `{op}`")
     return df.withColumn("_transform_error", err)

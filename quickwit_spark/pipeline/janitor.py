@@ -233,7 +233,6 @@ def apply_retention(spark: SparkSession, out_dir: str, cutoff) -> dict:
 
 def garbage_collect(
     out_dir: str,
-    source_id: str,
     grace_seconds: float = 0.0,
     now: float | None = None,
 ) -> dict:

@@ -114,10 +114,10 @@ def test_gc_removes_dangling_commits_only(spark, index_dir):
     os.makedirs(os.path.join(index_dir, ".staging", "delete-9-zz"))
 
     # inside the grace period nothing is removed
-    stats = garbage_collect(index_dir, "events", grace_seconds=3600)
+    stats = garbage_collect(index_dir, grace_seconds=3600)
     assert stats["dangling_commits_removed"] == [] and stats["tmp_swept"] == 0
 
-    stats = garbage_collect(index_dir, "events", grace_seconds=0)
+    stats = garbage_collect(index_dir, grace_seconds=0)
     assert stats["dangling_commits_removed"] == ["zz-dangling"]
     assert stats["tmp_swept"] == 1
     assert len(glob.glob(os.path.join(sinks, "commit=*"))) == committed_before
@@ -127,7 +127,7 @@ def test_delete_then_retention_then_gc_consistent(spark, tiny_dir, index_dir):
     qc = QueryCompiler(EVENTS_FIELDS)
     delete_by_query(spark, index_dir, "event_type:click", qc, source_id="events")
     apply_retention(spark, index_dir, "2024-01-03 00:00:00")
-    garbage_collect(index_dir, "events", grace_seconds=0)
+    garbage_collect(index_dir, grace_seconds=0)
     got = read_index(spark, index_dir).count()
     want = duckdb.sql(
         f"SELECT count(*) FROM '{_events_path(tiny_dir)}' "

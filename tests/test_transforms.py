@@ -116,3 +116,37 @@ def test_source_code_with_hex_tokenizer(spark):
         "segfault", "at", "0xdeadbeef1234", "in", "parse", "http", "request",
         "snake", "case",
     ]
+
+
+def test_vrl_round2_ops(spark):
+    import json
+
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.operators.transforms import apply_transforms
+
+    df = spark.createDataFrame(
+        [("  42 ", json.dumps({"a": "x", "n": 7}), "alice", "a,b,c")],
+        "raw string, payload string, user string, csv string",
+    )
+    out = apply_transforms(
+        df,
+        [
+            {"op": "trim", "field": "raw"},
+            {"op": "to_int", "field": "raw"},
+            {"op": "parse_json", "field": "payload", "to": "attrs"},
+            {"op": "split", "field": "csv", "to": "csv_parts", "separator": ","},
+            {"op": "concat", "to": "who", "fields": ["user", "raw"], "separator": "#"},
+            {"op": "hash", "field": "user", "to": "user_hash"},
+            {"op": "replace", "field": "csv", "pattern": "a", "replacement": "z"},
+        ],
+    ).first()
+    assert out["raw"] == 42
+    assert list(out["csv_parts"]) == ["a", "b", "c"]
+    assert out["csv"] == "z,b,c"
+    assert out["attrs"]["a"] == "x" and out["attrs"]["n"] == "7"
+    assert out["who"] == "alice#42"
+    import hashlib
+
+    assert out["user_hash"] == hashlib.sha256(b"alice").hexdigest()
+    assert out["_transform_error"] is None
