@@ -834,6 +834,20 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY 1
         """,
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "dedup_ngram_jaccard": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(words[i:i+2], ' ')
+                                    for i in range(1, greatest(len(words) - 2, 1) + 1)]) AS s
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents)
+            )
+            SELECT l.doc_id AS a, r.doc_id AS b,
+                   round(len(list_intersect(l.s, r.s))::DOUBLE /
+                         (len(l.s) + len(r.s) - len(list_intersect(l.s, r.s))), 6) AS jaccard
+            FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+            WHERE round(len(list_intersect(l.s, r.s))::DOUBLE /
+                        (len(l.s) + len(r.s) - len(list_intersect(l.s, r.s))), 6) >= 0.5
+        """,
         "dedup_embedding_cosine": """
             SELECT l.vec_id AS a, r.vec_id AS b
             FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
@@ -895,7 +909,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS INTEGER) AS n_bytes
             FROM documents WHERE doc_id % 3 = 2
         """,
-        # rows-only (non-SQL-expressible): dedup_minhash_lsh, dedup_ngram_jaccard,
+        # rows-only (non-SQL-expressible): dedup_minhash_lsh,
         # dedup_simhash, ann_topk (driver-side literal query vector), ann_lsh,
         # text_langid, text_fingerprint, pipeline_* (input is the generated
         # transcripts table, not a registered view)
