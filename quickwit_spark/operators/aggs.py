@@ -810,10 +810,14 @@ class _Level:
             if eb and self.kind == "date_histogram":
                 lo = min(lo, (eb["min"] - self.offset) // self.interval * self.interval + self.offset)
                 hi = max(hi, (eb["max"] - self.offset) // self.interval * self.interval + self.offset)
-            out, k = [], lo
-            while k <= hi:
+            # integer stepping: accumulating a float interval (e.g. 0.1)
+            # drifts off the Spark-computed keys after a few buckets
+            n_steps = int(round((hi - lo) / self.interval))
+            by_index = {int(round((k - lo) / self.interval)): k for k in buckets}
+            out = []
+            for i in range(n_steps + 1):
+                k = by_index.get(i, lo + i * self.interval)
                 out.append(buckets.get(k, empty(k)))
-                k += self.interval
             return {"buckets": out}
         ordered = [buckets[k] for k in sorted(buckets)]
         if mdc > 1:

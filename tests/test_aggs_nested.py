@@ -175,3 +175,16 @@ def test_composite_datehist_source(spark, df):
         (1423958400000, "a"),
         (1423958400000, "c"),
     ]
+
+
+def test_histogram_float_interval_gap_fill(spark):
+    """0.1-wide buckets: float accumulation must not drift off the computed
+    keys (a naive `k += 0.1` loop misses buckets after a few steps)."""
+    vals = [0.05, 0.35, 0.95]  # buckets 0.0, 0.3, 0.9 → 10 buckets incl. gaps
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    res = run_es_aggs(df, {"h": {"histogram": {"field": "x", "interval": 0.1}}})
+    buckets = res["h"]["buckets"]
+    assert len(buckets) == 10
+    got = {round(b["key"], 6): b["doc_count"] for b in buckets}
+    assert got[0.0] == 1 and got[0.3] == 1 and got[0.9] == 1
+    assert sum(b["doc_count"] for b in buckets) == 3
