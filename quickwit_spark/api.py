@@ -90,6 +90,45 @@ def filter_source(doc: dict, includes: list[str], excludes: list[str], prefix: s
     return out
 
 
+def _resolvable(df: DataFrame, field: str) -> bool:
+    try:
+        df.select(field)
+        return True
+    except Exception:
+        return False
+
+
+def _prune_unmapped_multi_match(df: DataFrame, query) -> Any:
+    """ES silently ignores unmapped fields in multi_match
+    (0014-multi-match-query.yaml: an inexistent field in the list doesn't
+    change the result); prune them against the actual schema. Recurses
+    through bool composition."""
+    if not isinstance(query, dict):
+        return query
+    out = {}
+    for kind, body in query.items():
+        if kind == "multi_match" and isinstance(body, dict):
+            fields = body.get("fields", [])
+            if isinstance(fields, str):
+                fields = [fields]
+            kept = [f for f in fields if _resolvable(df, f)]
+            out[kind] = {**body, "fields": kept or fields}
+        elif kind == "bool" and isinstance(body, dict):
+            out[kind] = {
+                k: (
+                    [_prune_unmapped_multi_match(df, q) for q in v]
+                    if isinstance(v, list)
+                    else _prune_unmapped_multi_match(df, v)
+                    if isinstance(v, dict)
+                    else v
+                )
+                for k, v in body.items()
+            }
+        else:
+            out[kind] = body
+    return out
+
+
 def _coerce_cursor(df: DataFrame, field: str, value):
     """search_after cursor values coerce to the SORT FIELD's type
     (0018-search_after.yaml: string "5688" against a numeric field, epoch
@@ -123,7 +162,8 @@ def es_search(
 
     filtered = df
     if body.get("query"):
-        pred = compiler.compile(es_dsl_to_ast(body["query"]))
+        query = _prune_unmapped_multi_match(df, body["query"])
+        pred = compiler.compile(es_dsl_to_ast(query))
         filtered = df.filter(pred)
 
     size = body.get("size", 10)

@@ -77,6 +77,9 @@ class DocMapping:
     max_num_partitions: int = 200
     tag_fields: tuple[str, ...] = ()
     store_source: bool = False
+    # dynamic_mapping.expand_dots (doc_mapping configs): a dotted dynamic key
+    # like "k8s.pod.name" expands into nested objects instead of one flat key
+    expand_dots: bool = False
 
 
 _SPARK_TYPES = {
@@ -228,7 +231,18 @@ class DocMapper:
                 if self.mapping.mode == "strict":
                     raise DocMapperError(f"field `{key}` is not declared (strict mode)")
                 if self.mapping.mode == "dynamic":
-                    dynamic[key] = val
+                    if self.mapping.expand_dots and "." in key:
+                        cur = dynamic
+                        parts = key.split(".")
+                        for p in parts[:-1]:
+                            nxt = cur.get(p)
+                            if not isinstance(nxt, dict):
+                                nxt = {}
+                                cur[p] = nxt
+                            cur = nxt
+                        cur[parts[-1]] = val
+                    else:
+                        dynamic[key] = val
                 continue  # lenient: drop
             if fm.type == "object":
                 if val is None:

@@ -173,3 +173,19 @@ def test_spark_apply_and_outcomes(spark):
     assert counts[VALID] == 2 and counts[DOC_MAPPER_ERROR] == 1 and counts[JSON_PARSE_ERROR] == 1
     rows = {r["name"]: r for r in valid.collect()}
     assert rows["b"]["response"] == 20
+
+
+def test_expand_dots_dynamic_keys():
+    import json as _json
+
+    from quickwit_spark.operators.docmapper import DocMapper, DocMapping, FieldMapping
+
+    doc = {"k8s.pod.name": "web-1", "k8s.pod.ip": "1.2.3.4", "plain": 5}
+    m = DocMapper(DocMapping(field_mappings=[], mode="dynamic", expand_dots=True))
+    row = m.parse_doc(doc)
+    dyn = _json.loads(row["_dynamic"])
+    assert dyn == {"k8s": {"pod": {"name": "web-1", "ip": "1.2.3.4"}}, "plain": 5}
+    # default: flat keys preserved
+    m2 = DocMapper(DocMapping(field_mappings=[], mode="dynamic"))
+    dyn2 = _json.loads(m2.parse_doc(doc)["_dynamic"])
+    assert "k8s.pod.name" in dyn2

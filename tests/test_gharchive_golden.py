@@ -299,3 +299,12 @@ def test_0012_scroll_over_sorted_pages(gh):
     assert len(seen) == 100 and len(set(seen)) == 100
     assert seen == sorted(seen)
     assert [len(p) for p in pages] == [30, 30, 30, 10]
+
+
+def test_0014_multi_match_ignores_unmapped_fields(gh):
+    # ES silently ignores unmapped fields in the list (no lenient needed)
+    assert _total(
+        gh,
+        {"multi_match": {"query": "sign decoration",
+                          "fields": ["inexistent_field", "commits_msg"]}},
+    ) == 1
