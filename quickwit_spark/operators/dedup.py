@@ -78,12 +78,24 @@ def minhash_signatures(
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(hashes: pd.Series) -> pd.Series:
-        out = []
-        for hs in hashes:
-            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-            vals = h[None, :] * a[:, None] + b[:, None]  # wraps mod 2^64
-            out.append(vals.min(axis=1).astype(np.int64))
-        return pd.Series(out)
+        # fully vectorized: one (perm-block × total-shingles) broadcast per
+        # block + segmented min (reduceat) — no per-row Python loop. Perm
+        # blocks bound the temporary to ~#shingles × 16 × 8B.
+        arrs = [np.asarray(hs, dtype=np.int64) for hs in hashes]
+        n = len(arrs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=n)
+        flat = np.concatenate(arrs).astype(np.uint64)
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        sigs = np.empty((n, num_perm), dtype=np.int64)
+        for lo in range(0, num_perm, 16):
+            hi = min(lo + 16, num_perm)
+            vals = flat[None, :] * a[lo:hi, None] + b[lo:hi, None]  # wraps mod 2^64
+            mins = np.minimum.reduceat(vals, offsets, axis=1)  # (block, n)
+            sigs[:, lo:hi] = mins.T.astype(np.int64)
+        return pd.Series(list(sigs))
 
     return tok_df.select(F.col(id_col), sig(hashed).alias("signature"))
 
