@@ -175,9 +175,23 @@ _DOCMAPPER_KIND = {
 
 
 class QueryCompiler:
-    def __init__(self, field_types: dict[str, str] | None = None, default_fields: tuple[str, ...] = ()):
+    def __init__(
+        self,
+        field_types: dict[str, str] | None = None,
+        default_fields: tuple[str, ...] = (),
+        dynamic_col: str | None = None,
+    ):
+        """``dynamic_col``: name of the docmapper's dynamic-capture JSON
+        column (``_dynamic``). When set, UNDECLARED fields compile against it
+        via JSON extraction — Quickwit's mode=dynamic makes every captured
+        field queryable (doc_mapper dynamic tokenizer semantics: values
+        tokenize with `default`)."""
         self.field_types = {k: FieldInfo(v) for k, v in (field_types or {}).items()}
         self.default_fields = default_fields
+        self.dynamic_col = dynamic_col
+
+    def _dynamic_value(self, field: str) -> Column:
+        return F.get_json_object(F.col(self.dynamic_col), "$." + field)
 
     @classmethod
     def from_doc_mapping(cls, mapping, default_fields: tuple[str, ...] = ()) -> "QueryCompiler":
@@ -198,7 +212,8 @@ class QueryCompiler:
         return cls(types, default_fields=default_fields)
 
     def info(self, field: str) -> FieldInfo:
-        return self.field_types.get(field, FieldInfo("raw"))
+        default = "dynamic" if self.dynamic_col is not None else "raw"
+        return self.field_types.get(field, FieldInfo(default))
 
     def compile(self, ast: QueryAst) -> Column:
         if isinstance(ast, MatchAll):
@@ -207,6 +222,15 @@ class QueryCompiler:
             return F.lit(False)
         if isinstance(ast, Term):
             info = self.info(ast.field)
+            if info.kind == "dynamic":
+                # dynamic fields tokenize with the default tokenizer; numbers
+                # and bools stored as JSON come back as their literal text,
+                # matched as a single exact token (like concat fields)
+                v = ast.value.lower() if (ast.analyzed or ast.case_insensitive) else ast.value
+                dv = self._dynamic_value(ast.field)
+                return F.array_contains(tokenize_default(dv), v) | (
+                    dv == F.lit(ast.value)
+                )
             c = F.col(ast.field)
             if info.kind == "text":
                 # default-tokenizer tokens are lowercased, so an analyzed or
@@ -263,6 +287,8 @@ class QueryCompiler:
                 return c.isin([ip_normalize(v) for v in ast.values])
             return c.isin([_literal(info, v) for v in ast.values])
         if isinstance(ast, Exists):
+            if self.info(ast.field).kind == "dynamic":
+                return self._dynamic_value(ast.field).isNotNull()
             return F.col(ast.field).isNotNull()
         if isinstance(ast, FullText):
             toks = [t for t in re.split(r"[^\w]+", ast.text.lower()) if t]
@@ -343,6 +369,27 @@ class QueryCompiler:
                     conds.append(c <= hi if ast.upper_inclusive else c < hi)
                 if not conds:
                     return F.col(ast.field).isNotNull()
+                out = conds[0]
+                for p in conds[1:]:
+                    out = out & p
+                return out
+            if info.kind == "dynamic":
+                # numeric range over the extracted dynamic value (JSON
+                # numbers come back as text; cast both sides to double)
+                c = self._dynamic_value(ast.field).cast("double")
+
+                def _num(v):
+                    return F.lit(float(v))
+
+                conds = []
+                if ast.lower is not None:
+                    lo = _num(ast.lower)
+                    conds.append(c >= lo if ast.lower_inclusive else c > lo)
+                if ast.upper is not None:
+                    hi = _num(ast.upper)
+                    conds.append(c <= hi if ast.upper_inclusive else c < hi)
+                if not conds:
+                    return self._dynamic_value(ast.field).isNotNull()
                 out = conds[0]
                 for p in conds[1:]:
                     out = out & p

@@ -127,3 +127,35 @@ def test_default_search_fields_reach_dynamic_and_json(spark):
     assert hit_ids("bonjour") == [3]
     # keys are NOT searchable as values
     assert hit_ids("somefieldinjson") == []
+
+
+def test_dynamic_field_queries(spark):
+    """mode=dynamic makes every captured field queryable (term / exists /
+    numeric range compile against the `_dynamic` JSON via extraction)."""
+    docs = [
+        {"declared": "x", "svc": "Web-Frontend", "lat": 120, "k8s.pod.name": "web-1"},
+        {"declared": "y", "svc": "db", "lat": 30},
+        {"declared": "z"},
+    ]
+    mapping = DocMapping(
+        field_mappings=[FieldMapping("declared", "text")],
+        mode="dynamic",
+        expand_dots=True,
+    )
+    df = spark.createDataFrame([(json.dumps(d),) for d in docs], ["value"])
+    valid, _ = split_quarantine(DocMapper(mapping).apply(df))
+    valid = valid.cache()
+    qc = QueryCompiler({"declared": "text"}, dynamic_col="_dynamic")
+
+    def n(q):
+        return qc.where(valid, q).count()
+
+    assert n("svc:web") == 1  # dynamic text tokenizes with default
+    assert n("svc:frontend") == 1
+    assert n("svc:db") == 1
+    assert n("lat:120") == 1  # numbers match as exact tokens
+    assert n("svc:*") == 2  # exists over dynamic
+    assert n("lat:[50 TO 200]") == 1  # numeric range over dynamic
+    assert n("lat:[10 TO 200]") == 2
+    assert n("k8s.pod.name:web-1") == 1  # expand_dots nested path
+    assert n("declared:x") == 1  # declared fields unaffected
