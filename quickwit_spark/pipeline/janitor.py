@@ -453,3 +453,29 @@ def prune_splits_by_tag(
         .collect()
     )
     return [r["commit_id"] for r in rows]
+
+
+def prune_splits_by_time(
+    spark: SparkSession, out_dir: str, start=None, end=None
+) -> list[str]:
+    """Commits that can possibly contain rows with ``start <= ts < end`` —
+    decided from lineage time ranges ONLY (the reference's PRIMARY split
+    pruning: query AST → ts bounds → metastore list_relevant_splits,
+    root.rs:1230-1245). A commit survives if any of its splits' range
+    overlaps [start, end); commits lacking time metadata are kept.
+
+    At 10^12 turns this is what turns a one-day query over a year of data
+    into a 1/365 scan before any file is opened.
+    """
+    lineage = read_lineage(spark, out_dir)
+    if "time_range_start" not in lineage.columns:
+        return [r["commit_id"] for r in lineage.select("commit_id").distinct().collect()]
+    cond = F.lit(True)
+    if end is not None:
+        cond = cond & (F.col("time_range_start") < F.lit(end).cast("timestamp"))
+    if start is not None:
+        cond = cond & (F.col("time_range_end") >= F.lit(start).cast("timestamp"))
+    # splits without metadata are never prunable
+    cond = F.coalesce(cond, F.lit(True))
+    rows = lineage.filter(cond).select("commit_id").distinct().collect()
+    return [r["commit_id"] for r in rows]

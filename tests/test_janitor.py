@@ -253,3 +253,28 @@ def test_negative_tag_queries_null_safe(spark):
     assert qc.where(df, "-tag:2").count() == 4
     assert qc.where(df, "tag:2").count() == 1
     assert qc.where(df, "-tag:1").count() == 2
+
+
+def test_time_range_split_pruning(spark, tiny_dir, index_dir):
+    """root.rs:1230-1245 analog: time pruning from lineage reads fewer
+    commits but returns exactly the full-scan rows."""
+    from quickwit_spark.pipeline.janitor import prune_splits_by_time
+
+    start, end = "2024-01-05 00:00:00", "2024-01-08 00:00:00"
+    commits = prune_splits_by_time(spark, index_dir, start, end)
+    all_commits = [
+        r["commit_id"]
+        for r in read_lineage(spark, index_dir).select("commit_id").distinct().collect()
+    ]
+    assert 0 < len(commits) < len(all_commits)  # actually prunes
+
+    full = read_index(spark, index_dir).filter(
+        (F.col("ts") >= start) & (F.col("ts") < end)
+    )
+    pruned = read_index(spark, index_dir).filter(
+        F.col("commit").isin(commits) & (F.col("ts") >= start) & (F.col("ts") < end)
+    )
+    assert pruned.count() == full.count() > 0
+    # open-ended bounds
+    assert len(prune_splits_by_time(spark, index_dir, start=None, end=None)) == len(all_commits)
+    assert prune_splits_by_time(spark, index_dir, start="2099-01-01") == []
