@@ -228,3 +228,25 @@ def es_search(
     if aggs:
         out["aggregations"] = run_es_aggs(filtered, aggs)
     return out
+
+
+def es_msearch(
+    tables: dict[str, DataFrame],
+    requests: list[tuple[str, dict[str, Any]]],
+    field_types: dict[str, dict[str, str]] | None = None,
+) -> dict[str, Any]:
+    """ES `_msearch`: a batch of (index, body) pairs → ``{"responses": [...]}``
+    in request order (0025-msearch.yaml shape). Unknown indexes produce an
+    error entry instead of failing the whole batch, like ES."""
+    responses = []
+    for index, body in requests:
+        df = tables.get(index)
+        if df is None:
+            responses.append(
+                {"error": {"type": "index_not_found_exception", "index": index}}
+            )
+            continue
+        responses.append(
+            es_search(df, body, field_types=(field_types or {}).get(index))
+        )
+    return {"responses": responses}

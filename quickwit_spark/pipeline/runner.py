@@ -46,6 +46,11 @@ class PipelineConfig:
     tag_fields: tuple[str, ...] = ("level", "tier")
     agg_interval: str = "1d"
     source_id: str = "transcripts"
+    # True = physically partition sink dirs by partition_bucket too
+    # (indexer.rs one-split-builder-per-partition; enables per-bucket file
+    # pruning at 10^12 turns). Default False: at small scale sink×200 bucket
+    # dirs just mean tiny files — partition_bucket stays a column either way.
+    partition_bucket_layout: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -102,11 +107,12 @@ def run_chunk(
     # uncheckpointed directory that the retry REPLACES (not appends), keeping
     # the publish exactly-once (publisher.rs behavior: splits are staged, the
     # metastore publish is the commit point).
+    layout = ["sink", "partition_bucket"] if cfg.partition_bucket_layout else ["sink"]
     (
         salted_repartition(valid.select("sink", *out_cols), n_shuffle, cfg.salt_buckets)
         .sortWithinPartitions("conv_id", "turn_idx")
         .write.mode("overwrite")
-        .partitionBy("sink")
+        .partitionBy(*layout)
         .parquet(os.path.join(sink_dir, f"commit={commit_id}"))
     )
     (

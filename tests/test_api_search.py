@@ -103,3 +103,21 @@ def test_combined_query_hits_and_datehist(logs):
     assert [h["_source"]["id"] for h in res["hits"]["hits"]] == [1, 3, 4, 5]
     days = [b["doc_count"] for b in res["aggregations"]["daily"]["buckets"]]
     assert days == [1, 2, 1]
+
+
+def test_msearch_batches_and_index_errors(logs):
+    from quickwit_spark.api import es_msearch
+
+    out = es_msearch(
+        {"logs": logs},
+        [
+            ("logs", {"query": {"term": {"level": "ERROR"}}, "size": 0}),
+            ("missing_index", {"query": {"match_all": {}}}),
+            ("logs", {"size": 0}),
+        ],
+        field_types={"logs": FIELDS},
+    )
+    rs = out["responses"]
+    assert rs[0]["hits"]["total"]["value"] == 3
+    assert rs[1]["error"]["type"] == "index_not_found_exception"
+    assert rs[2]["hits"]["total"]["value"] == 6

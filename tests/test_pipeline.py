@@ -332,3 +332,27 @@ def test_spark_submit_py_files_entrypoint(tmp_path_factory):
     m = json.load(open(metrics))
     assert m["chunks_committed"] == ["chunk0000", "chunk0001"]
     assert m["num_valid"] > 1500
+
+
+def test_partition_bucket_sink_layout(spark, data_dir, tmp_path_factory):
+    """Optional physical layout partitionBy(sink, partition_bucket): same row
+    set, bucket recoverable from the path (per-bucket file pruning at scale)."""
+    out = str(tmp_path_factory.mktemp("bucket_layout"))
+    cfg = PipelineConfig(max_num_partitions=8, partition_bucket_layout=True)
+    run_pipeline(spark, data_dir, out, cfg, num_chunks=1)
+    sinks = read_sinks(spark, out)
+    assert "partition_bucket" in sinks.columns
+    assert sinks.select("partition_bucket").distinct().count() <= 8
+    import glob as g
+
+    leafs = g.glob(os.path.join(out, "sinks", "commit=*", "sink=*", "partition_bucket=*"))
+    assert leafs, "bucket dirs exist in the physical layout"
+    # row set identical to the flat layout
+    flat_out = str(tmp_path_factory.mktemp("flat_layout"))
+    run_pipeline(spark, data_dir, flat_out, PipelineConfig(max_num_partitions=8), num_chunks=1)
+    a = {tuple(r) for r in sinks.select("conv_id", "turn_idx", "sink").collect()}
+    b = {
+        tuple(r)
+        for r in read_sinks(spark, flat_out).select("conv_id", "turn_idx", "sink").collect()
+    }
+    assert a == b
