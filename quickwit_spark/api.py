@@ -250,3 +250,72 @@ def es_msearch(
             es_search(df, body, field_types=(field_types or {}).get(index))
         )
     return {"responses": responses}
+
+
+_ES_TYPE_BY_KIND = {
+    "text": ("text",),
+    "raw": ("keyword",),
+    "datetime": ("date",),
+    "ip": ("ip",),
+    "bool": ("boolean",),
+}
+
+
+def field_caps(
+    df: DataFrame,
+    field_types: dict[str, str] | None = None,
+    index: str = "index",
+) -> dict[str, Any]:
+    """ES `_field_caps` response over a DataFrame schema
+    (es_field_capabilities/0001 shape): every leaf field (nested structs as
+    dotted paths) reports its capability entry; declared query kinds override
+    the Spark-type mapping (text fields report both `text` and `keyword`,
+    like the reference's dynamic text)."""
+    from pyspark.sql import types as T
+
+    kinds = field_types or {}
+
+    def spark_es_type(dt) -> str:
+        if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            return "long"
+        if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
+            return "double"
+        if isinstance(dt, T.BooleanType):
+            return "boolean"
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            return "date"
+        if isinstance(dt, T.BinaryType):
+            return "binary"
+        return "keyword"
+
+    fields: dict[str, Any] = {}
+
+    def cap(t: str) -> dict:
+        return {
+            "type": t, "metadata_field": False,
+            "searchable": True, "aggregatable": True,
+        }
+
+    def walk(struct, prefix=""):
+        for f in struct.fields:
+            path = f"{prefix}{f.name}"
+            dt = f.dataType
+            if isinstance(dt, T.StructType):
+                walk(dt, prefix=f"{path}.")
+                continue
+            if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
+                walk(dt.elementType, prefix=f"{path}.")
+                continue
+            if isinstance(dt, T.ArrayType):
+                dt = dt.elementType
+            kind = kinds.get(path)
+            if kind == "text":
+                names = ("text", "keyword")
+            elif kind in _ES_TYPE_BY_KIND:
+                names = _ES_TYPE_BY_KIND[kind]
+            else:
+                names = (spark_es_type(dt),)
+            fields[path] = {n: cap(n) for n in names}
+
+    walk(df.schema)
+    return {"indices": [index], "fields": fields}

@@ -121,3 +121,21 @@ def test_msearch_batches_and_index_errors(logs):
     assert rs[0]["hits"]["total"]["value"] == 3
     assert rs[1]["error"]["type"] == "index_not_found_exception"
     assert rs[2]["hits"]["total"]["value"] == 6
+
+
+def test_field_caps_shape(spark):
+    from quickwit_spark.api import field_caps
+
+    df = spark.createDataFrame(
+        [(1, "x", ("a", 2), "10.0.0.1")],
+        "id long, name string, nested struct<label:string, response:long>, host string",
+    )
+    caps = field_caps(
+        df, field_types={"name": "text", "host": "ip"}, index="fieldcaps"
+    )
+    assert caps["indices"] == ["fieldcaps"]
+    f = caps["fields"]
+    assert f["nested.response"]["long"]["aggregatable"] is True
+    assert set(f["name"]) == {"text", "keyword"}
+    assert "ip" in f["host"]
+    assert f["id"]["long"]["searchable"] is True
