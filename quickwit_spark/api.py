@@ -165,6 +165,13 @@ def es_search(
         query = _prune_unmapped_multi_match(df, body["query"])
         pred = compiler.compile(es_dsl_to_ast(query))
         filtered = df.filter(pred)
+    # quickwit extra_filters param (0023): comma-separated query strings
+    # ANDed onto the body query — the permissions-filter hook
+    extra = body.get("extra_filters")
+    if extra:
+        parts = extra.split(",") if isinstance(extra, str) else list(extra)
+        for q in parts:
+            filtered = filtered.filter(compiler.compile(compiler.parse(q)))
 
     size = body.get("size", 10)
     frm = body.get("from", 0)

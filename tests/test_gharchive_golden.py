@@ -308,3 +308,22 @@ def test_0014_multi_match_ignores_unmapped_fields(gh):
         {"multi_match": {"query": "sign decoration",
                           "fields": ["inexistent_field", "commits_msg"]}},
     ) == 1
+
+
+def test_0023_extra_filters(gh):
+    assert es_search(
+        gh, {"query": {"match_all": {}}, "size": 0, "extra_filters": "type:PushEvent"},
+        field_types=FIELDS,
+    )["hits"]["total"]["value"] == 60
+    assert es_search(
+        gh,
+        {"query": {"match_all": {}}, "size": 0,
+         "extra_filters": "type:PushEvent,actor.login:jadonk"},
+        field_types=FIELDS,
+    )["hits"]["total"]["value"] == 2
+    assert es_search(
+        gh,
+        {"query": {"query_string": {"query": "type:PushEvent"}}, "size": 0,
+         "extra_filters": "actor.login:jadonk"},
+        field_types=FIELDS,
+    )["hits"]["total"]["value"] == 2
