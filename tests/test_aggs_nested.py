@@ -188,3 +188,26 @@ def test_histogram_float_interval_gap_fill(spark):
     got = {round(b["key"], 6): b["doc_count"] for b in buckets}
     assert got[0.0] == 1 and got[0.3] == 1 and got[0.9] == 1
     assert sum(b["doc_count"] for b in buckets) == 3
+
+
+def test_mixed_toplevel_aggs_one_request(df):
+    """Several sibling top-level aggs (bucket + nested + metric) in one
+    request — the dispatch path for a realistic dashboard query."""
+    res = run_es_aggs(
+        df,
+        {
+            "by_month": {
+                "date_histogram": {"field": "date", "fixed_interval": "30d"},
+                "aggs": {"kinds": {"terms": {"field": "kind"}}},
+            },
+            "kinds_top": {"terms": {"field": "kind"}},
+            "v_stats": {"stats": {"field": "v"}},
+            "v_card": {"cardinality": {"field": "kind"}},
+            "v_pcts": {"percentiles": {"field": "v"}},
+        },
+    )
+    assert [b["doc_count"] for b in res["by_month"]["buckets"]] == [3, 0, 2]
+    assert {b["key"] for b in res["kinds_top"]["buckets"]} == {"a", "b", "c"}
+    assert res["v_stats"]["count"] == 5 and res["v_stats"]["sum"] == 15.0
+    assert res["v_card"]["value"] == 3
+    assert res["v_pcts"]["values"]["p50"] == 3.0
