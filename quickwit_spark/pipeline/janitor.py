@@ -165,11 +165,16 @@ def delete_by_query(
             staged_commit = os.path.join(staged, f"commit={commit}")
             lineage_dir = os.path.join(out_dir, "_lineage", f"commit_id={commit}")
             staged_lin = os.path.join(staged_lineage, f"commit_id={commit}")
+            # order matters for crash recovery: the OLD lineage entry stays in
+            # place until the new data is live — garbage_collect's restore
+            # pass keys on lineage presence
             shutil.move(commit_dir, os.path.join(trash_root, f"delete-{opstamp}-{commit}"))
-            shutil.rmtree(lineage_dir, ignore_errors=True)
             if os.path.isdir(staged_commit) and glob.glob(os.path.join(staged_commit, "sink=*")):
                 shutil.move(staged_commit, commit_dir)
+                shutil.rmtree(lineage_dir, ignore_errors=True)
                 shutil.move(staged_lin, lineage_dir)
+            else:
+                shutil.rmtree(lineage_dir, ignore_errors=True)
         shutil.rmtree(staged, ignore_errors=True)
         shutil.rmtree(staged_lineage, ignore_errors=True)
 
@@ -236,11 +241,17 @@ def garbage_collect(
     grace_seconds: float = 0.0,
     now: float | None = None,
 ) -> dict:
-    """Remove dangling data (garbage_collector.rs behavior):
+    """Remove dangling data (garbage_collector.rs behavior) and repair
+    interrupted janitor swaps:
 
-    - commit dirs with NO checkpoint commit (staged by a run that died before
-      publish) once older than the grace period;
-    - leftover ``.staging`` / ``.trash`` entries older than the grace period.
+    - a commit is LIVE if the metadata plane knows it: a checkpoint commit
+      OR a lineage entry (delete/merge rewrites produce lineage-only commits
+      like ``merge-a-b`` — they must never be swept);
+    - RESTORE pass first: a live commit whose sink dir is missing (crash
+      between a swap's trash-move and staged-move) is recovered from the
+      staged copy (post-operation state) or, failing that, from trash;
+    - then commit dirs known to NEITHER plane are removed after the grace
+      period, and leftover ``.staging``/``.trash`` entries are swept.
     """
     now = time.time() if now is None else now
     store = CheckpointStore(out_dir)
@@ -249,10 +260,48 @@ def garbage_collect(
         for p in glob.glob(os.path.join(store.dir, "*.json"))
         if not os.path.basename(p).startswith(".tmp-")
     }
+    lineage_ids = {
+        os.path.basename(p).split("=", 1)[1]
+        for p in glob.glob(os.path.join(out_dir, "_lineage", "commit_id=*"))
+    }
+    live = committed | lineage_ids
+    sinks = _sinks_dir(out_dir)
+
+    # restore pass keys on LINEAGE presence only: retention legitimately
+    # leaves checkpoint-committed commits with no data AND no lineage, and
+    # must never be "repaired" from stale trash copies
+    restored = []
+    for commit in sorted(lineage_ids):
+        commit_dir = os.path.join(sinks, f"commit={commit}")
+        if os.path.isdir(commit_dir):
+            continue
+        staged_data = glob.glob(os.path.join(out_dir, ".staging", "*", f"commit={commit}"))
+        if staged_data:
+            os.makedirs(sinks, exist_ok=True)
+            shutil.move(staged_data[0], commit_dir)
+            staged_lin = glob.glob(
+                os.path.join(out_dir, ".staging", "*-lineage", f"commit_id={commit}")
+            )
+            if staged_lin:
+                lin_dir = os.path.join(out_dir, "_lineage", f"commit_id={commit}")
+                shutil.rmtree(lin_dir, ignore_errors=True)
+                shutil.move(staged_lin[0], lin_dir)
+            restored.append(commit)
+            continue
+        trashed = [
+            p
+            for p in glob.glob(os.path.join(out_dir, ".trash", f"*-{commit}"))
+            if "-lin-" not in os.path.basename(p)
+        ]
+        if trashed:
+            os.makedirs(sinks, exist_ok=True)
+            shutil.move(trashed[0], commit_dir)
+            restored.append(commit)
+
     removed = []
     for commit_dir in _commit_dirs(out_dir):
         commit = os.path.basename(commit_dir).split("=", 1)[1]
-        if commit in committed:
+        if commit in live:
             continue
         if now - os.path.getmtime(commit_dir) >= grace_seconds:
             shutil.rmtree(commit_dir, ignore_errors=True)
@@ -267,7 +316,7 @@ def garbage_collect(
             if now - os.path.getmtime(p) >= grace_seconds:
                 shutil.rmtree(p, ignore_errors=True)
                 swept += 1
-    return {"dangling_commits_removed": removed, "tmp_swept": swept}
+    return {"dangling_commits_removed": removed, "restored": restored, "tmp_swept": swept}
 
 
 # ---------------------------------------------------------------------------

@@ -278,3 +278,31 @@ def test_time_range_split_pruning(spark, tiny_dir, index_dir):
     # open-ended bounds
     assert len(prune_splits_by_time(spark, index_dir, start=None, end=None)) == len(all_commits)
     assert prune_splits_by_time(spark, index_dir, start="2099-01-01") == []
+
+
+def test_gc_survives_merge_and_restores_interrupted_swap(spark, tiny_dir, index_dir):
+    """Two janitor crash-safety properties: (1) merged commits (lineage-only,
+    no checkpoint file) are NOT swept as dangling; (2) a commit whose live
+    dir vanished mid-swap is RESTORED from trash before any sweeping."""
+    import shutil as sh
+
+    from quickwit_spark.pipeline.janitor import merge_splits
+
+    before = read_index(spark, index_dir).count()
+    merge_splits(spark, index_dir, merge_factor=5, max_merge_factor=10, source_id="events")
+    stats = garbage_collect(index_dir, grace_seconds=0)
+    assert stats["dangling_commits_removed"] == []  # merged commits are LIVE
+    assert read_index(spark, index_dir).count() == before
+
+    # simulate a crash between trash-move and staged-move: a live commit's
+    # dir sits in .trash, nothing at the live path
+    sinks = os.path.join(index_dir, "sinks")
+    victim = sorted(glob.glob(os.path.join(sinks, "commit=*")))[0]
+    commit = os.path.basename(victim).split("=", 1)[1]
+    os.makedirs(os.path.join(index_dir, ".trash"), exist_ok=True)
+    sh.move(victim, os.path.join(index_dir, ".trash", f"delete-9-{commit}"))
+    assert read_index(spark, index_dir).count() < before
+
+    stats = garbage_collect(index_dir, grace_seconds=0)
+    assert commit in stats["restored"]
+    assert read_index(spark, index_dir).count() == before  # no data lost
