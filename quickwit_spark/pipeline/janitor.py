@@ -254,6 +254,7 @@ def garbage_collect(
       period, and leftover ``.staging``/``.trash`` entries are swept.
     """
     now = time.time() if now is None else now
+    merges_repaired = _repair_merges(out_dir)
     store = CheckpointStore(out_dir)
     committed = {
         os.path.basename(p)[: -len(".json")]
@@ -316,7 +317,8 @@ def garbage_collect(
             if now - os.path.getmtime(p) >= grace_seconds:
                 shutil.rmtree(p, ignore_errors=True)
                 swept += 1
-    return {"dangling_commits_removed": removed, "restored": restored, "tmp_swept": swept}
+    return {"dangling_commits_removed": removed, "restored": restored,
+            "merges_repaired": merges_repaired, "tmp_swept": swept}
 
 
 # ---------------------------------------------------------------------------
@@ -454,22 +456,82 @@ def merge_splits(
         ).write.mode("overwrite").parquet(
             os.path.join(staging_root, f"merge-{gi}-lineage")
         )
-        # atomic-ish swap: originals → trash, merged → live
+        # write-ahead intent: a crash anywhere in the swap is repaired by
+        # garbage_collect (roll forward if the merged copy made it live,
+        # roll back from trash otherwise)
+        manifest = {
+            "merged_id": merged_id,
+            "group": group,
+            "staged_data": staged,
+            "staged_lineage": os.path.join(staging_root, f"merge-{gi}-lineage"),
+            "trash": {
+                c: {
+                    "data": os.path.join(trash_root, f"merge-{gi}-{c}"),
+                    "lineage": os.path.join(trash_root, f"merge-{gi}-lin-{c}"),
+                }
+                for c in group
+            },
+        }
+        os.makedirs(os.path.join(out_dir, "_merges"), exist_ok=True)
+        manifest_path = os.path.join(out_dir, "_merges", f"{merged_id}.json")
+        with open(manifest_path, "w") as fh:
+            json.dump(manifest, fh)
+
         for c in group:
             shutil.move(
-                os.path.join(sinks, f"commit={c}"),
-                os.path.join(trash_root, f"merge-{gi}-{c}"),
+                os.path.join(sinks, f"commit={c}"), manifest["trash"][c]["data"]
             )
             lin = os.path.join(out_dir, "_lineage", f"commit_id={c}")
             if os.path.isdir(lin):
-                shutil.move(lin, os.path.join(trash_root, f"merge-{gi}-lin-{c}"))
+                shutil.move(lin, manifest["trash"][c]["lineage"])
         shutil.move(staged, os.path.join(sinks, f"commit={merged_id}"))
         shutil.move(
-            os.path.join(staging_root, f"merge-{gi}-lineage"),
+            manifest["staged_lineage"],
             os.path.join(out_dir, "_lineage", f"commit_id={merged_id}"),
         )
+        os.remove(manifest_path)  # swap complete
         merged_ids.append(merged_id)
     return {"merged": merged_ids, "groups": groups}
+
+
+def _repair_merges(out_dir: str) -> list[str]:
+    """Complete or roll back merges interrupted mid-swap (leftover intent
+    manifests in ``_merges/``). Roll FORWARD when the merged data and lineage
+    both made it live; otherwise roll BACK every original from trash and drop
+    any partial merged state. Idempotent."""
+    sinks = _sinks_dir(out_dir)
+    repaired = []
+    for mpath in sorted(glob.glob(os.path.join(out_dir, "_merges", "*.json"))):
+        with open(mpath) as fh:
+            m = json.load(fh)
+        merged_dir = os.path.join(sinks, f"commit={m['merged_id']}")
+        merged_lin = os.path.join(out_dir, "_lineage", f"commit_id={m['merged_id']}")
+        if os.path.isdir(merged_dir) and os.path.isdir(merged_lin):
+            # roll forward: finish trashing any original remnants
+            for c, t in m["trash"].items():
+                src = os.path.join(sinks, f"commit={c}")
+                if os.path.isdir(src):
+                    shutil.move(src, t["data"])
+                lin = os.path.join(out_dir, "_lineage", f"commit_id={c}")
+                if os.path.isdir(lin):
+                    shutil.move(lin, t["lineage"])
+        else:
+            # roll back: originals return from trash; partial merged state and
+            # staged copies are dropped
+            shutil.rmtree(merged_dir, ignore_errors=True)
+            shutil.rmtree(merged_lin, ignore_errors=True)
+            for c, t in m["trash"].items():
+                dst = os.path.join(sinks, f"commit={c}")
+                if not os.path.isdir(dst) and os.path.isdir(t["data"]):
+                    shutil.move(t["data"], dst)
+                lin = os.path.join(out_dir, "_lineage", f"commit_id={c}")
+                if not os.path.isdir(lin) and os.path.isdir(t["lineage"]):
+                    shutil.move(t["lineage"], lin)
+            shutil.rmtree(m["staged_data"], ignore_errors=True)
+            shutil.rmtree(m["staged_lineage"], ignore_errors=True)
+        os.remove(mpath)
+        repaired.append(m["merged_id"])
+    return repaired
 
 
 # ---------------------------------------------------------------------------

@@ -306,3 +306,63 @@ def test_gc_survives_merge_and_restores_interrupted_swap(spark, tiny_dir, index_
     stats = garbage_collect(index_dir, grace_seconds=0)
     assert commit in stats["restored"]
     assert read_index(spark, index_dir).count() == before  # no data lost
+
+
+def test_merge_crash_repair_rolls_back_and_forward(spark, tiny_dir, index_dir):
+    """Interrupted merges repair deterministically from the intent manifest:
+    mid-swap → roll back to pre-merge; post-data-move → roll forward."""
+    import json as _json
+    import shutil as sh
+
+    from quickwit_spark.pipeline.janitor import merge_splits
+
+    before = read_index(spark, index_dir).count()
+    stats = merge_splits(spark, index_dir, merge_factor=5, max_merge_factor=10,
+                         source_id="events")
+    merged_id = stats["merged"][0]
+    sinks = os.path.join(index_dir, "sinks")
+
+    # ---- simulate a MID-SWAP crash: merged live data moved back to staging,
+    # merged lineage removed, manifest re-created (as if we died after
+    # trashing originals but before installing the merged copy)
+    staged = os.path.join(index_dir, ".staging", f"crash-{merged_id}")
+    sh.move(os.path.join(sinks, f"commit={merged_id}"), staged)
+    staged_lin = os.path.join(index_dir, ".staging", "crash-lineage")
+    sh.move(os.path.join(index_dir, "_lineage", f"commit_id={merged_id}"), staged_lin)
+    trash = {
+        c: {"data": p, "lineage": p.replace(f"merge-0-{c}", f"merge-0-lin-{c}")}
+        for c, p in (
+            (c, os.path.join(index_dir, ".trash", f"merge-0-{c}"))
+            for c in stats["groups"][0]
+        )
+    }
+    os.makedirs(os.path.join(index_dir, "_merges"), exist_ok=True)
+    with open(os.path.join(index_dir, "_merges", f"{merged_id}.json"), "w") as fh:
+        _json.dump({"merged_id": merged_id, "group": stats["groups"][0],
+                    "staged_data": staged, "staged_lineage": staged_lin,
+                    "trash": trash}, fh)
+
+    out = garbage_collect(index_dir, grace_seconds=3600)
+    assert merged_id in out["merges_repaired"]
+    # rolled BACK: original commits restored, full row count intact
+    assert read_index(spark, index_dir).count() == before
+    lin_ids = {
+        os.path.basename(p).split("=", 1)[1]
+        for p in glob.glob(os.path.join(index_dir, "_lineage", "commit_id=*"))
+    }
+    assert merged_id not in lin_ids and len(lin_ids) > 1
+
+    # ---- roll FORWARD: redo the merge, then fake a crash AFTER both moves
+    # (manifest left behind) — repair just cleans up
+    stats2 = merge_splits(spark, index_dir, merge_factor=5, max_merge_factor=10,
+                          source_id="events")
+    m2 = stats2["merged"][0]
+    with open(os.path.join(index_dir, "_merges", f"{m2}.json"), "w") as fh:
+        _json.dump({"merged_id": m2, "group": stats2["groups"][0],
+                    "staged_data": "/nonexistent", "staged_lineage": "/nonexistent",
+                    "trash": {c: {"data": os.path.join(index_dir, ".trash", f"x-{c}"),
+                                  "lineage": os.path.join(index_dir, ".trash", f"x-lin-{c}")}
+                              for c in stats2["groups"][0]}}, fh)
+    out2 = garbage_collect(index_dir, grace_seconds=3600)
+    assert m2 in out2["merges_repaired"]
+    assert read_index(spark, index_dir).count() == before
