@@ -398,6 +398,15 @@ def _q_dedup_embedding_lsh(spark, sf_dir):
     ).select("a", "b")
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    # pairs → connected components → canonical (min-id) cluster labels: the
+    # keep-one selection step of a dedup pipeline. Oracle = recursive CTE.
+    pairs = S.embedding_exact_pairs_blocked(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, num_blocks=8
+    )
+    return D.near_dup_clusters(pairs).select("member", "cluster")
+
+
 def _q_ann_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
@@ -637,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "dedup_clusters": _q_dedup_clusters,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
         "ann_lsh": _q_ann_lsh,
@@ -865,6 +875,22 @@ def oracle_sql() -> dict[str, str]:
             FROM aug l JOIN aug r ON l.vec_id < r.vec_id
             WHERE round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
                                                CAST(r.embedding AS DOUBLE[])), 6) >= 0.95
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE p AS (
+              SELECT l.vec_id AS a, r.vec_id AS b
+              FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+              WHERE round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+                                                 CAST(r.embedding AS DOUBLE[])), 6) >= 0.4
+            ), e AS (
+              SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p
+            ), reach(x, y) AS (
+              SELECT x, y FROM e
+              UNION
+              SELECT reach.x, e.y FROM reach JOIN e ON reach.y = e.x
+            )
+            SELECT x AS member, least(x, min(y)) AS cluster
+            FROM reach GROUP BY x
         """,
         "ann_topk": """
             SELECT r.vec_id,

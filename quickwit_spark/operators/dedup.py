@@ -380,3 +380,60 @@ def simhash_near_dup_pairs(
     )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return pairs.select("a", "b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (pairs → connected components → keep-one selection)
+# ---------------------------------------------------------------------------
+
+
+def near_dup_clusters(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over near-dup pairs: (member, cluster) where
+    ``cluster`` is the smallest id reachable from the member — the canonical
+    document a dedup pipeline KEEPS (min-id selection).
+
+    Label propagation to fixpoint: each round every node takes the min of its
+    own label and its neighbors' labels (one join + one groupBy per round;
+    rounds ≈ graph diameter, checked by a cheap changed-count). Near-dup
+    graphs are unions of small cliques, so 2-3 rounds is typical; for
+    adversarially long chains at 10^12 scale swap in large-star/small-star —
+    the (member, cluster) contract is unchanged.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .union(pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("x").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.y == labels.node)
+            .groupBy("x")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.x, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("member"), F.col("label").alias("cluster"))

@@ -310,3 +310,17 @@ def test_multimodal_audio_and_text_extract(spark):
         media.filter(F.col("kind") == "doc")
     ).collect()}
     assert txt[3] == "Hello binary world pdf-tail"
+
+
+def test_near_dup_clusters_connected_components(spark):
+    from quickwit_spark.operators.dedup import near_dup_clusters
+
+    # two components: a 4-chain (1-2-3-4) and a pair (10,11); singleton 99
+    # never appears in pairs so it isn't a member
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "a long, b long"
+    )
+    got = {
+        r["member"]: r["cluster"] for r in near_dup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
