@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
+    "dedup_clusters",
     "ann_topk",
     "text_quality",
     "text_fingerprint",
