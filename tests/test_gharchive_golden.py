@@ -327,3 +327,16 @@ def test_0023_extra_filters(gh):
          "extra_filters": "actor.login:jadonk"},
         field_types=FIELDS,
     )["hits"]["total"]["value"] == 2
+
+
+def test_0008_sort_spec_variants(gh):
+    def first_actor_id(sort_spec):
+        res = es_search(gh, {"size": 1, "sort": sort_spec}, field_types=FIELDS)
+        assert res["hits"]["total"]["value"] == 100
+        return res["hits"]["hits"][0]["_source"]["actor"]["id"]
+
+    assert first_actor_id([{"actor.id": {"order": "desc"}}]) == 10791502
+    assert first_actor_id([{"actor.id": {"order": "asc"}}]) == 5688
+    assert first_actor_id(["actor.id"]) == 5688      # bare string → asc
+    assert first_actor_id([{"actor.id": {}}]) == 5688  # empty spec → asc
+    assert first_actor_id({"actor.id": {}}) == 5688    # dict body form
