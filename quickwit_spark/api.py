@@ -161,7 +161,13 @@ def es_search(
     compiler = QueryCompiler(field_types, default_fields=default_fields)
 
     filtered = df
-    if body.get("query"):
+    if body.get("q"):
+        # the `q` query-string param takes priority over the body query
+        # (0002-query_string.yaml)
+        filtered = df.filter(
+            compiler.compile(compiler.parse(str(body["q"])))
+        )
+    elif body.get("query"):
         query = _prune_unmapped_multi_match(df, body["query"])
         pred = compiler.compile(es_dsl_to_ast(query))
         filtered = df.filter(pred)

@@ -340,3 +340,14 @@ def test_0008_sort_spec_variants(gh):
     assert first_actor_id(["actor.id"]) == 5688      # bare string → asc
     assert first_actor_id([{"actor.id": {}}]) == 5688  # empty spec → asc
     assert first_actor_id({"actor.id": {}}) == 5688    # dict body form
+
+
+def test_0002_q_param_overrides_body_query(gh):
+    res = es_search(
+        gh,
+        {"q": "type:PushEvent", "size": 3,
+         "query": {"term": {"type": {"value": "whatever"}}}},
+        field_types=FIELDS,
+    )
+    assert res["hits"]["total"]["value"] == 60
+    assert len(res["hits"]["hits"]) == 3
