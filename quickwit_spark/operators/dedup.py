@@ -413,20 +413,23 @@ def near_dup_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):  # noqa: B007 (_ used for cadence)
+    for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.y == labels.node)
             .groupBy("x")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = labels.join(neighbor_min, labels.node == neighbor_min.x, "left").select(
-            "node",
-            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+        # per-round localCheckpoint: without it each round's action replays
+        # the whole join chain (quadratic recompute — measured slower than
+        # the checkpoint write)
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.x, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
         )
-        # truncate lineage only every few rounds — a checkpoint write per
-        # round costs more than the short join chains it avoids
-        if _ % 3 == 2:
-            new_labels = new_labels.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
