@@ -55,7 +55,11 @@ _CATEGORY_COL = "_error_category"
 @dataclass
 class FieldMapping:
     name: str
-    type: str  # text|u64|i64|f64|bool|ip|datetime|bytes|json|object
+    type: str  # text|u64|i64|f64|bool|ip|datetime|bytes|json|object|concatenate
+    # tokenizer for text/concatenate fields (raw | default | ... —
+    # functions/tokenizers.py names); drives query compilation via
+    # QueryCompiler.from_doc_mapping
+    tokenizer: str = "default"
     multi: bool = False
     coerce: bool = True
     input_formats: tuple[str, ...] = DEFAULT_INPUT_FORMATS

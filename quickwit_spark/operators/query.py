@@ -197,19 +197,31 @@ class QueryCompiler:
     def from_doc_mapping(cls, mapping, default_fields: tuple[str, ...] = ()) -> "QueryCompiler":
         """Build the compiler from a docmapper ``DocMapping`` — the same type
         table drives ingest coercion AND query compilation (doc_mapper is the
-        single source of field truth in the reference too)."""
+        single source of field truth in the reference too). Text fields with
+        a raw tokenizer compile as exact strings; concatenate fields pick
+        concat_raw/concat_default from their OWN tokenizer; json fields get
+        leaf-value matching; mode=dynamic wires `_dynamic` extraction for
+        undeclared fields."""
         types: dict[str, str] = {}
 
         def walk(fms, prefix=""):
             for fm in fms:
                 name = f"{prefix}{fm.name}"
+                tok = getattr(fm, "tokenizer", "default") or "default"
                 if fm.type == "object":
                     walk(fm.fields, prefix=f"{name}.")
+                elif fm.type == "concatenate":
+                    types[name] = "concat_raw" if tok.startswith("raw") else "concat_default"
+                elif fm.type == "text" and tok.startswith("raw"):
+                    types[name] = "raw"
+                elif fm.type == "json":
+                    types[name] = "json"
                 else:
                     types[name] = _DOCMAPPER_KIND.get(fm.type, "raw")
 
         walk(mapping.field_mappings)
-        return cls(types, default_fields=default_fields)
+        dyn = "_dynamic" if getattr(mapping, "mode", "dynamic") == "dynamic" else None
+        return cls(types, default_fields=default_fields, dynamic_col=dyn)
 
     def info(self, field: str) -> FieldInfo:
         default = "dynamic" if self.dynamic_col is not None else "raw"

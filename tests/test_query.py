@@ -281,4 +281,32 @@ def test_compiler_from_doc_mapping(spark):
     assert qc2.info("latency").kind == "numeric"
     assert qc2.info("addr").kind == "ip"
     assert qc2.info("nested.inner").kind == "numeric"
-    assert qc2.info("unknown").kind == "raw"
+    # dynamic mode: undeclared fields route to _dynamic extraction
+    assert qc2.info("unknown").kind == "dynamic"
+    mapping.mode = "strict"
+    qc3 = QueryCompiler.from_doc_mapping(mapping)
+    assert qc3.info("unknown").kind == "raw"
+
+
+def test_compiler_from_doc_mapping_tokenizers(spark):
+    from quickwit_spark.operators.docmapper import DocMapping, FieldMapping
+
+    mapping = DocMapping(
+        field_mappings=[
+            FieldMapping("msg", "text"),
+            FieldMapping("tagline", "text", tokenizer="raw"),
+            FieldMapping("all_raw", "concatenate", tokenizer="raw", source_fields=("msg",)),
+            FieldMapping("all_def", "concatenate", source_fields=("msg",)),
+            FieldMapping("props", "json"),
+        ],
+        mode="dynamic",
+    )
+    qc2 = QueryCompiler.from_doc_mapping(mapping)
+    assert qc2.info("msg").kind == "text"
+    assert qc2.info("tagline").kind == "raw"
+    assert qc2.info("all_raw").kind == "concat_raw"
+    assert qc2.info("all_def").kind == "concat_default"
+    assert qc2.info("props").kind == "json"
+    # undeclared fields route to the dynamic column in dynamic mode
+    assert qc2.dynamic_col == "_dynamic"
+    assert qc2.info("anything").kind == "dynamic"
