@@ -366,3 +366,28 @@ def test_merge_crash_repair_rolls_back_and_forward(spark, tiny_dir, index_dir):
     out2 = garbage_collect(index_dir, grace_seconds=3600)
     assert m2 in out2["merges_repaired"]
     assert read_index(spark, index_dir).count() == before
+
+
+def test_query_lifecycle_prune_then_aggregate(spark, tiny_dir, index_dir):
+    """SURVEY §3.2 end-to-end at the storage layer: time-prune splits from
+    lineage, scan ONLY those commits, run the date_histogram — identical
+    buckets to the naive full scan (the 10^12-turn query path)."""
+    from quickwit_spark.operators.aggs import date_histogram
+    from quickwit_spark.pipeline.janitor import prune_splits_by_time
+
+    start, end = "2024-01-03 00:00:00", "2024-01-09 00:00:00"
+    commits = prune_splits_by_time(spark, index_dir, start, end)
+    pruned_scan = read_index(spark, index_dir).filter(F.col("commit").isin(commits))
+    full_scan = read_index(spark, index_dir)
+
+    def buckets(df):
+        return [
+            (r["key"], r["doc_count"])
+            for r in date_histogram(
+                df.filter((F.col("ts") >= start) & (F.col("ts") < end)),
+                "ts", "1d", min_doc_count=1,
+            ).collect()
+        ]
+
+    got, want = buckets(pruned_scan), buckets(full_scan)
+    assert got == want and len(got) == 6
