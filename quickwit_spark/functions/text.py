@@ -76,9 +76,52 @@ def fingerprint_col(col: Column, window: int = 8) -> Column:
 _LANG_PROFILES = {
     "en": (" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng "),
     "de": ("en ", "er ", " de", "der", "ie ", " di", "die", "ch ", "sch", "ein"),
-    "fr": (" de", "de ", " le", "es ", "le ", "ent", " la", "la ", "ion", "que"),
-    "es": (" de", "de ", " la", "la ", "os ", " el", "el ", "as ", "que", " qu"),
+    "fr": (" de", "de ", " le", "es ", "le ", "ent", " la", "la ", "ion", "aux"),
+    "es": (" de", "de ", " la", "la ", "os ", " el", "el ", "ción", "ado", " qu"),
+    "it": (" di", "di ", " il", "il ", "che", " ch", "to ", "la ", "zion", "gli"),
+    "pt": (" de", "de ", " e ", "ão ", "os ", "ção", " qu", "em ", "da ", " da"),
+    "nl": ("en ", " de", "de ", "et ", " he", "het", "van", " va", "aar", "ij "),
+    "id": ("ang", "an ", " me", "kan", " di", "nya", " ya", "yang", " be", "ber"),
+    "tr": ("lar", "ler", " bi", "bir", "ın ", "an ", " ka", "da ", " ve", "ve "),
+    "sv": ("en ", " de", "et ", "om ", " oc", "och", "ch ", "för", " fö", "att"),
 }
+
+# script-based fast paths: a dominant non-Latin script decides the language
+# family before any trigram scoring (cheap and far more reliable)
+_SCRIPT_RANGES = (
+    ("zh", 0x4E00, 0x9FFF),
+    ("ja", 0x3040, 0x30FF),   # hiragana/katakana (checked before han)
+    ("ko", 0xAC00, 0xD7AF),
+    ("ru", 0x0400, 0x04FF),
+    ("ar", 0x0600, 0x06FF),
+    ("he", 0x0590, 0x05FF),
+    ("el", 0x0370, 0x03FF),
+    ("th", 0x0E00, 0x0E7F),
+    ("hi", 0x0900, 0x097F),
+)
+
+
+def _script_guess(s: str) -> str | None:
+    counts: dict[str, int] = {}
+    n_alpha = 0
+    for ch in s:
+        if not ch.isalpha():
+            continue
+        n_alpha += 1
+        cp = ord(ch)
+        for lang, lo, hi in _SCRIPT_RANGES:
+            if lo <= cp <= hi:
+                counts[lang] = counts.get(lang, 0) + 1
+                break
+    if not counts or n_alpha == 0:
+        return None
+    best = max(counts, key=lambda k: counts[k])
+    if counts[best] * 3 >= n_alpha:  # ≥1/3 of letters in one script
+        # han chars inside ja text: kana presence wins
+        if best == "zh" and counts.get("ja", 0) > 0:
+            return "ja"
+        return best
+    return None
 
 
 @F.pandas_udf(T.StringType())
@@ -90,6 +133,10 @@ def lang_id_udf(texts: pd.Series) -> pd.Series:
             out[i] = None
             continue
         s = f" {t.lower()} "
+        script = _script_guess(s)
+        if script is not None:
+            out[i] = script
+            continue
         scores = {}
         for lang, grams in _LANG_PROFILES.items():
             scores[lang] = sum(s.count(g) for g in grams)

@@ -324,3 +324,28 @@ def test_near_dup_clusters_connected_components(spark):
         r["member"]: r["cluster"] for r in near_dup_clusters(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_lang_id_more_languages(spark):
+    from quickwit_spark.functions.text import lang_id_udf
+
+    rows = [
+        (1, "el rápido zorro marrón salta sobre el perro perezoso que duerme"),
+        (2, "la volpe veloce salta sopra il cane pigro che dorme al sole"),
+        (3, "a raposa rápida salta sobre o cão preguiçoso que dorme ao sol"),
+        (4, "de snelle bruine vos springt over de luie hond van het erf"),
+        (5, "быстрая коричневая лиса прыгает через ленивую собаку"),
+        (6, "敏捷的棕色狐狸跳过了那只懒惰的狗然后跑进了森林里面"),
+        (7, "すばやい茶色のキツネは怠け者の犬を飛び越えました"),
+        (8, "الثعلب البني السريع يقفز فوق الكلب الكسول في الحديقة"),
+        (9, "hızlı kahverengi tilki tembel köpeğin üzerinden atlar ve kaçar"),
+    ]
+    got = {
+        r["id"]: r["lang"]
+        for r in spark.createDataFrame(rows, ["id", "text"])
+        .select("id", lang_id_udf(F.col("text")).alias("lang"))
+        .collect()
+    }
+    assert got[1] == "es" and got[2] == "it" and got[3] == "pt"
+    assert got[4] == "nl" and got[5] == "ru" and got[6] == "zh"
+    assert got[7] == "ja" and got[8] == "ar" and got[9] == "tr"
