@@ -47,6 +47,8 @@ HEADLINE = [
     "dedup_clusters",
     "ann_topk",
     "text_quality",
+    "text_langid",
+    "multimodal_text_extract",
     "text_fingerprint",
 ]
 
