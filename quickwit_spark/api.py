@@ -332,3 +332,26 @@ def field_caps(
 
     walk(df.schema)
     return {"indices": [index], "fields": fields}
+
+
+def es_scroll(
+    df: DataFrame,
+    body: dict[str, Any],
+    scroll_state: list | None = None,
+    field_types: dict[str, str] | None = None,
+) -> tuple[dict[str, Any], list | None]:
+    """Scroll protocol as a pure function: returns ``(response,
+    next_scroll_state)``; pass the state back to get the next page, until it
+    comes back None. The state is just the last hit's sort values (iterated
+    search_after — the single-engine analog of the reference's server-side
+    scroll context, scroll_context.rs; nothing lives on the cluster).
+
+    ``body`` must carry a deterministic ``sort`` (add a unique tiebreaker).
+    """
+    page_body = dict(body)
+    if scroll_state is not None:
+        page_body["search_after"] = scroll_state
+    res = es_search(df, page_body, field_types=field_types)
+    hits = res["hits"]["hits"]
+    next_state = hits[-1]["sort"] if hits else None
+    return res, next_state

@@ -139,3 +139,16 @@ def test_field_caps_shape(spark):
     assert set(f["name"]) == {"text", "keyword"}
     assert "ip" in f["host"]
     assert f["id"]["long"]["searchable"] is True
+
+
+def test_es_scroll_pages_until_drained(logs):
+    from quickwit_spark.api import es_scroll
+
+    body = {"query": {"match_all": {}}, "sort": [{"id": "asc"}], "size": 4}
+    seen, state = [], None
+    for _ in range(10):
+        res, state = es_scroll(logs, body, scroll_state=state, field_types=FIELDS)
+        if not res["hits"]["hits"]:
+            break
+        seen += [h["_source"]["id"] for h in res["hits"]["hits"]]
+    assert seen == [1, 2, 3, 4, 5, 6]
