@@ -131,6 +131,15 @@ def delete_by_query(
     affected = [r["commit"] for r in plan]
     rows_deleted = int(sum(r["n"] for r in plan))
 
+    # write-ahead: persist the delete record BEFORE any swap (mirroring the
+    # merge intent manifest) so a crash mid-swap can never recycle this
+    # opstamp for an unrelated later query — next_opstamp scans _deletes/
+    record_path = os.path.join(out_dir, "_deletes", f"{opstamp}.json")
+    os.makedirs(os.path.join(out_dir, "_deletes"), exist_ok=True)
+    with open(record_path, "w") as fh:
+        json.dump({"opstamp": opstamp, "query": query,
+                   "applied_commits": affected, "complete": False}, fh)
+
     staging_root = os.path.join(out_dir, ".staging")
     trash_root = os.path.join(out_dir, ".trash")
     os.makedirs(staging_root, exist_ok=True)
@@ -178,9 +187,9 @@ def delete_by_query(
         shutil.rmtree(staged, ignore_errors=True)
         shutil.rmtree(staged_lineage, ignore_errors=True)
 
-    os.makedirs(os.path.join(out_dir, "_deletes"), exist_ok=True)
-    with open(os.path.join(out_dir, "_deletes", f"{opstamp}.json"), "w") as fh:
-        json.dump({"opstamp": opstamp, "query": query, "applied_commits": affected}, fh)
+    with open(record_path, "w") as fh:
+        json.dump({"opstamp": opstamp, "query": query,
+                   "applied_commits": affected, "complete": True}, fh)
     # rewrites are applied; trash is GC'd separately (grace period)
     return {"opstamp": opstamp, "commits_rewritten": affected, "rows_deleted": rows_deleted}
 
@@ -210,7 +219,16 @@ def apply_retention(spark: SparkSession, out_dir: str, cutoff) -> dict:
         shutil.rmtree(leaf, ignore_errors=True)
         dropped.append((r["commit_id"], r["sink"]))
 
-    # rewrite lineage for affected commits (driver-side: metadata plane)
+    # rewrite lineage for affected commits (driver-side: metadata plane).
+    # Staged copy lives under .staging (NOT ldir+'.new', which would pollute
+    # partition discovery on _lineage reads); swap is rename-first — old to
+    # trash, then staged into place — so a crash between the two is rolled
+    # forward by garbage_collect._repair_retention instead of leaving a live
+    # commit with no lineage entry (silently excluded from split pruning).
+    staging_root = os.path.join(out_dir, ".staging")
+    trash_root = os.path.join(out_dir, ".trash")
+    os.makedirs(staging_root, exist_ok=True)
+    os.makedirs(trash_root, exist_ok=True)
     for commit in {c for c, _ in dropped}:
         ldir = os.path.join(out_dir, "_lineage", f"commit_id={commit}")
         gone = {s for c, s in dropped if c == commit}
@@ -218,11 +236,12 @@ def apply_retention(spark: SparkSession, out_dir: str, cutoff) -> dict:
         kept = cur.filter(~F.col("sink").isin(list(gone)))
         rows = kept.collect()
         if rows:
+            staged = os.path.join(staging_root, f"retention-lin-{commit}")
             spark.createDataFrame(rows, kept.schema).write.mode("overwrite").parquet(
-                ldir + ".new"
+                staged
             )
-            shutil.rmtree(ldir)
-            shutil.move(ldir + ".new", ldir)
+            shutil.move(ldir, os.path.join(trash_root, f"retention-lin-{commit}"))
+            shutil.move(staged, ldir)
         else:
             shutil.rmtree(ldir)
         commit_dir = os.path.join(sinks, f"commit={commit}")
@@ -255,6 +274,7 @@ def garbage_collect(
     """
     now = time.time() if now is None else now
     merges_repaired = _repair_merges(out_dir)
+    retention_repaired = _repair_retention(out_dir)
     store = CheckpointStore(out_dir)
     committed = {
         os.path.basename(p)[: -len(".json")]
@@ -318,7 +338,8 @@ def garbage_collect(
                 shutil.rmtree(p, ignore_errors=True)
                 swept += 1
     return {"dangling_commits_removed": removed, "restored": restored,
-            "merges_repaired": merges_repaired, "tmp_swept": swept}
+            "merges_repaired": merges_repaired,
+            "retention_repaired": retention_repaired, "tmp_swept": swept}
 
 
 # ---------------------------------------------------------------------------
@@ -390,8 +411,11 @@ def plan_merges(
 ) -> list[list[str]]:
     """StableLogMergePolicy-style planning over per-commit doc counts
     (stable_log_merge_policy.rs:59-70 behavior, simplified to the semantics
-    that matter here): commits whose docs < target are merge candidates;
-    within a sink they group oldest-first into batches of
+    that matter here): commits whose docs < target are merge candidates; they
+    group GLOBALLY (a commit spans all its sinks; the rewrite preserves the
+    per-sink fan-out) in lexicographic commit-id order — oldest-first when ids
+    are time-ordered like the day-partitioned ``d2024-01-01`` ids, arbitrary
+    but deterministic for uuid ids — into batches of
     ``merge_factor..max_merge_factor``; a commit at/above the docs target is
     MATURE and never merged. Returns lists of commit ids to merge together.
     """
@@ -492,6 +516,30 @@ def merge_splits(
         os.remove(manifest_path)  # swap complete
         merged_ids.append(merged_id)
     return {"merged": merged_ids, "groups": groups}
+
+
+def _repair_retention(out_dir: str) -> list[str]:
+    """Roll forward retention lineage swaps interrupted mid-rename: a
+    complete staged copy (``.staging/retention-lin-<commit>`` with _SUCCESS)
+    is adopted as the commit's lineage — the old entry, if still present,
+    goes to trash first (apply_retention removed the data leaves before
+    staging, so the staged copy is always the correct forward state). A
+    partial staged write (no _SUCCESS) is dropped. Idempotent."""
+    sinks_trash = os.path.join(out_dir, ".trash")
+    repaired = []
+    prefix = "retention-lin-"
+    for staged in sorted(glob.glob(os.path.join(out_dir, ".staging", prefix + "*"))):
+        commit = os.path.basename(staged)[len(prefix):]
+        if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+            shutil.rmtree(staged, ignore_errors=True)
+            continue
+        ldir = os.path.join(out_dir, "_lineage", f"commit_id={commit}")
+        if os.path.isdir(ldir):
+            os.makedirs(sinks_trash, exist_ok=True)
+            shutil.move(ldir, os.path.join(sinks_trash, f"{prefix}{commit}-old"))
+        shutil.move(staged, ldir)
+        repaired.append(commit)
+    return repaired
 
 
 def _repair_merges(out_dir: str) -> list[str]:

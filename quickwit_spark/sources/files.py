@@ -119,7 +119,10 @@ def _attrs_to_map(col):
                 F.coalesce(
                     kv["value"]["stringValue"],
                     kv["value"]["intValue"],
-                    F.format_number(kv["value"]["doubleValue"], 6),
+                    # cast, NOT format_number: the latter inserts thousands
+                    # separators (12345.6 -> '12,345.600000'), breaking term
+                    # matching on numeric attribute values.
+                    kv["value"]["doubleValue"].cast("string"),
                     kv["value"]["boolValue"].cast("string"),
                 ).alias("value"),
             ),

@@ -6,9 +6,10 @@ built-in streaming aggregates can't express:
 
 - :func:`streaming_dedup` — cross-micro-batch exact dedup: only the FIRST
   occurrence of each content hash is ever emitted, no matter which batch the
-  duplicates arrive in. State per hash group is a single seen flag, stored
-  in Spark's state store (RocksDB-compatible at scale), so memory is bounded
-  per key and survives restarts with the streaming checkpoint.
+  duplicates arrive in. State per hash group is the list of distinct texts
+  seen (length 1 except on genuine 64-bit collisions), stored in Spark's
+  state store (RocksDB-compatible at scale), so memory is bounded per key
+  and survives restarts with the streaming checkpoint.
 - :func:`conversation_sessions` — running per-conversation session state
   (turn counts, ts range, error counts) updated every micro-batch; the
   pattern behind "conversation-level quality gates" on live transcript
@@ -25,9 +26,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
-def streaming_dedup(stream: DataFrame, text_col: str = "text") -> DataFrame:
+def streaming_dedup(stream: DataFrame, text_col: str = "text",
+                    hash_expr=None) -> DataFrame:
     """Emit each distinct ``text_col`` value exactly once across ALL
-    micro-batches. Groups by xxhash64(text); state = has-emitted flag.
+    micro-batches. Groups by xxhash64(text); state = distinct texts seen
+    (collision-safe: suppression matches the full text, not just the hash).
 
     Output: (content_hash: long, first_value: string, n_dupes_dropped: long)
     rows are appended only for first-seen hashes; later duplicates bump
@@ -35,27 +38,41 @@ def streaming_dedup(stream: DataFrame, text_col: str = "text") -> DataFrame:
     """
 
     def dedup_fn(key, pdfs, state: GroupState):
-        n = 0
-        first = None
-        for pdf in pdfs:
-            if first is None and len(pdf):
-                first = pdf[text_col].iloc[0]
-            n += len(pdf)
-        if state.exists:
-            (seen_n,) = state.get
-            state.update((seen_n + n,))
-            return iter(())  # already emitted: drop all duplicates
-        state.update((n,))
+        # State holds the DISTINCT texts seen under this 64-bit hash (almost
+        # always exactly one; >1 only on a genuine xxhash64 collision) plus a
+        # per-text occurrence count. Suppression compares full text, not just
+        # the hash, so colliding-but-distinct documents are each emitted once
+        # instead of silently conflated (batch dedup_exact groups on
+        # (hash, text) for the same reason).
+        texts = [pdf[text_col] for pdf in pdfs if len(pdf)]
+        batch = pd.concat(texts, ignore_index=True) if texts else pd.Series([], dtype=object)
+        seen, counts = (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        new_texts, new_counts = [], []
+        for text, n in batch.groupby(batch, sort=False).size().items():
+            try:
+                i = seen.index(text)
+                counts[i] += int(n)
+            except ValueError:
+                seen.append(text)
+                counts.append(int(n))
+                new_texts.append(text)
+                new_counts.append(int(n) - 1)
+        state.update((seen, counts))
+        if not new_texts:
+            return iter(())  # every text already emitted: drop all duplicates
         return iter(
-            [pd.DataFrame({"content_hash": [key[0]], "first_value": [first],
-                           "n_dupes_dropped": [n - 1]})]
+            [pd.DataFrame({"content_hash": [key[0]] * len(new_texts),
+                           "first_value": new_texts,
+                           "n_dupes_dropped": new_counts})]
         )
 
-    keyed = stream.withColumn("__h", F.xxhash64(F.col(text_col))).groupBy("__h")
+    if hash_expr is None:
+        hash_expr = F.xxhash64(F.col(text_col))
+    keyed = stream.withColumn("__h", hash_expr).groupBy("__h")
     return keyed.applyInPandasWithState(
         dedup_fn,
         outputStructType="content_hash long, first_value string, n_dupes_dropped long",
-        stateStructType="seen_n long",
+        stateStructType="seen array<string>, counts array<long>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -123,6 +123,87 @@ def test_gc_removes_dangling_commits_only(spark, index_dir):
     assert len(glob.glob(os.path.join(sinks, "commit=*"))) == committed_before
 
 
+def test_retention_lineage_swap_crash_repair(spark, index_dir):
+    """A crash between retention's rename-first steps (old lineage trashed,
+    staged copy not yet moved in) must be rolled forward by GC — a live
+    commit may never be left without a lineage entry (it would silently
+    vanish from split pruning)."""
+    import shutil
+
+    lin_root = os.path.join(index_dir, "_lineage")
+    ldirs = sorted(glob.glob(os.path.join(lin_root, "commit_id=*")))
+    commit_a = os.path.basename(ldirs[0]).split("=", 1)[1]
+    commit_b = os.path.basename(ldirs[1]).split("=", 1)[1]
+    staging = os.path.join(index_dir, ".staging")
+    os.makedirs(staging, exist_ok=True)
+
+    def _stage(src, commit):
+        dst = os.path.join(staging, f"retention-lin-{commit}")
+        shutil.copytree(src, dst)
+        # the real staged write is a direct (non-partitioned) Spark write,
+        # which marks completion with _SUCCESS; replicate that marker
+        open(os.path.join(dst, "_SUCCESS"), "w").close()
+
+    # case A: old lineage already gone (trashed), staged copy complete
+    la = os.path.join(lin_root, f"commit_id={commit_a}")
+    _stage(la, commit_a)
+    shutil.rmtree(la)
+    # case B: staged copy complete, old lineage still in place
+    lb = os.path.join(lin_root, f"commit_id={commit_b}")
+    _stage(lb, commit_b)
+    # case C: partial staged write (no _SUCCESS) for a bogus commit
+    os.makedirs(os.path.join(staging, "retention-lin-zz-partial"))
+
+    stats = garbage_collect(index_dir, grace_seconds=3600)
+    assert sorted(stats["retention_repaired"]) == sorted([commit_a, commit_b])
+    assert os.path.isdir(la) and os.path.isdir(lb)
+    # case B's displaced old entry went to trash, not oblivion
+    assert os.path.isdir(
+        os.path.join(index_dir, ".trash", f"retention-lin-{commit_b}-old")
+    )
+    # partial staged copy dropped, nothing adopted for it
+    assert not os.path.isdir(os.path.join(staging, "retention-lin-zz-partial"))
+    assert not os.path.isdir(os.path.join(lin_root, "commit_id=zz-partial"))
+    # repaired lineage still reads clean and covers all commits
+    lin = read_lineage(spark, index_dir)
+    assert lin.filter(F.col("commit_id").isin([commit_a, commit_b])).count() > 0
+
+
+def test_delete_opstamp_reserved_before_swap(spark, tiny_dir, index_dir, monkeypatch):
+    """The delete record is a write-ahead intent: a crash mid-swap must leave
+    the opstamp reserved so the next (unrelated) delete can't alias it."""
+    import shutil as _shutil
+
+    qc = QueryCompiler(EVENTS_FIELDS)
+    real_move = _shutil.move
+    calls = {"n": 0}
+
+    def exploding_move(src, dst, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("simulated crash mid-swap")
+        return real_move(src, dst, *a, **kw)
+
+    monkeypatch.setattr("quickwit_spark.pipeline.janitor.shutil.move", exploding_move)
+    with pytest.raises(OSError):
+        delete_by_query(spark, index_dir, "event_type:error", qc, source_id="events")
+    monkeypatch.undo()
+
+    import json
+
+    recs = sorted(glob.glob(os.path.join(index_dir, "_deletes", "*.json")))
+    assert recs, "write-ahead delete record must exist despite the crash"
+    with open(recs[-1]) as fh:
+        rec = json.load(fh)
+    assert rec["complete"] is False
+    crashed_opstamp = rec["opstamp"]
+
+    # repair, then run a DIFFERENT delete: it must get a fresh opstamp
+    garbage_collect(index_dir, grace_seconds=0)
+    stats = delete_by_query(spark, index_dir, "event_type:click", qc, source_id="events")
+    assert stats["opstamp"] > crashed_opstamp
+
+
 def test_delete_then_retention_then_gc_consistent(spark, tiny_dir, index_dir):
     qc = QueryCompiler(EVENTS_FIELDS)
     delete_by_query(spark, index_dir, "event_type:click", qc, source_id="events")

@@ -101,6 +101,40 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path_factory):
     assert spark.sql("SELECT count(*) FROM sdedup_out").collect()[0][0] == 4
 
 
+def test_streaming_dedup_hash_collision_safe(spark, tmp_path_factory):
+    """Distinct texts that COLLIDE on the grouping hash must each be emitted
+    once (suppression matches full text, not just the 64-bit hash). Forced
+    with a degenerate hash_expr that maps everything to one bucket."""
+    import pandas as pd
+
+    from quickwit_spark.streaming.stateful import streaming_dedup
+
+    d = tmp_path_factory.mktemp("sdedup_coll")
+    src = str(d / "in")
+    os.makedirs(src)
+    pd.DataFrame({"text": ["x", "y"]}).to_parquet(os.path.join(src, "f1.parquet"))
+    pd.DataFrame({"text": ["y", "z", "x"]}).to_parquet(os.path.join(src, "f2.parquet"))
+
+    stream = (
+        spark.readStream.schema("text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_dedup(stream, hash_expr=F.lit(0).cast("long"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdedup_coll_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(d / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sdedup_coll_out").collect()
+    assert {r["first_value"] for r in rows} == {"x", "y", "z"}
+    assert len(rows) == 3  # one emission per distinct text, despite collisions
+
+
 def test_conversation_sessions_state_accumulates(spark, tmp_path_factory):
     import pandas as pd
 
