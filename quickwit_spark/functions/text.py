@@ -101,7 +101,11 @@ _SCRIPT_RANGES = (
 )
 
 
+_SCRIPT_LANGS = tuple(lang for lang, _, _ in _SCRIPT_RANGES)
+
+
 def _script_guess(s: str) -> str | None:
+    """Scalar reference for :func:`_script_guess_batch` (parity tests)."""
     counts: dict[str, int] = {}
     n_alpha = 0
     for ch in s:
@@ -124,22 +128,190 @@ def _script_guess(s: str) -> str | None:
     return None
 
 
-@F.pandas_udf(T.StringType())
-def lang_id_udf(texts: pd.Series) -> pd.Series:
-    """Heuristic n-gram language ID (Arrow-vectorized batch)."""
-    out = np.empty(len(texts), dtype=object)
-    for i, t in enumerate(texts):
+_CP_TABLES = None
+
+
+def _cp_tables():
+    """Cached full-codepoint lookup tables (one ~1 MB gather per property
+    replaces any per-character or sort-based classification):
+
+    - alpha:    bool[0x110000] — exact ``str.isalpha`` semantics
+    - script:   int8[0x110000] — index into _SCRIPT_RANGES, -1 = none
+    - alphabet: uint8[0x110000] — 1-based index into the profile-gram
+      alphabet, 0 = not in any gram (so separators/other chars can never
+      complete a gram code)
+    Built once per worker (~0.5 s), then every batch is pure gathers."""
+    global _CP_TABLES
+    if _CP_TABLES is None:
+        import sys
+
+        size = sys.maxunicode + 1
+        alpha = np.zeros(size, dtype=bool)
+        # str of ALL codepoints → one C-level isalpha sweep per 64k block
+        for lo in range(0, size, 1 << 16):
+            hi = min(lo + (1 << 16), size)
+            block = "".join(map(chr, range(lo, hi)))
+            alpha[lo:hi] = np.frombuffer(
+                bytes(ch.isalpha() for ch in block), dtype=bool
+            )
+        script = np.full(size, -1, dtype=np.int8)
+        for si, (_, rlo, rhi) in enumerate(_SCRIPT_RANGES):
+            script[rlo: rhi + 1] = si
+        chars = sorted({c for grams in _LANG_PROFILES.values() for g in grams for c in g})
+        alphabet = np.zeros(size, dtype=np.uint8)
+        for i, c in enumerate(chars):
+            alphabet[ord(c)] = i + 1
+        _CP_TABLES = (alpha, script, alphabet, chars)
+    return _CP_TABLES
+
+
+def _script_guess_batch(cps: np.ndarray, row_idx: np.ndarray, n: int) -> np.ndarray:
+    """Vectorized script detection: table gathers + one bincount per
+    property over the batch codepoint array. Matches :func:`_script_guess`
+    except on exact inter-script count ties (broken by range order here,
+    by first occurrence there — unreachable for real text)."""
+    alpha_t, script_t, _, _ = _cp_tables()
+    alpha = alpha_t[cps]
+    script = script_t[cps].astype(np.int64)
+    n_alpha = np.bincount(row_idx[alpha], minlength=n)
+    m = alpha & (script >= 0)
+    S = len(_SCRIPT_RANGES)
+    counts = np.bincount(row_idx[m] * S + script[m], minlength=n * S).reshape(n, S)
+    best = counts.argmax(axis=1)
+    best_cnt = counts[np.arange(n), best]
+    ja_ix, zh_ix = _SCRIPT_LANGS.index("ja"), _SCRIPT_LANGS.index("zh")
+    best = np.where((best == zh_ix) & (counts[:, ja_ix] > 0), ja_ix, best)
+    ok = (best_cnt > 0) & (best_cnt * 3 >= n_alpha)
+    out = np.full(n, None, dtype=object)
+    langs = np.array(_SCRIPT_LANGS, dtype=object)
+    out[ok] = langs[best[ok]]
+    return out
+
+
+def _count_overlapping(s: str, g: str) -> int:
+    n, i = 0, s.find(g)
+    while i != -1:
+        n += 1
+        i = s.find(g, i + 1)
+    return n
+
+
+def _lang_id_scalar(texts) -> list:
+    """Row-at-a-time reference implementation (parity tests only).
+
+    Gram occurrences count OVERLAPPING positions (the standard n-gram
+    profile method) — matches the sliding-window counts of the vectorized
+    :func:`lang_id_udf`."""
+    out = []
+    for t in texts:
         if t is None or len(t) < 6:
-            out[i] = None
+            out.append(None)
             continue
         s = f" {t.lower()} "
         script = _script_guess(s)
         if script is not None:
-            out[i] = script
+            out.append(script)
             continue
         scores = {}
         for lang, grams in _LANG_PROFILES.items():
-            scores[lang] = sum(s.count(g) for g in grams)
+            scores[lang] = sum(_count_overlapping(s, g) for g in grams)
         best = max(scores, key=lambda k: (scores[k], k))
-        out[i] = best if scores[best] > 0 else "unknown"
-    return pd.Series(out)
+        out.append(best if scores[best] > 0 else "unknown")
+    return out
+
+
+_GRAM_TABLES = None
+
+
+def _gram_tables():
+    """Cached profile-gram encoding: every profile gram maps to a base-A
+    integer code over the tiny alphabet of characters appearing in any gram
+    (index 0 = every other character, so windows containing out-of-alphabet
+    chars or row separators can never collide with a gram code). Codes are
+    DEDUPED across languages — a shared gram like " de" credits every
+    profile containing it via the (codes × langs) membership matrix."""
+    global _GRAM_TABLES
+    if _GRAM_TABLES is None:
+        langs = sorted(_LANG_PROFILES)
+        chars = sorted({c for grams in _LANG_PROFILES.values() for g in grams for c in g})
+        cmap = {c: i + 1 for i, c in enumerate(chars)}
+        A = len(chars) + 1
+        by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for L in sorted({len(g) for grams in _LANG_PROFILES.values() for g in grams}):
+            code_langs: dict[int, set[int]] = {}
+            for j, lang in enumerate(langs):
+                for g in _LANG_PROFILES[lang]:
+                    if len(g) != L:
+                        continue
+                    code = 0
+                    for c in g:
+                        code = code * A + cmap[c]
+                    code_langs.setdefault(code, set()).add(j)
+            codes = np.array(sorted(code_langs), dtype=np.int32)
+            member = np.zeros((len(codes), len(langs)), dtype=np.float64)
+            for ci, code in enumerate(codes):
+                for j in code_langs[code]:
+                    member[ci, j] = 1
+            by_len[L] = (codes, member)
+        _GRAM_TABLES = (langs, A, by_len)
+    return _GRAM_TABLES
+
+
+@F.pandas_udf(T.StringType())
+def lang_id_udf(texts: pd.Series) -> pd.Series:
+    """Heuristic n-gram language ID — fully vectorized per Arrow batch.
+
+    ONE utf-32 decode of the concatenated batch feeds both passes: script
+    detection classifies UNIQUE codepoints (never per character) and
+    bincounts per (row, script); profile scoring base-A-encodes every
+    sliding 3/4-char window and bincounts per (row, gram) — Python loops
+    only over script ranges and gram lengths, never rows/chars/grams.
+    Output parity with :func:`_lang_id_scalar` is pytest-enforced.
+    """
+    n = len(texts)
+    res = np.full(n, None, dtype=object)
+    lens = texts.str.len().fillna(0).to_numpy()
+    pos = np.flatnonzero(texts.notna().to_numpy() & (lens >= 6))
+    if len(pos) == 0:
+        return pd.Series(res)
+    lowered = (" " + texts.iloc[pos].str.lower() + " ").tolist()
+    nv = len(lowered)
+    vlens = np.fromiter((len(v) for v in lowered), dtype=np.int64, count=nv)
+    # ONE utf-32 decode; '\n' terminators are non-alpha and outside the gram
+    # alphabet, so windows spanning two rows can never score
+    cps = np.frombuffer(
+        ("".join(v + "\n" for v in lowered)).encode("utf-32-le"), dtype=np.uint32
+    )
+    row_idx = np.repeat(np.arange(nv), vlens + 1)
+    labels = _script_guess_batch(cps, row_idx, nv)
+    need = np.array([x is None for x in labels], dtype=bool)
+    if need.any():
+        langs, A, by_len = _gram_tables()
+        m = _cp_tables()[2][cps].astype(np.int32)  # codepoint → alphabet idx
+        mat = np.zeros((nv, len(langs)), dtype=np.float64)
+        for L, (codes, member) in by_len.items():
+            code = m[: len(m) - L + 1].copy()  # max code < A^4 ≈ 4.2M: int32
+            for k in range(1, L):
+                code *= A
+                code += m[k: len(m) - L + 1 + k]
+            gi = np.searchsorted(codes, code)
+            gi_c = np.minimum(gi, len(codes) - 1)
+            match = codes[gi_c] == code
+            rows = row_idx[: len(code)][match]
+            key = rows * len(codes) + gi_c[match]
+            per_code = np.bincount(key, minlength=nv * len(codes)).reshape(
+                nv, len(codes)
+            )
+            # float matmul = BLAS dgemm (int64 @ falls back to a slow generic
+            # loop); counts are small integers, exact in float64
+            mat += per_code.astype(np.float64) @ member
+        # max(scores, key=(score, lang)) ≡ ties broken by lexicographically
+        # GREATEST lang; argmax picks the first max, so scan columns reversed
+        rev = mat[:, ::-1]
+        bi = rev.argmax(axis=1)
+        bscore = rev[np.arange(nv), bi]
+        langs_desc = np.array(langs[::-1], dtype=object)
+        chosen = np.where(bscore > 0, langs_desc[bi], "unknown")
+        labels[need] = chosen[need]
+    res[pos] = labels
+    return pd.Series(res)

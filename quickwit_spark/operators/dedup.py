@@ -149,6 +149,28 @@ def lsh_candidate_pairs(
     )
 
 
+def _shingle_sets(df: DataFrame, text_col: str, id_col: str, shingle_size: int) -> DataFrame:
+    """(id, sh: distinct word-shingle array, n: |sh|) — shared by the exact
+    Jaccard paths (JVM-side: split + transform over an index sequence)."""
+    tok_df = df.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("_toks")
+    )
+    toks = F.col("_toks")
+    n_sh = F.greatest(F.size(toks) - F.lit(shingle_size - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), n_sh - 1)
+    shingles = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(shingle_size)]
+            ),
+        )
+    )
+    return tok_df.select(F.col(id_col), shingles.alias("sh")).select(
+        F.col(id_col), F.col("sh"), F.size("sh").alias("n")
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -157,15 +179,39 @@ def minhash_dedup_pairs(
     shingle_size: int = 3,
     num_perm: int = 64,
     num_bands: int = 16,
+    verify: str = "est",
 ) -> DataFrame:
-    """Near-dup pairs: LSH candidates verified by estimated Jaccard
-    (signature agreement ratio ≥ threshold).
+    """Near-dup pairs: LSH candidates verified by Jaccard ≥ threshold.
+
+    ``verify="est"`` scores candidates by signature agreement ratio (cheap,
+    approximate — the classic sketch-only path). ``verify="exact"`` computes
+    the TRUE Jaccard over the full shingle sets of each candidate pair (the
+    production precision step: LSH bounds the candidate set, the exact
+    verify removes estimator false positives; cost is O(candidates), never
+    O(n²)). Exact verify makes the output deterministic given only the data
+    — estimator noise can otherwise promote a 0.98-Jaccard pair past a 1.0
+    threshold when all ``num_perm`` mins happen to collide.
 
     Signatures are materialized once (localCheckpoint): they feed BOTH sides
     of the band join plus the two verify joins — without it the signature
     UDF re-executes up to 4×."""
     sigs = minhash_signatures(df, text_col, id_col, shingle_size, num_perm).localCheckpoint()
     cands = lsh_candidate_pairs(sigs, id_col, num_bands, num_perm=num_perm)
+    if verify == "exact":
+        sh = _shingle_sets(df, text_col, id_col, shingle_size)
+        joined = (
+            cands.join(
+                sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"),
+                          F.col("n").alias("na")), "a")
+            .join(
+                sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"),
+                          F.col("n").alias("nb")), "b")
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        jac = inter / (F.col("na") + F.col("nb") - inter)
+        return joined.select("a", "b", F.round(jac, 6).alias("jaccard")).filter(
+            F.col("jaccard") >= threshold
+        )
     sl = sigs.select(F.col(id_col).alias("a"), F.col("signature").alias("sig_a"))
     sr = sigs.select(F.col(id_col).alias("b"), F.col("signature").alias("sig_b"))
     joined = cands.join(sl, "a").join(sr, "b")
@@ -205,23 +251,7 @@ def ngram_jaccard_pairs(
     shares NOTHING but stop-shingles, in which case its Jaccard is ≤
     n_common_stop / (na + nb - n_common_stop), far below useful thresholds.
     """
-    tok_df = df.select(
-        F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("_toks")
-    )
-    toks = F.col("_toks")
-    n_sh = F.greatest(F.size(toks) - F.lit(shingle_size - 1), F.lit(1))
-    idx = F.sequence(F.lit(0), n_sh - 1)
-    shingles = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(shingle_size)]
-            ),
-        )
-    )
-    sh = tok_df.select(F.col(id_col), shingles.alias("sh")).select(
-        F.col(id_col), F.col("sh"), F.size("sh").alias("n")
-    )
+    sh = _shingle_sets(df, text_col, id_col, shingle_size)
     inv = sh.select(id_col, F.explode("sh").alias("s"))
     rare = (
         inv.groupBy("s")
@@ -337,10 +367,20 @@ def _simhash_col_sql(text_col: str = "text"):
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    verify_exact: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ k, bucketed on 16-bit
     chunks (pigeonhole: any pair within distance 3 shares ≥1 of 4 chunks).
+
+    ``verify_exact=True`` adds the classic precision step behind the sketch:
+    surviving pairs are checked for equality of their sorted token multisets
+    (SimHash's own invariant — it is order-blind), so hash collisions between
+    genuinely different documents are filtered. With ``max_hamming=0`` this
+    is exact content dedup with SimHash doing the bucketing.
 
     Signatures are materialized once (localCheckpoint) — both sides of the
     chunk join would otherwise recompute the SimHash UDF."""
@@ -379,7 +419,19 @@ def simhash_near_dup_pairs(
         .distinct()
     )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return pairs.select("a", "b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)
+    out = pairs.select("a", "b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)
+    if verify_exact:
+        norm = df.select(
+            F.col(id_col),
+            F.array_sort(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_ms"),
+        )
+        out = (
+            out.join(norm.select(F.col(id_col).alias("a"), F.col("_ms").alias("ms_a")), "a")
+            .join(norm.select(F.col(id_col).alias("b"), F.col("_ms").alias("ms_b")), "b")
+            .filter(F.col("ms_a") == F.col("ms_b"))
+            .select("a", "b", "hamming")
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -349,3 +349,28 @@ def test_lang_id_more_languages(spark):
     assert got[1] == "es" and got[2] == "it" and got[3] == "pt"
     assert got[4] == "nl" and got[5] == "ru" and got[6] == "zh"
     assert got[7] == "ja" and got[8] == "ar" and got[9] == "tr"
+
+
+def test_lang_id_vectorized_parity_with_scalar(sf_dir):
+    """The vectorized lang_id_udf must agree with the row-at-a-time scalar
+    reference on real corpus text + multilingual/edge fixtures (the batch
+    codepoint/bincount path vs the plain str scan)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from quickwit_spark.functions.text import _lang_id_scalar, lang_id_udf
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
+    edge = [
+        None, "", "short", " e e e e e e ", "the the the",
+        "1234567890 !!! ???", "aaaa bbbb cccc dddd",
+        "Der Hund und die Katze spielen in dem schönen Garten",
+        "Le chat est sur la table et le chien dort dans la maison",
+        "犬と猫は家で遊んでいます、とても楽しいです",
+        "Собака и кошка играют в доме моей бабушки сегодня",
+        "mixed English text avec un peu de français dedans aussi",
+    ]
+    texts = pd.Series(list(docs["text"]) + edge, dtype=object)
+    got = list(lang_id_udf.func(texts))
+    want = _lang_id_scalar(texts)
+    assert got == want
