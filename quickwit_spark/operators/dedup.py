@@ -192,10 +192,16 @@ def minhash_dedup_pairs(
     — estimator noise can otherwise promote a 0.98-Jaccard pair past a 1.0
     threshold when all ``num_perm`` mins happen to collide.
 
-    Signatures are materialized once (localCheckpoint): they feed BOTH sides
-    of the band join plus the two verify joins — without it the signature
-    UDF re-executes up to 4×."""
-    sigs = minhash_signatures(df, text_col, id_col, shingle_size, num_perm).localCheckpoint()
+    Materialization: the est path localCheckpoints the signatures (they feed
+    both sides of the band join PLUS the two agreement joins — 4 consumers).
+    The exact path does NOT: its only signature consumer is the banded
+    self-join, whose two sides share an identical subplan that Catalyst's
+    ReuseExchange computes once — skipping the checkpoint avoids a full
+    signature write barrier (the round-2 one-shot regression) and removes a
+    driver-disk dependency at scale."""
+    sigs = minhash_signatures(df, text_col, id_col, shingle_size, num_perm)
+    if verify != "exact":
+        sigs = sigs.localCheckpoint()
     cands = lsh_candidate_pairs(sigs, id_col, num_bands, num_perm=num_perm)
     if verify == "exact":
         sh = _shingle_sets(df, text_col, id_col, shingle_size)
@@ -473,22 +479,20 @@ def near_dup_clusters(
         )
         # per-round localCheckpoint: without it each round's action replays
         # the whole join chain (quadratic recompute — measured slower than
-        # the checkpoint write)
+        # the checkpoint write). The convergence flag rides along in the SAME
+        # select, so detecting the fixpoint is a take(1) over the cached
+        # partitions instead of an extra labels⋈labels join job per round.
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.x, "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                F.coalesce(F.col("nmin") < F.col("label"), F.lit(False)).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        converged = new_labels.filter("_changed").isEmpty()
+        labels = new_labels.drop("_changed")
+        if converged:
             break
     return labels.select(F.col("node").alias("member"), F.col("label").alias("cluster"))
