@@ -355,3 +355,69 @@ def es_scroll(
     hits = res["hits"]["hits"]
     next_state = hits[-1]["sort"] if hits else None
     return res, next_state
+
+
+# ---------------------------------------------------------------------------
+# _search over a janitor-managed index: automatic time-bounds split pruning
+# ---------------------------------------------------------------------------
+
+
+def _query_time_bounds(body: dict[str, Any], compiler: QueryCompiler, ts_field: str):
+    """Intersected ts bounds across everything the request REQUIRES: the
+    `q`/`query` clause plus every `extra_filters` conjunct (they are ANDed
+    onto the query, so each may tighten the bounds)."""
+    from quickwit_spark.operators.query import Bool, extract_time_bounds
+
+    asts = []
+    if body.get("q"):
+        asts.append(compiler.parse(str(body["q"])))
+    elif body.get("query"):
+        asts.append(es_dsl_to_ast(body["query"]))
+    extra = body.get("extra_filters")
+    if extra:
+        parts = extra.split(",") if isinstance(extra, str) else list(extra)
+        asts.extend(compiler.parse(q) for q in parts)
+    return extract_time_bounds(Bool(must=asts), ts_field)
+
+
+def search_index(
+    spark,
+    out_dir: str,
+    body: dict[str, Any],
+    field_types: dict[str, str] | None = None,
+    default_fields: tuple[str, ...] = (),
+    ts_field: str = "ts",
+) -> dict[str, Any]:
+    """ES `_search` over a janitor-managed index with AUTOMATIC query →
+    time-bounds split pruning (quickwit-search/src/root.rs:1230-1245: the
+    root extracts ts bounds from the query AST and asks the metastore for
+    list_relevant_splits — here: extract_time_bounds → prune_splits_by_time
+    → read only surviving commit dirs).
+
+    Metadata-plane only before the read: at 10^12 turns a one-day query over
+    a year of day-aligned splits opens ~1/365 of the files, without the
+    caller passing any bounds."""
+    df, _ = pruned_index_df(spark, out_dir, body, field_types, default_fields, ts_field)
+    return es_search(df, body, field_types, default_fields)
+
+
+def pruned_index_df(
+    spark,
+    out_dir: str,
+    body: dict[str, Any],
+    field_types: dict[str, str] | None = None,
+    default_fields: tuple[str, ...] = (),
+    ts_field: str = "ts",
+):
+    """(pruned DataFrame, surviving commit ids) for a `_search` body — the
+    split-pruning half of :func:`search_index`, separable for tests and for
+    callers that run their own plans over the pruned read."""
+    from quickwit_spark.pipeline.janitor import (
+        prune_splits_by_time,
+        read_index_commits,
+    )
+
+    compiler = QueryCompiler(field_types, default_fields=default_fields)
+    lo, hi, _lo_inc, hi_inc = _query_time_bounds(body, compiler, ts_field)
+    commits = prune_splits_by_time(spark, out_dir, lo, hi, end_inclusive=hi_inc)
+    return read_index_commits(spark, out_dir, commits), commits

@@ -782,3 +782,56 @@ def es_dsl_to_ast(dsl: dict) -> QueryAst:
     if kind == "query_string":
         return parse_query(body["query"], tuple(body.get("fields", ())))
     raise ValueError(f"unsupported ES DSL query kind `{kind}`")
+
+
+# ---------------------------------------------------------------------------
+# query AST → timestamp bounds (split-pruning extraction)
+# ---------------------------------------------------------------------------
+
+
+def extract_time_bounds(ast: QueryAst, ts_field: str):
+    """Timestamp bounds a query IMPLIES for ``ts_field`` — the reference's
+    AST → split-pruning extraction (quickwit-search/src/root.rs:1230-1245
+    behavior: extract_start_end_timestamp_from_ast).
+
+    Returns ``(lower, upper, lower_inclusive, upper_inclusive)`` with naive-
+    UTC datetimes, or Nones where unbounded. Conservative by construction:
+    only clauses that MUST hold narrow the bounds — ``Bool.must``/``filter``
+    conjuncts intersect (tightest wins); ``should``/``must_not`` and any
+    unparsable bound contribute nothing, so pruning with the result can only
+    over-include splits, never drop a match.
+    """
+    from quickwit_spark.functions.datetime import parse_query_datetime
+
+    def coerce(v):
+        if v is None:
+            return None
+        try:
+            return parse_query_datetime(str(v))
+        except (ValueError, TypeError):
+            return None
+
+    def walk(node):
+        if isinstance(node, Range) and node.field == ts_field:
+            lo, hi = coerce(node.lower), coerce(node.upper)
+            return (lo, hi,
+                    node.lower_inclusive if lo is not None else True,
+                    node.upper_inclusive if hi is not None else True)
+        if isinstance(node, Term) and node.field == ts_field:
+            v = coerce(node.value)
+            return (v, v, True, True)
+        if isinstance(node, Bool):
+            lo = hi = None
+            lo_inc = hi_inc = True
+            for clause in list(node.must) + list(node.filter):
+                clo, chi, cli, chi_inc = walk(clause)
+                if clo is not None and (lo is None or clo > lo
+                                        or (clo == lo and not cli)):
+                    lo, lo_inc = clo, cli
+                if chi is not None and (hi is None or chi < hi
+                                        or (chi == hi and not chi_inc)):
+                    hi, hi_inc = chi, chi_inc
+            return (lo, hi, lo_inc, hi_inc)
+        return (None, None, True, True)
+
+    return walk(ast)

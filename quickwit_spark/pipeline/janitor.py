@@ -98,6 +98,20 @@ def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "_lineage"))
 
 
+def read_index_commits(
+    spark: SparkSession, out_dir: str, commits: list[str]
+) -> DataFrame:
+    """Rows of ONLY the given commits (the post-pruning read: files of
+    non-matching splits are never opened). Empty commit list → empty frame
+    with the index schema."""
+    if not commits:
+        return read_index(spark, out_dir).filter(F.lit(False))
+    sinks = _sinks_dir(out_dir)
+    return spark.read.option("basePath", sinks).parquet(
+        *[os.path.join(sinks, f"commit={c}") for c in commits]
+    )
+
+
 # ---------------------------------------------------------------------------
 # delete-by-query
 # ---------------------------------------------------------------------------
@@ -615,7 +629,8 @@ def prune_splits_by_tag(
 
 
 def prune_splits_by_time(
-    spark: SparkSession, out_dir: str, start=None, end=None
+    spark: SparkSession, out_dir: str, start=None, end=None,
+    end_inclusive: bool = False,
 ) -> list[str]:
     """Commits that can possibly contain rows with ``start <= ts < end`` —
     decided from lineage time ranges ONLY (the reference's PRIMARY split
@@ -631,7 +646,12 @@ def prune_splits_by_time(
         return [r["commit_id"] for r in lineage.select("commit_id").distinct().collect()]
     cond = F.lit(True)
     if end is not None:
-        cond = cond & (F.col("time_range_start") < F.lit(end).cast("timestamp"))
+        end_lit = F.lit(end).cast("timestamp")
+        cond = cond & (
+            F.col("time_range_start") <= end_lit
+            if end_inclusive
+            else F.col("time_range_start") < end_lit
+        )
     if start is not None:
         cond = cond & (F.col("time_range_end") >= F.lit(start).cast("timestamp"))
     # splits without metadata are never prunable

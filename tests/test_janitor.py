@@ -449,6 +449,55 @@ def test_merge_crash_repair_rolls_back_and_forward(spark, tiny_dir, index_dir):
     assert read_index(spark, index_dir).count() == before
 
 
+def test_search_index_auto_time_pruning(spark, tiny_dir, index_dir):
+    """search_index extracts ts bounds from the query AST automatically
+    (root.rs:1230-1245 analog): a one-day query over the day-partitioned
+    index must open only the overlapping commit(s), with results identical
+    to the full scan."""
+    from quickwit_spark.api import es_search, pruned_index_df, search_index
+    from quickwit_spark.pipeline.janitor import read_index
+
+    field_types = {"event_type": "raw", "value": "numeric", "ts": "datetime"}
+    body = {
+        "q": "ts:[2024-01-02T00:00:00Z TO 2024-01-03T00:00:00Z} AND value:>=10",
+        "size": 0,
+        "aggs": {"by_type": {"terms": {"field": "event_type"}}},
+    }
+    all_commits = sorted(
+        os.path.basename(p).split("=", 1)[1]
+        for p in glob.glob(os.path.join(index_dir, "sinks", "commit=*"))
+    )
+    df, commits = pruned_index_df(spark, index_dir, body, field_types)
+    assert set(commits) == {"d2024-01-02"}, commits
+    assert len(all_commits) > 1
+    # only the surviving commit's files are opened
+    assert all("commit=d2024-01-02" in f for f in df.inputFiles())
+
+    got = search_index(spark, index_dir, body, field_types)
+    want = es_search(read_index(spark, index_dir), body, field_types)
+    got.pop("took"), want.pop("took")
+    assert got == want
+
+    # ES DSL range + extra_filters both contribute bounds (intersection)
+    body2 = {
+        "query": {"range": {"ts": {"gte": "2024-01-01T00:00:00Z",
+                                   "lt": "2024-01-04T00:00:00Z"}}},
+        "extra_filters": "ts:[2024-01-03T00:00:00Z TO *]",
+        "size": 0,
+    }
+    _, commits2 = pruned_index_df(spark, index_dir, body2, field_types)
+    assert set(commits2) == {"d2024-01-03"}, commits2
+    got2 = search_index(spark, index_dir, body2, field_types)
+    want2 = es_search(read_index(spark, index_dir), body2, field_types)
+    got2.pop("took"), want2.pop("took")
+    assert got2 == want2
+
+    # un-bounded query prunes nothing and still matches the full scan
+    body3 = {"q": "event_type:error", "size": 0}
+    _, commits3 = pruned_index_df(spark, index_dir, body3, field_types)
+    assert sorted(commits3) == all_commits
+
+
 def test_query_lifecycle_prune_then_aggregate(spark, tiny_dir, index_dir):
     """SURVEY §3.2 end-to-end at the storage layer: time-prune splits from
     lineage, scan ONLY those commits, run the date_histogram — identical
