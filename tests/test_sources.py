@@ -83,9 +83,180 @@ def test_otlp_logs_json_fan_out(spark):
     assert out[1]["severity_text"] == "ERROR"
 
 
-def test_otlp_protobuf_stubbed():
-    with pytest.raises(NotImplementedError):
-        parse_otlp_logs_protobuf()
+def _pb_varint(v: int) -> bytes:
+    out = b""
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def _pb_len(fno: int, payload: bytes) -> bytes:
+    return _pb_varint(fno << 3 | 2) + _pb_varint(len(payload)) + payload
+
+
+def _pb_str(fno: int, s: str) -> bytes:
+    return _pb_len(fno, s.encode())
+
+
+def _pb_fixed64(fno: int, v: int) -> bytes:
+    import struct
+
+    return _pb_varint(fno << 3 | 1) + struct.pack("<Q", v)
+
+
+def _pb_vint(fno: int, v: int) -> bytes:
+    return _pb_varint(fno << 3 | 0) + _pb_varint(v)
+
+
+def _pb_kv(key: str, value_payload: bytes) -> bytes:
+    return _pb_str(1, key) + _pb_len(2, value_payload)
+
+
+def test_otlp_logs_protobuf_matches_json(spark):
+    """Hand-encoded LogsData wire bytes decode to EXACTLY the rows the JSON
+    path produces for the equivalent request (output parity golden)."""
+    import json
+
+    from quickwit_spark.sources.files import read_vec_source
+
+    rec1 = (
+        _pb_fixed64(1, 1700000000000000001)
+        + _pb_vint(2, 9)
+        + _pb_str(3, "INFO")
+        + _pb_len(5, _pb_str(1, "started"))          # body.stringValue
+        + _pb_len(6, _pb_kv("port", _pb_vint(3, 8080)))  # intValue attr
+        + _pb_len(9, bytes.fromhex("0102"))
+        + _pb_len(10, bytes.fromhex("0a0b"))
+    )
+    rec2 = _pb_fixed64(1, 1700000000000000002) + _pb_str(3, "ERROR") + _pb_len(
+        5, _pb_str(1, "boom")
+    )
+    scope_logs = _pb_len(1, _pb_str(1, "scope1")) + _pb_len(2, rec1) + _pb_len(2, rec2)
+    resource = _pb_len(1, _pb_kv("service.name", _pb_str(1, "web")))
+    payload = _pb_len(1, _pb_len(1, resource) + _pb_len(2, scope_logs))
+
+    bin_df = spark.createDataFrame([(bytearray(payload),)], "value binary")
+    got = parse_otlp_logs_protobuf(bin_df).orderBy("timestamp_nanos").collect()
+
+    req = {
+        "resourceLogs": [
+            {
+                "resource": {"attributes": [
+                    {"key": "service.name", "value": {"stringValue": "web"}}]},
+                "scopeLogs": [
+                    {
+                        "scope": {"name": "scope1"},
+                        "logRecords": [
+                            {
+                                "timeUnixNano": "1700000000000000001",
+                                "severityText": "INFO",
+                                "severityNumber": 9,
+                                "body": {"stringValue": "started"},
+                                "attributes": [
+                                    {"key": "port", "value": {"intValue": "8080"}}],
+                                "traceId": "0102",
+                                "spanId": "0a0b",
+                            },
+                            {
+                                "timeUnixNano": "1700000000000000002",
+                                "severityText": "ERROR",
+                                "body": {"stringValue": "boom"},
+                            },
+                        ],
+                    }
+                ],
+            }
+        ]
+    }
+    want = (
+        parse_otlp_logs_json(read_vec_source(spark, [json.dumps(req)]))
+        .orderBy("timestamp_nanos")
+        .collect()
+    )
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+
+def test_otlp_traces_protobuf_matches_json(spark):
+    import json
+
+    from quickwit_spark.sources.files import (
+        parse_otlp_traces_json,
+        parse_otlp_traces_protobuf,
+        read_vec_source,
+    )
+
+    span1 = (
+        _pb_len(1, bytes.fromhex("0102"))
+        + _pb_len(2, bytes.fromhex("aa"))
+        + _pb_str(5, "root")
+        + _pb_vint(6, 2)
+        + _pb_fixed64(7, 1700000000000000000)
+        + _pb_fixed64(8, 1700000001500000000)
+        + _pb_len(9, _pb_kv("http.status", _pb_vint(3, 200)))
+        + _pb_len(11, _pb_fixed64(1, 1700000000100000000) + _pb_str(2, "ev1"))
+        + _pb_len(15, _pb_str(2, "boom") + _pb_vint(3, 2))
+    )
+    span2 = (
+        _pb_len(1, bytes.fromhex("0102"))
+        + _pb_len(2, bytes.fromhex("bb"))
+        + _pb_len(4, bytes.fromhex("aa"))
+        + _pb_str(5, "child")
+        + _pb_fixed64(7, 1700000000200000000)
+        + _pb_fixed64(8, 1700000000300000000)
+    )
+    scope_spans = (
+        _pb_len(1, _pb_str(1, "lib") + _pb_str(2, "1"))
+        + _pb_len(2, span1)
+        + _pb_len(2, span2)
+    )
+    resource = _pb_len(1, _pb_kv("service.name", _pb_str(1, "qs")))
+    payload = _pb_len(1, _pb_len(1, resource) + _pb_len(2, scope_spans))
+
+    bin_df = spark.createDataFrame([(bytearray(payload),)], "value binary")
+    got = parse_otlp_traces_protobuf(bin_df).orderBy("span_id").collect()
+
+    req = {
+        "resourceSpans": [
+            {
+                "resource": {"attributes": [
+                    {"key": "service.name", "value": {"stringValue": "qs"}}]},
+                "scopeSpans": [
+                    {
+                        "scope": {"name": "lib", "version": "1"},
+                        "spans": [
+                            {
+                                "traceId": "0102", "spanId": "aa", "name": "root",
+                                "kind": 2,
+                                "startTimeUnixNano": "1700000000000000000",
+                                "endTimeUnixNano": "1700000001500000000",
+                                "attributes": [{"key": "http.status",
+                                                "value": {"intValue": "200"}}],
+                                "events": [{"timeUnixNano": "1700000000100000000",
+                                            "name": "ev1"}],
+                                "status": {"code": 2, "message": "boom"},
+                            },
+                            {
+                                "traceId": "0102", "spanId": "bb",
+                                "parentSpanId": "aa", "name": "child",
+                                "startTimeUnixNano": "1700000000200000000",
+                                "endTimeUnixNano": "1700000000300000000",
+                            },
+                        ],
+                    }
+                ],
+            }
+        ]
+    }
+    want = (
+        parse_otlp_traces_json(read_vec_source(spark, [json.dumps(req)]))
+        .orderBy("span_id")
+        .collect()
+    )
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
 
 
 def test_void_source(spark):
@@ -139,20 +310,6 @@ def test_otlp_traces_json(spark):
     child = rows["bb"]
     assert child["parent_span_id"] == "aa" and child["span_kind"] == "unspecified"
     assert child["span_status_code"] == "unset"
-
-
-def test_otlp_protobuf_variants_raise(spark):
-    import pytest as _pytest
-
-    from quickwit_spark.sources.files import (
-        parse_otlp_logs_protobuf,
-        parse_otlp_traces_protobuf,
-    )
-
-    with _pytest.raises(NotImplementedError):
-        parse_otlp_logs_protobuf()
-    with _pytest.raises(NotImplementedError):
-        parse_otlp_traces_protobuf()
 
 
 def test_iceberg_gated_sink_falls_back_to_parquet(spark, tmp_path_factory):
