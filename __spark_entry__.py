@@ -545,15 +545,35 @@ def _q_multimodal_text_extract(spark, sf_dir):
 
 
 def _q_multimodal_image_features(spark, sf_dir):
-    # decode is a deterministic fake (no image libs in the container); the
-    # Spark plumbing — mapInPandas schema, batching, no payload shuffle — is
-    # what this entry exercises (rows-only)
-    from quickwit_spark.operators.multimodal import image_features
+    # REAL decode path: synthetic 16×16 constant-color BMPs (channel values
+    # derived from doc_id) run the actual pure-numpy BMP parser + resize +
+    # feature kernel; a constant image makes every 8×8 feature equal
+    # (r+g+b)/765, so DuckDB can state the expected array exactly. Features
+    # round to 3dp: float32 kernel error (~1e-7) can never flip a 3dp digit
+    # because k/765 sits ≥3e-6 from any 0.0005 rounding boundary.
+    from quickwit_spark.operators.multimodal import encode_bmp, image_features
 
-    media = _media_frame(spark, sf_dir).filter(F.col("kind") == "image")
-    feats = image_features(media, deterministic_fake=True)
+    @F.pandas_udf("binary")
+    def bmp_payload(ids):
+        import numpy as np_
+
+        def mk(i):
+            img = np_.zeros((16, 16, 3), dtype=np_.uint8)
+            img[:, :, 0] = i % 256
+            img[:, :, 1] = (i * 7) % 256
+            img[:, :, 2] = (i * 13) % 256
+            return encode_bmp(img)
+
+        return ids.map(mk)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        bmp_payload(F.col("doc_id")).alias("payload"))
+    feats = image_features(media, target=(8, 8))
     return feats.select(
-        "media_id", F.size("feat").alias("feat_dim"), "out_width", "out_height"
+        "media_id",
+        F.transform("feat", lambda x: F.round(x.cast("double"), 3)).alias("feat"),
+        "out_width", "out_height",
     )
 
 
@@ -710,17 +730,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
         "ann_lsh": _q_ann_lsh,
-        "text_token_count": _q_text_token_count,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "multimodal_text_extract": _q_multimodal_text_extract,
+        "multimodal_image_features": _q_multimodal_image_features,
         # oracle-backed overflow (see note above)
+        "text_token_count": _q_text_token_count,
         "agg_stats_value": _q_agg_stats_value,
         "from_size": _q_from_size,
         "count_only": _q_count_only,
         # rows-only tail (non-SQL-expressible)
         "text_fingerprint": _q_text_fingerprint,
-        "multimodal_image_features": _q_multimodal_image_features,
         # transcripts pipeline (SURVEY §2.1-2.4; rows-only)
         "pipeline_route_counts": _q_pipeline_route_counts,
         "pipeline_outcomes": _q_pipeline_outcomes,
@@ -1034,12 +1054,21 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(length(text), 1), 6) AS punct_ratio
             FROM documents
         """,
+        "multimodal_image_features": """
+            SELECT doc_id AS media_id,
+                   list_transform(range(64),
+                       i -> round(((doc_id % 256) + (doc_id * 7 % 256)
+                                   + (doc_id * 13 % 256)) / 765.0, 3)) AS feat,
+                   CAST(8 AS INTEGER) AS out_width,
+                   CAST(8 AS INTEGER) AS out_height
+            FROM documents WHERE doc_id % 3 = 0
+        """,
         "multimodal_text_extract": """
             SELECT doc_id AS media_id, text AS extracted_text,
                    CAST(length(text) AS INTEGER) AS n_bytes
             FROM documents WHERE doc_id % 3 = 2
         """,
         # rows-only (non-SQL-expressible): text_fingerprint (xxhash64 has no
-        # DuckDB equivalent), multimodal_image_features, pipeline_* (input is
+        # DuckDB equivalent), pipeline_* (input is
         # the generated transcripts table, not a registered view)
     }

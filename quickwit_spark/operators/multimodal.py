@@ -2,11 +2,13 @@
 with typed metadata; decode / feature-extract / resize / frame-sample as
 Arrow-batched ``mapInPandas`` operators.
 
-The decode kernels are STUBBED (image/audio libs are not in this container):
-``decode_image_batch`` raises ``NotImplementedError`` unless
-``deterministic_fake=True``, in which case a seeded, content-derived fake is
-produced so the Spark-side plumbing — schema, partitioning, UDF signature,
-batch shape — is real and tested end-to-end.
+Decode kernels: BMP (image) and WAV/PCM (audio) decode for REAL with pure
+numpy — no imaging/audio library needed — and have matching encoders for
+fixtures and oracles. Compressed formats (PNG/JPEG, mp3/ogg) would need
+Pillow/soundfile (not in this container): those raise unless
+``deterministic_fake=True``, which substitutes a seeded, content-derived
+fake so the Spark-side plumbing — schema, partitioning, UDF signature,
+batch shape — still runs end-to-end.
 """
 
 from __future__ import annotations
@@ -42,24 +44,79 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _decode_bmp(b: bytes) -> np.ndarray:
+    """Pure-numpy BMP decode (uncompressed BI_RGB, 24/32 bpp — the format a
+    library-free container can still parse) → HxWx3 uint8 RGB."""
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP variant unsupported (bpp={bpp}, compression={comp})")
+    top_down = h < 0
+    h = abs(h)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    arr = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off).reshape(h, stride)
+    px = arr[:, : w * nch].reshape(h, w, nch)
+    if not top_down:
+        px = px[::-1]
+    return np.ascontiguousarray(px[:, :, [2, 1, 0]])  # BGR(A) → RGB, drop alpha
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """24-bit BI_RGB BMP encoder (fixture/oracle helper — round-trips through
+    :func:`_decode_bmp`)."""
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    data_size = stride * h
+    off = 14 + 40
+    header = (
+        b"BM" + (off + data_size).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+    )
+    dib = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + data_size.to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    bgr = img[:, :, ::-1]
+    pad = b"\x00" * (stride - w * 3)
+    rows = [bgr[y].tobytes() + pad for y in range(h - 1, -1, -1)]
+    return header + dib + b"".join(rows)
+
+
 def decode_image_batch(payloads: pd.Series, deterministic_fake: bool = False) -> list[np.ndarray]:
     """Decode a batch of encoded image bytes → HxWx3 uint8 arrays.
 
-    STUB: real decoding needs Pillow/opencv (not in this container). The
-    deterministic fake derives pixels from a sha256 of the payload, so tests
-    exercise identical plumbing with stable outputs.
+    BMP payloads (magic ``BM``) decode for REAL via the pure-numpy parser —
+    no imaging library needed. Other formats (PNG/JPEG) need Pillow/opencv
+    (not in this container): with ``deterministic_fake=True`` a seeded,
+    content-derived fake is produced so the plumbing still exercises
+    end-to-end; otherwise they raise.
     """
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "image decode requires Pillow/opencv; not available in this container "
-            "— pass deterministic_fake=True for plumbing tests"
-        )
     out = []
     for p in payloads:
         if p is None:
             out.append(None)
             continue
-        digest = hashlib.sha256(bytes(p)).digest()
+        b = bytes(p)
+        if b[:2] == b"BM":
+            out.append(_decode_bmp(b))
+            continue
+        if not deterministic_fake:
+            raise NotImplementedError(
+                "only BMP decodes without Pillow/opencv — pass "
+                "deterministic_fake=True for plumbing tests of other formats"
+            )
+        digest = hashlib.sha256(b).digest()
         rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
         out.append(rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8))
     return out
@@ -132,21 +189,85 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _decode_wav(b: bytes) -> np.ndarray:
+    """Pure-numpy WAV decode (RIFF/WAVE; PCM 8/16/32-bit and float32) →
+    mono float32 in [-1, 1] (multi-channel downmixed by mean)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i: i + 4]
+        sz = int.from_bytes(b[i + 4: i + 8], "little")
+        body = b[i + 8: i + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV payload missing fmt/data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little") or 1
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt == 1 and bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif audio_fmt == 1 and bits == 8:
+        x = (np.frombuffer(data, dtype="u1").astype(np.float32) - 128.0) / 128.0
+    elif audio_fmt == 1 and bits == 32:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float32) / float(1 << 31)
+    elif audio_fmt == 3 and bits == 32:
+        x = np.frombuffer(data, dtype="<f4").astype(np.float32)
+    else:
+        raise NotImplementedError(f"WAV variant unsupported (fmt={audio_fmt}, bits={bits})")
+    if n_channels > 1:
+        x = x[: len(x) - len(x) % n_channels].reshape(-1, n_channels).mean(axis=1)
+    return x.astype(np.float32)
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16000,
+                     n_channels: int = 1) -> bytes:
+    """16-bit PCM WAV encoder (fixture/oracle helper — round-trips through
+    :func:`_decode_wav`). ``samples``: float in [-1, 1], interleaved if
+    multi-channel."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64) * 32768.0, -32768, 32767)
+    data = pcm.astype("<i2").tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    fmt = (
+        (1).to_bytes(2, "little")
+        + n_channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (n_channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(data).to_bytes(4, "little") + data + (b"\x00" if len(data) & 1 else b"")
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
 def decode_audio_batch(payloads: pd.Series, deterministic_fake: bool = False) -> list:
-    """Decode encoded audio bytes → float32 PCM arrays. STUB (no soundfile/
-    ffmpeg in this container); the deterministic fake derives a 1k-sample
-    waveform from a sha256 of the payload."""
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "audio decode requires soundfile/ffmpeg; not available in this "
-            "container — pass deterministic_fake=True for plumbing tests"
-        )
+    """Decode encoded audio bytes → mono float32 PCM arrays.
+
+    WAV payloads (RIFF magic) decode for REAL via the pure-numpy parser.
+    Compressed formats (mp3/ogg/flac) need soundfile/ffmpeg (not in this
+    container): deterministic_fake substitutes a seeded 1k-sample waveform
+    for plumbing tests; otherwise they raise."""
     out = []
     for p in payloads:
         if p is None:
             out.append(None)
             continue
-        digest = hashlib.sha256(bytes(p)).digest()
+        b = bytes(p)
+        if b[:4] == b"RIFF":
+            out.append(_decode_wav(b))
+            continue
+        if not deterministic_fake:
+            raise NotImplementedError(
+                "only WAV decodes without soundfile/ffmpeg — pass "
+                "deterministic_fake=True for plumbing tests of other formats"
+            )
+        digest = hashlib.sha256(b).digest()
         rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))
         out.append(rng.standard_normal(1024).astype(np.float32))
     return out

@@ -374,3 +374,58 @@ def test_lang_id_vectorized_parity_with_scalar(sf_dir):
     got = list(lang_id_udf.func(texts))
     want = _lang_id_scalar(texts)
     assert got == want
+
+
+def test_bmp_and_wav_real_decode(spark):
+    """BMP and WAV payloads decode for REAL (pure numpy, no libs): gradient
+    image features through image_features, PCM features through
+    audio_features — exact expected values, no deterministic_fake."""
+    import numpy as np
+
+    from quickwit_spark.operators.multimodal import (
+        _decode_bmp,
+        _decode_wav,
+        audio_features,
+        encode_bmp,
+        encode_wav_pcm16,
+        image_features,
+    )
+
+    # byte-exact round-trip incl. stride padding (width 17 ≠ 4k)
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    assert np.array_equal(_decode_bmp(encode_bmp(img)), img)
+
+    # top-down BMP (negative height) decodes to the same pixels
+    td = bytearray(encode_bmp(img))
+    flipped = encode_bmp(img[::-1])
+    td2 = bytearray(flipped)
+    td2[22:26] = (-13).to_bytes(4, "little", signed=True)
+    assert np.array_equal(_decode_bmp(bytes(td2)), img[::-1][::-1])
+
+    # constant 16x16 gray 102 → every 8x8 feature is exactly 0.4
+    gray = np.full((16, 16, 3), 102, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(gray)))], "media_id long, payload binary"
+    )
+    row = image_features(media, target=(8, 8)).collect()[0]
+    assert row["out_width"] == 8 and row["out_height"] == 8
+    assert np.allclose(row["feat"], 0.4) and len(row["feat"]) == 64
+
+    # WAV: a constant-amplitude square wave has RMS = amplitude and one
+    # zero crossing per half period
+    amp = 0.5
+    wave = np.tile(np.array([amp] * 4 + [-amp] * 4, dtype=np.float32), 100)
+    payload = encode_wav_pcm16(wave)
+    assert np.abs(_decode_wav(payload) - wave).max() < 1e-4
+    arow = audio_features(
+        spark.createDataFrame([(2, bytearray(payload))], "media_id long, payload binary")
+    ).collect()[0]
+    assert abs(arow["rms"] - amp) < 1e-3
+    assert arow["n_samples"] == 800
+    assert abs(arow["zero_crossings"] - 199) <= 1
+
+    # stereo downmix: L = -R cancels to silence
+    stereo = np.zeros(400, dtype=np.float32)
+    stereo[0::2], stereo[1::2] = 0.25, -0.25
+    assert np.abs(_decode_wav(encode_wav_pcm16(stereo, n_channels=2))).max() < 1e-3
