@@ -159,6 +159,7 @@ def es_search(
     """Execute one ES `_search` body over ``df``; returns the response dict."""
     t0 = time.time()
     compiler = QueryCompiler(field_types, default_fields=default_fields)
+    compiler.schema = df.schema  # object-leaf `exists` semantics
 
     filtered = df
     if body.get("q"):

@@ -189,9 +189,42 @@ class QueryCompiler:
         self.field_types = {k: FieldInfo(v) for k, v in (field_types or {}).items()}
         self.default_fields = default_fields
         self.dynamic_col = dynamic_col
+        # optional DataFrame schema (set by where()/es_search): lets Exists
+        # on an object field test leaf presence instead of struct nullness
+        self.schema = None
 
     def _dynamic_value(self, field: str) -> Column:
         return F.get_json_object(F.col(self.dynamic_col), "$." + field)
+
+    def _exists_pred(self, field: str) -> Column:
+        """``exists`` semantics: for object/json fields, a doc matches only
+        if SOME leaf under the field is present (the reference stores
+        per-leaf field-presence hashes, doc_mapper_impl.rs:554-560 — an
+        empty object ``{}`` counts as missing). Needs the frame schema to
+        enumerate leaves (set by where()/es_search); without it, falls back
+        to struct nullness."""
+        from pyspark.sql import types as T
+
+        if self.schema is None:
+            return F.col(field).isNotNull()
+        dt = _resolve_field_type(self.schema, field)
+        if dt is None:
+            # unmapped field: ES answers 0 hits, not an error (0011 vector)
+            return F.lit(False)
+        if not isinstance(dt, T.StructType):
+            return F.col(field).isNotNull()
+        preds = [F.col(leaf).isNotNull() for leaf in _leaf_paths(dt, field)]
+        if not preds:
+            return F.lit(False)
+        # balanced OR tree: wide real-world schemas (gharchive payload has
+        # hundreds of leaves) overflow the column-conversion stack if chained
+        # linearly
+        while len(preds) > 1:
+            preds = [
+                preds[i] | preds[i + 1] if i + 1 < len(preds) else preds[i]
+                for i in range(0, len(preds), 2)
+            ]
+        return preds[0]
 
     @classmethod
     def from_doc_mapping(cls, mapping, default_fields: tuple[str, ...] = ()) -> "QueryCompiler":
@@ -301,7 +334,7 @@ class QueryCompiler:
         if isinstance(ast, Exists):
             if self.info(ast.field).kind == "dynamic":
                 return self._dynamic_value(ast.field).isNotNull()
-            return F.col(ast.field).isNotNull()
+            return self._exists_pred(ast.field)
         if isinstance(ast, FullText):
             toks = [t for t in re.split(r"[^\w]+", ast.text.lower()) if t]
             if not toks:
@@ -467,11 +500,47 @@ class QueryCompiler:
         # NULL-valued predicates, and wrapping in coalesce(pred, false)
         # blocks parquet filter pushdown (negation inside Bool.must_not is
         # handled null-safely in compile())
-        return df.filter(self.compile(self.parse(query)))
+        prev = self.schema
+        self.schema = df.schema  # enables object-leaf `exists` semantics
+        try:
+            return df.filter(self.compile(self.parse(query)))
+        finally:
+            self.schema = prev
 
 
 def _null_as_false(c: Column) -> Column:
     return F.coalesce(c, F.lit(False))
+
+
+def _resolve_field_type(schema, field: str):
+    """Walk a dotted field name through nested StructTypes; None if any part
+    is missing (caller falls back to schema-agnostic compilation)."""
+    from pyspark.sql import types as T
+
+    dt = schema
+    for part in field.split("."):
+        if not isinstance(dt, T.StructType):
+            return None
+        match = next((f for f in dt.fields if f.name == part), None)
+        if match is None:
+            return None
+        dt = match.dataType
+    return dt
+
+
+def _leaf_paths(dt, prefix: str) -> list[str]:
+    """Dotted paths of every non-struct leaf under a StructType (arrays and
+    atomics are leaves — their own nullness is the presence signal)."""
+    from pyspark.sql import types as T
+
+    out: list[str] = []
+    for f in dt.fields:
+        path = f"{prefix}.{f.name}"
+        if isinstance(f.dataType, T.StructType):
+            out.extend(_leaf_paths(f.dataType, path))
+        else:
+            out.append(path)
+    return out
 
 
 def _range_lit(info: FieldInfo, v: str):

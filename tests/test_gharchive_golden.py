@@ -8,10 +8,9 @@ case-sensitivity vs tokenization (0006), range (0007), exists (0011),
 match_phrase + slop (0013), terms (0015), wildcard + case_insensitive
 (0029), prefix (0030), regexp anchoring + case_insensitive (0031).
 
-Out of scope here (documented): `exists: payload` counts an empty object as
-missing (99) — Spark's JSON reader materializes `{}` as a non-null struct,
-and the compiler is schema-agnostic; sub-field presence would need the doc
-mapper's field-presence pass.
+`exists` on object fields uses leaf presence (doc_mapper field-presence
+behavior): a doc whose `payload` is `{}` counts as missing — vector 0011's
+99-count case is covered.
 """
 
 import gzip
@@ -107,6 +106,10 @@ def test_0007_ranges(gh):
 def test_0011_exists(gh):
     assert _total(gh, {"exists": {"field": "type"}}) == 100
     assert _total(gh, {"exists": {"field": "payload.size"}}) == 60
+    # empty object counts as MISSING (one doc has "payload": {}) — leaf
+    # presence, not struct nullness (doc_mapper_impl.rs:554-560 behavior)
+    assert _total(gh, {"exists": {"field": "payload"}}) == 99
+    assert _total(gh, {"exists": {"field": "thisfielddoesnotexists"}}) == 0
 
 
 def test_0013_match_phrase_slop(gh):
