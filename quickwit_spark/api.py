@@ -422,3 +422,132 @@ def pruned_index_df(
     lo, hi, _lo_inc, hi_inc = _query_time_bounds(body, compiler, ts_field)
     commits = prune_splits_by_time(spark, out_dir, lo, hi, end_inclusive=hi_inc)
     return read_index_commits(spark, out_dir, commits), commits
+
+
+# ---------------------------------------------------------------------------
+# ES admin surface: _stats and _cat/indices over janitor-managed indexes
+# ---------------------------------------------------------------------------
+
+
+def _index_metadata(spark, out_dir: str) -> dict[str, int]:
+    """docs / splits / uncompressed bytes from the lineage metadata plane and
+    on-disk store bytes from the sink files — never a data scan."""
+    import glob as _glob
+    import os as _os
+
+    from quickwit_spark.pipeline.janitor import read_lineage
+
+    meta = {"docs": 0, "segments": 0, "uncompressed": 0, "store": 0}
+    if _glob.glob(_os.path.join(out_dir, "_lineage", "commit_id=*")):
+        lin = read_lineage(spark, out_dir)
+        aggs = [F.count(F.lit(1)).alias("segments"), F.sum("num_docs").alias("docs")]
+        if "uncompressed_size_bytes" in lin.columns:
+            aggs.append(F.sum("uncompressed_size_bytes").alias("uncompressed"))
+        row = lin.agg(*aggs).collect()[0].asDict()
+        meta["segments"] = int(row["segments"] or 0)
+        meta["docs"] = int(row["docs"] or 0)
+        meta["uncompressed"] = int(row.get("uncompressed") or 0)
+    for root, _dirs, files in _os.walk(_os.path.join(out_dir, "sinks")):
+        meta["store"] += sum(_os.path.getsize(_os.path.join(root, f)) for f in files)
+    return meta
+
+
+def _human_size(n: int) -> str:
+    """ES human-readable byte size (222.8kb style)."""
+    for unit, scale in (("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10)):
+        if n >= scale:
+            return f"{n / scale:.1f}{unit}"
+    return f"{n}b"
+
+
+def index_stats(
+    spark, indexes: dict[str, str], selector: str = "_all"
+) -> dict[str, Any]:
+    """ES `_stats` over janitor-managed indexes (es_compatibility/0020 shape:
+    `GET {index}/_stats`, `GET _stats`): per-index and _all docs.count,
+    store.size_in_bytes, segments.count — all from lineage + file sizes,
+    metadata-plane only. ``selector`` is an index name or wildcard pattern;
+    ``_all`` matches everything."""
+    import fnmatch
+
+    chosen = {
+        name: d
+        for name, d in indexes.items()
+        if selector in ("_all", "") or fnmatch.fnmatch(name, selector)
+    }
+    out: dict[str, Any] = {"indices": {}}
+    tot = {"docs": 0, "segments": 0, "store": 0}
+    for name in sorted(chosen):
+        m = _index_metadata(spark, chosen[name])
+        out["indices"][name] = {
+            "primaries": {
+                "docs": {"count": m["docs"]},
+                "store": {"size_in_bytes": m["store"]},
+            },
+            "total": {
+                "segments": {"count": m["segments"]},
+                "docs": {"count": m["docs"]},
+            },
+        }
+        tot["docs"] += m["docs"]
+        tot["segments"] += m["segments"]
+        tot["store"] += m["store"]
+    out["_all"] = {
+        "primaries": {
+            "docs": {"count": tot["docs"]},
+            "store": {"size_in_bytes": tot["store"]},
+        },
+        "total": {
+            "segments": {"count": tot["segments"]},
+            "docs": {"count": tot["docs"]},
+        },
+    }
+    return out
+
+
+def cat_indices(
+    spark,
+    indexes: dict[str, str],
+    selector: str = "*",
+    fmt: str = "json",
+    h: list[str] | str | None = None,
+    health: str | None = None,
+    **params: Any,
+) -> list[dict[str, Any]]:
+    """ES `_cat/indices` over janitor-managed indexes (es_compatibility/0021
+    shape). Quickwit-parity contract: only ``format=json`` is supported and
+    unsupported parameters (``v``, ``b``, ...) are hard 400-style errors;
+    ``h`` selects columns; ``health`` filters rows (every janitor index is
+    green — a red filter matches nothing)."""
+    import fnmatch
+
+    if fmt != "json":
+        raise ValueError("_cat/indices supports only format=json")
+    if params:
+        raise ValueError(f"unsupported _cat/indices parameter(s): {sorted(params)}")
+    if health not in (None, "green", "yellow", "red"):
+        raise ValueError(f"invalid health value: {health}")
+    rows = []
+    for name in sorted(indexes):
+        if selector not in ("*", "_all", "") and not fnmatch.fnmatch(name, selector):
+            continue
+        if health in ("yellow", "red"):
+            continue  # local janitor indexes are always green
+        m = _index_metadata(spark, indexes[name])
+        row = {
+            "index": name,
+            "docs.count": str(m["docs"]),
+            "docs.deleted": "0",
+            "health": "green",
+            "status": "open",
+            "pri": "1",
+            "rep": "1",
+            "store.size": _human_size(m["store"]),
+            "pri.store.size": _human_size(m["store"]),
+            "dataset.size": _human_size(m["uncompressed"]),
+        }
+        if h:
+            cols = h.split(",") if isinstance(h, str) else list(h)
+            row = {c: row[c] for c in cols if c in row}
+        rows.append(row)
+    return rows

@@ -152,3 +152,73 @@ def test_es_scroll_pages_until_drained(logs):
             break
         seen += [h["_source"]["id"] for h in res["hits"]["hits"]]
     assert seen == [1, 2, 3, 4, 5, 6]
+
+
+def test_es_admin_stats_and_cat_indices(spark, tiny_dir, tmp_path_factory):
+    """_stats and _cat/indices replay the reference's response shapes
+    (es_compatibility 0020-stats.yaml / 0021-cat-indices.yaml) over
+    janitor-managed indexes, lineage-metadata only."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.api import cat_indices, index_stats
+    from quickwit_spark.pipeline.janitor import build_time_partitioned_index
+
+    base = tmp_path_factory.mktemp("admin_idx")
+    events = spark.read.parquet(os.path.join(tiny_dir, "events.parquet"))
+    n_events = events.count()
+    idx_a = str(base / "events_idx")
+    build_time_partitioned_index(
+        spark, events, idx_a, sink_expr=F.col("event_type"), ts_col="ts",
+        source_id="events",
+    )
+    idx_empty = str(base / "empty_idx")
+    os.makedirs(idx_empty)
+    indexes = {"events_idx": idx_a, "empty_index": idx_empty}
+
+    # ---- _stats (0020 shape) ----
+    stats = index_stats(spark, indexes)
+    assert stats["_all"]["primaries"]["docs"]["count"] == n_events
+    assert stats["_all"]["total"]["docs"]["count"] == n_events
+    assert stats["_all"]["primaries"]["store"]["size_in_bytes"] > 0
+    assert stats["indices"]["events_idx"]["total"]["segments"]["count"] > 0
+    assert stats["indices"]["empty_index"] == {
+        "primaries": {"docs": {"count": 0}, "store": {"size_in_bytes": 0}},
+        "total": {"segments": {"count": 0}, "docs": {"count": 0}},
+    }
+    # selector + wildcard forms (GET {index}/_stats, GET ghar*/_stats)
+    one = index_stats(spark, indexes, "events_idx")
+    assert list(one["indices"]) == ["events_idx"]
+    assert one["_all"]["primaries"]["docs"]["count"] == n_events
+    wild = index_stats(spark, indexes, "event*")
+    assert list(wild["indices"]) == ["events_idx"]
+
+    # ---- _cat/indices (0021 shape) ----
+    rows = cat_indices(spark, indexes)
+    assert [r["index"] for r in rows] == ["empty_index", "events_idx"]
+    main = rows[1]
+    assert main["docs.count"] == str(n_events)
+    assert main["docs.deleted"] == "0"
+    assert main["health"] == "green" and main["status"] == "open"
+    assert main["pri"] == "1" and main["rep"] == "1"
+    assert main["store.size"].endswith(("b", "kb", "mb"))
+    assert float(main["store.size"].rstrip("bkm")) > 0
+    assert rows[0]["docs.count"] == "0"
+
+    # h= column selection (0021: h=docs.count,index)
+    sel = cat_indices(spark, indexes, "events_idx", h="docs.count,index")
+    assert sel == [{"docs.count": str(n_events), "index": "events_idx"}]
+    # wildcard selector
+    assert cat_indices(spark, indexes, "event*", h="index") == [{"index": "events_idx"}]
+    # health filters: green matches, red matches nothing
+    assert len(cat_indices(spark, indexes, health="green")) == 2
+    assert cat_indices(spark, indexes, health="red") == []
+    # quickwit-parity 400s: non-json format, unsupported params
+    with _pytest.raises(ValueError):
+        cat_indices(spark, indexes, fmt="text")
+    with _pytest.raises(ValueError):
+        cat_indices(spark, indexes, v="true")
+    with _pytest.raises(ValueError):
+        cat_indices(spark, indexes, b="b")
