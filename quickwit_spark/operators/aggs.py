@@ -314,11 +314,46 @@ def terms_shard_emulated(
 
 
 def terms_with_other(df: DataFrame, field: str, size: int = 10) -> tuple[DataFrame, int, int]:
-    """(buckets, sum_other_doc_count, doc_count_error_upper_bound=0)."""
-    buckets = terms(df, field, size=size)
-    total = df.filter(F.col(field).isNotNull()).count()
-    in_buckets = buckets.agg(F.sum("doc_count")).collect()[0][0] or 0
-    return buckets, int(total - in_buckets), 0
+    """(buckets, sum_other_doc_count, doc_count_error_upper_bound=0).
+
+    ONE Spark job over ONE scan, no global window: after the per-key count
+    shuffle, each partition keeps only its local top-``size`` (a key lives in
+    exactly one post-groupBy partition, so the global top-k is the top-k of
+    the union of local top-ks) and stamps its partial mass on its first row;
+    the driver merges ≤ ``numPartitions × size`` candidate rows. Was three
+    actions / three scans of ``df``."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    counts = (
+        df.filter(F.col(field).isNotNull())
+        .groupBy(F.col(field).alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    out_schema = StructType(
+        list(counts.schema.fields) + [StructField("__ptotal", LongType())]
+    )
+
+    def _local_topk(batches):
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        top = pdf.sort_values(
+            ["doc_count", "key"], ascending=[False, True], kind="mergesort"
+        ).head(size).copy()
+        top["__ptotal"] = 0
+        top.iloc[0, top.columns.get_loc("__ptotal")] = int(pdf["doc_count"].sum())
+        yield top
+
+    rows = counts.mapInPandas(_local_topk, schema=out_schema).collect()
+    total = sum(r["__ptotal"] for r in rows)
+    top = sorted(rows, key=lambda r: (-r["doc_count"], r["key"]))[:size]
+    in_top = sum(r["doc_count"] for r in top)
+    buckets = df.sparkSession.createDataFrame(
+        [(r["key"], r["doc_count"]) for r in top], schema=counts.schema
+    )
+    return buckets, int(total - in_top), 0
 
 
 def multi_terms(

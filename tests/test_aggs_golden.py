@@ -128,6 +128,23 @@ def test_terms_size_and_sum_other(fixture_df):
     assert names["sum_other_doc_count"] == 10 - shown
 
 
+def test_terms_with_other_single_job(fixture_df):
+    # parity with terms() + exact sum_other mass, via the partial-topk path
+    from quickwit_spark.operators.aggs import terms_with_other
+
+    buckets, other, err = terms_with_other(fixture_df, "name", size=2)
+    rows = buckets.collect()
+    assert [r["key"] for r in rows] == [r["key"] for r in terms(fixture_df, "name", size=2).collect()]
+    assert rows[0]["key"] == "Fritz" and rows[0]["doc_count"] == 3
+    total = fixture_df.filter(F.col("name").isNotNull()).count()
+    assert other == total - sum(r["doc_count"] for r in rows)
+    assert err == 0
+    # size beyond cardinality: everything in buckets, other == 0
+    all_b, all_other, _ = terms_with_other(fixture_df, "name", size=100)
+    assert all_other == 0
+    assert sum(r["doc_count"] for r in all_b.collect()) == total
+
+
 def test_terms_missing_param(fixture_df):
     counts = {
         r["key"]: r["doc_count"]
