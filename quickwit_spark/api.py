@@ -19,6 +19,7 @@ count-only/agg-only rewrite, leaf.rs:914-1000).
 
 from __future__ import annotations
 
+import json as _json
 import time
 from typing import Any
 
@@ -218,10 +219,20 @@ def es_search(
             excludes += _as_patterns(src_spec.get("excludes"))
         elif isinstance(src_spec, list):
             includes += src_spec
+        has_stored_source = "_source" in filtered.columns
         for r in rows:
             src = r.asDict(recursive=True)
             for i in range(len(sort_fields)):
                 src.pop(f"__sort_{i}", None)
+            if has_stored_source and isinstance(src.get("_source"), str):
+                # docmapper output: `_source` holds the ORIGINAL doc — ES
+                # returns exactly that, which also keeps metadata columns
+                # (`_doc_length`, `_dynamic`, outcome) out of hits
+                # (aggregations/0002-doc-len.yaml second vector)
+                src = _json.loads(src["_source"])
+            else:
+                for meta in ("_doc_length", "_dynamic", "_error", "_error_category"):
+                    src.pop(meta, None)
             if src_spec is False:
                 src = {}
             elif includes or excludes:
@@ -551,3 +562,104 @@ def cat_indices(
             row = {c: row[c] for c in cols if c in row}
         rows.append(row)
     return rows
+
+
+class IndexNotFoundError(KeyError):
+    """Missing index target — the ES surface maps this to a 404
+    (``index_not_found_exception``)."""
+
+
+def resolve_index(indexes: dict[str, str], patterns: str | list[str]) -> dict[str, Any]:
+    """ES `GET _resolve/index/{patterns}` (0026-resolve.yaml shape;
+    rest_handler.rs es_compat_resolve_index): comma-separated name/wildcard
+    patterns resolve against the registered indexes, entries sorted by name
+    with ``attributes: ["open"]``; aliases and data streams are always empty
+    (Quickwit has neither)."""
+    import fnmatch
+
+    pats = patterns.split(",") if isinstance(patterns, str) else list(patterns)
+    names = sorted(
+        name for name in indexes if any(fnmatch.fnmatch(name, p) for p in pats)
+    )
+    return {
+        "indices": [{"name": n, "attributes": ["open"]} for n in names],
+        "aliases": [],
+        "data_streams": [],
+    }
+
+
+def cluster_health(indexes: dict[str, str] | None = None) -> dict[str, Any]:
+    """ES `GET _cluster/health` (0027-cluster-health.yaml: a 200 with a
+    health body). Janitor-managed local indexes have no replication tiers,
+    so the cluster is green by construction."""
+    n = len(indexes or {})
+    return {
+        "cluster_name": "quickwit_spark",
+        "status": "green",
+        "timed_out": False,
+        "number_of_nodes": 1,
+        "number_of_data_nodes": 1,
+        "active_primary_shards": n,
+        "active_shards": n,
+        "relocating_shards": 0,
+        "initializing_shards": 0,
+        "unassigned_shards": 0,
+        "active_shards_percent_as_number": 100.0,
+    }
+
+
+def es_info() -> dict[str, Any]:
+    """ES `GET /` cluster info (es_compatibility_info/0001-info.yaml:
+    non-empty cluster_name and version.build_date;
+    rest_handler.rs:73-93 es_compat_cluster_info shape)."""
+    from quickwit_spark import __version__ as _v
+
+    return {
+        "name": "quickwit-spark-node",
+        "cluster_name": "quickwit_spark",
+        "cluster_uuid": "quickwit_spark",
+        "tagline": "You Know, for Search",
+        "version": {
+            "distribution": "quickwit-spark",
+            "number": "7.17.0",
+            "build_hash": _v,
+            "build_date": "2026-08-16T00:00:00Z",
+            "build_snapshot": False,
+            "lucene_version": "8.11.1",
+            "minimum_wire_compatibility_version": "6.8.0",
+            "minimum_index_compatibility_version": "6.0.0-beta1",
+        },
+    }
+
+
+def delete_indexes(
+    indexes: dict[str, str],
+    targets: str | list[str],
+    ignore_unavailable: bool = False,
+    dry_run: bool = False,
+) -> dict[str, Any]:
+    """ES `DELETE /{targets}` over janitor-managed indexes
+    (0024-delete_indices.yaml; index.rs:277-330 delete_indexes semantics):
+    comma-separated EXACT names only — wildcard patterns and ``_all`` are
+    rejected; a missing target raises :class:`IndexNotFoundError` (the 404)
+    unless ``ignore_unavailable``; the present subset is still deleted in
+    that case, matching the reference's resolve-then-delete order. Removes
+    the index directory (sinks + lineage + checkpoints) and the registry
+    entry."""
+    import shutil
+
+    names = targets.split(",") if isinstance(targets, str) else list(targets)
+    for name in names:
+        if "*" in name:
+            raise ValueError(f"index_id pattern {name} contains *")
+        if name == "_all":
+            raise ValueError("index_id pattern _all not supported")
+    present = [n for n in names if n in indexes]
+    missing = [n for n in names if n not in indexes]
+    if missing and not ignore_unavailable:
+        raise IndexNotFoundError(missing[0])
+    if not dry_run:
+        for name in present:
+            shutil.rmtree(indexes[name], ignore_errors=True)
+            del indexes[name]
+    return {"acknowledged": True}

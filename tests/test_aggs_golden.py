@@ -128,6 +128,24 @@ def test_terms_size_and_sum_other(fixture_df):
     assert names["sum_other_doc_count"] == 10 - shown
 
 
+def test_doc_length_sum_and_source_exclusion_golden(fixture_df):
+    """0002-doc-len.yaml: sum over `_doc_length` equals the total ingested
+    byte length (952 for the fixture's ndjson lines, reference harness
+    serialization), and `_doc_length` never appears in search hit _source."""
+    from quickwit_spark.api import es_search
+
+    res = run_es_aggs(fixture_df, {"doc_len": {"sum": {"field": "_doc_length"}}})
+    assert res["doc_len"]["value"] == 952.0
+    hits = es_search(
+        fixture_df,
+        {"query": {"term": {"id": {"value": 1}}}, "size": 1},
+        field_types={"id": "numeric"},
+    )["hits"]["hits"]
+    assert len(hits) == 1
+    assert "_doc_length" not in hits[0]["_source"]
+    assert hits[0]["_source"]["name"] == "Albert"
+
+
 def test_terms_with_other_single_job(fixture_df):
     # parity with terms() + exact sum_other mass, via the partial-topk path
     from quickwit_spark.operators.aggs import terms_with_other

@@ -222,3 +222,71 @@ def test_es_admin_stats_and_cat_indices(spark, tiny_dir, tmp_path_factory):
         cat_indices(spark, indexes, v="true")
     with _pytest.raises(ValueError):
         cat_indices(spark, indexes, b="b")
+
+
+def test_es_admin_resolve_health_info_delete(tmp_path):
+    """_resolve/index (0026), _cluster/health (0027), / info
+    (es_compatibility_info 0001) and DELETE /{index} (0024) golden shapes."""
+    import os
+
+    import pytest as _pytest
+
+    from quickwit_spark.api import (
+        IndexNotFoundError,
+        cluster_health,
+        delete_indexes,
+        es_info,
+        resolve_index,
+    )
+
+    dirs = {}
+    for name in ("gharchive", "test_index1", "test_index2"):
+        d = str(tmp_path / name)
+        os.makedirs(os.path.join(d, "sinks"))
+        dirs[name] = d
+
+    # ---- 0026-resolve.yaml: GET _resolve/index/gh* ----
+    res = resolve_index(dirs, "gh*")
+    assert res == {
+        "indices": [{"name": "gharchive", "attributes": ["open"]}],
+        "aliases": [],
+        "data_streams": [],
+    }
+    # comma-separated multi-pattern, sorted by name
+    multi = resolve_index(dirs, "test*,gh*")
+    assert [e["name"] for e in multi["indices"]] == [
+        "gharchive", "test_index1", "test_index2",
+    ]
+    assert resolve_index(dirs, "nomatch*")["indices"] == []
+
+    # ---- 0027-cluster-health.yaml: a 200 with a health body ----
+    h = cluster_health(dirs)
+    assert h["status"] == "green" and h["timed_out"] is False
+    assert h["active_primary_shards"] == 3
+
+    # ---- es_compatibility_info/0001-info.yaml ----
+    info = es_info()
+    assert info["cluster_name"] != ""
+    assert info["version"]["build_date"] != ""
+    assert info["tagline"] == "You Know, for Search"
+
+    # ---- 0024-delete_indices.yaml ----
+    # partially-missing target list → 404, nothing about the present one
+    # guaranteed (the reference deletes the resolved subset; we match)
+    with _pytest.raises(IndexNotFoundError):
+        delete_indexes(dict(dirs), "does_not_exist,also_missing")
+    # wildcard / _all rejected (index.rs:287-301)
+    with _pytest.raises(ValueError):
+        delete_indexes(dirs, "test*")
+    with _pytest.raises(ValueError):
+        delete_indexes(dirs, "_all")
+    # ignore_unavailable=true deletes the present subset, 200
+    out = delete_indexes(dirs, "test_index1,does_not_exist", ignore_unavailable=True)
+    assert out == {"acknowledged": True}
+    assert "test_index1" not in dirs and not os.path.exists(str(tmp_path / "test_index1"))
+    # already deleted → 404
+    with _pytest.raises(IndexNotFoundError):
+        delete_indexes(dirs, "test_index1")
+    # plain delete of a live index → 200
+    assert delete_indexes(dirs, "test_index2") == {"acknowledged": True}
+    assert set(dirs) == {"gharchive"}
