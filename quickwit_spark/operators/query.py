@@ -196,15 +196,36 @@ class QueryCompiler:
     def _dynamic_value(self, field: str) -> Column:
         return F.get_json_object(F.col(self.dynamic_col), "$." + field)
 
+    def _declared_json_parent(self, field: str) -> tuple[str, str] | None:
+        """(parent, subpath) when ``field`` is a dotted path under a declared
+        json-kind field (``json_fast.field_c``), else None."""
+        parts = field.split(".")
+        for i in range(len(parts) - 1, 0, -1):
+            head = ".".join(parts[:i])
+            info = self.field_types.get(head)
+            if info is not None and info.kind == "json":
+                return head, ".".join(parts[i:])
+        return None
+
     def _exists_pred(self, field: str) -> Column:
         """``exists`` semantics: for object/json fields, a doc matches only
         if SOME leaf under the field is present (the reference stores
         per-leaf field-presence hashes, doc_mapper_impl.rs:554-560 — an
-        empty object ``{}`` counts as missing). Needs the frame schema to
+        empty object ``{}`` counts as missing). json-kind fields (JSON-string
+        columns) and their dotted sub-paths use the leaf test on the JSON
+        text (qw_search_api/0003 vectors: ``json_fast:*``,
+        ``json_fast.field_c:*``). Object fields need the frame schema to
         enumerate leaves (set by where()/es_search); without it, falls back
         to struct nullness."""
         from pyspark.sql import types as T
 
+        info = self.field_types.get(field)
+        if info is not None and info.kind == "json":
+            return _json_leaf_exists(F.col(field))
+        jp = self._declared_json_parent(field)
+        if jp is not None:
+            parent, sub = jp
+            return _json_leaf_exists(F.get_json_object(F.col(parent), "$." + sub))
         if self.schema is None:
             return F.col(field).isNotNull()
         dt = _resolve_field_type(self.schema, field)
@@ -332,7 +353,14 @@ class QueryCompiler:
                 return c.isin([ip_normalize(v) for v in ast.values])
             return c.isin([_literal(info, v) for v in ast.values])
         if isinstance(ast, Exists):
-            if self.info(ast.field).kind == "dynamic":
+            # a dotted path under a DECLARED json field resolves against that
+            # field even in dynamic mode (mapping wins over dynamic capture)
+            if self._declared_json_parent(ast.field) is not None:
+                return self._exists_pred(ast.field)
+            if (
+                ast.field not in self.field_types
+                and self.info(ast.field).kind == "dynamic"
+            ):
                 return self._dynamic_value(ast.field).isNotNull()
             return self._exists_pred(ast.field)
         if isinstance(ast, FullText):
@@ -506,6 +534,19 @@ class QueryCompiler:
             return df.filter(self.compile(self.parse(query)))
         finally:
             self.schema = prev
+
+
+def _json_leaf_exists(c: Column) -> Column:
+    """True when a JSON text fragment contains ≥1 primitive leaf — empty
+    objects/arrays (at any depth) count as MISSING, matching the reference's
+    per-leaf field-presence hashes (doc_mapper_impl.rs:554-560). Pure string
+    algebra, JVM-side: strip ``"key":`` pairs, collapse remaining string
+    literals to a marker, drop ``null`` + structural characters; any residue
+    is a leaf value."""
+    no_keys = F.regexp_replace(c, r'"([^"\\]|\\.)*"\s*:', "")
+    marked = F.regexp_replace(no_keys, r'"([^"\\]|\\.)*"', "S")
+    residue = F.regexp_replace(marked, r"null|[{}\[\],\s]", "")
+    return c.isNotNull() & (residue != F.lit(""))
 
 
 def _null_as_false(c: Column) -> Column:

@@ -73,6 +73,84 @@ def test_0004_exact_string_raw_tokenizer(nested):
     assert cnt("text_fast:[fast_text_value_dashes TO fast_text_value_dashes]") == 0
 
 
+@pytest.fixture(scope="module")
+def nested_index(spark):
+    """The reference's `nested` index (_setup.quickwit.yaml: json fields,
+    an object field with sub-mappings, fast-only + raw text) parsed through
+    the docmapper — 10 docs."""
+    import json as _j
+
+    from quickwit_spark.operators.docmapper import (
+        DocMapper,
+        DocMapping,
+        FieldMapping,
+        split_quarantine,
+    )
+
+    docs = [
+        {"json_text": {"field_a": "hello", "field_b": "world"}},
+        {"json_text": {"field_a": "hi"}},
+        {"json_fast": {"field_c": 1}},
+        {"object_multi": {"object_text_field": "multi hello"}},
+        {"object_multi": {"object_fast_field": 1}},
+        {"object_multi": {"object_fast_field": 2}},
+        {"text_raw": "indexed-with-raw-tokenizer-dashes"},
+        {"text_raw": "indexed with raw tokenizer dashes"},
+        {"text_fast": "fast-text-value-dashes"},
+        {"text_fast": "fast text value whitespaces"},
+    ]
+    mapping = DocMapping(
+        field_mappings=[
+            FieldMapping("json_text", "json"),
+            FieldMapping("json_fast", "json"),
+            FieldMapping(
+                "object_multi",
+                "object",
+                fields=[
+                    FieldMapping("object_text_field", "text"),
+                    FieldMapping("object_fast_field", "u64"),
+                ],
+            ),
+            FieldMapping("text_fast", "text"),
+            FieldMapping("text_raw", "text"),
+        ],
+        mode="dynamic",
+    )
+    df = spark.createDataFrame([(_j.dumps(d),) for d in docs], ["value"])
+    valid, _ = split_quarantine(DocMapper(mapping).apply(df))
+    valid = valid.cache()
+    assert valid.count() == 10
+    return valid
+
+
+def test_0003_exists_search(nested_index):
+    """qw_search_api/0003_exists_search.yaml: exists (`field:*`) over json
+    fields, json sub-paths, object fields and unmapped names."""
+    from quickwit_spark.operators.query import QueryCompiler
+
+    qc = QueryCompiler(
+        {"json_text": "json", "json_fast": "json", "text_fast": "raw", "text_raw": "raw"}
+    )
+
+    def cnt(q):
+        return qc.where(nested_index, q).count()
+
+    assert cnt("doesnotexist:*") == 0
+    # json fast fields
+    assert cnt("json_fast:*") == 1
+    assert cnt("json_fast.field_c:*") == 1
+    assert cnt("json_fast.doesnotexist:*") == 0
+    # json text fields
+    assert cnt("json_text.field_a:*") == 2
+    assert cnt("json_text.field_b:*") == 1
+    assert cnt("json_text:*") == 2
+    # object fields
+    assert cnt("object_multi.object_fast_field:*") == 2
+    assert cnt("object_multi.doesnotexist:*") == 0
+    assert cnt("object_multi.object_text_field:*") == 1
+    assert cnt("object_multi:*") == 3
+
+
 def test_query_bound_datetime_garbage_raises():
     from quickwit_spark.functions.datetime import parse_query_datetime
 
