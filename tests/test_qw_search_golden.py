@@ -151,6 +151,107 @@ def test_0003_exists_search(nested_index):
     assert cnt("object_multi:*") == 3
 
 
+@pytest.fixture(scope="module")
+def multi_splits_index(spark, tmp_path_factory):
+    """The reference's `multi_splits` index (13 shuffled one-field docs over
+    4 days → one commit per day, so sorted search must merge across splits;
+    multi_splits/_setup.quickwit.yaml)."""
+    import json as _j
+
+    from quickwit_spark.operators.docmapper import (
+        DocMapper,
+        DocMapping,
+        FieldMapping,
+        split_quarantine,
+    )
+    from quickwit_spark.pipeline.janitor import build_time_partitioned_index
+
+    stamps = [
+        "2015-01-10T10:00:00Z", "2015-01-11T12:00:00Z", "2015-01-10T10:00:00Z",
+        "2015-01-10T13:00:00Z", "2015-01-11T12:00:00Z", "2015-01-10T10:00:00Z",
+        "2015-01-10T14:00:00.000000001Z", "2015-01-11T12:00:00Z",
+        "2015-01-10T10:00:00Z", "2015-01-10T12:00:00Z", "2015-01-11T12:00:00Z",
+        "2016-01-10T10:00:00Z", "2016-01-11T12:00:00Z",
+    ]
+    mapping = DocMapping(
+        field_mappings=[
+            FieldMapping("timestamp", "datetime", input_formats=("rfc3339",))
+        ],
+        mode="dynamic",
+        timestamp_field="timestamp",
+        store_source=True,
+    )
+    df = spark.createDataFrame(
+        [(_j.dumps({"timestamp": s}),) for s in stamps], ["value"]
+    )
+    valid, _ = split_quarantine(DocMapper(mapping).apply(df))
+    assert valid.count() == 13
+    out = str(tmp_path_factory.mktemp("multi_splits") / "idx")
+    build_time_partitioned_index(
+        spark, valid, out, sink_expr=F.lit("docs"),
+        ts_col="timestamp", source_id="multi_splits",
+    )
+    return out
+
+
+def _ms_hits(spark, idx, body):
+    from quickwit_spark.api import search_index
+
+    res = search_index(
+        spark, idx, body, field_types={"timestamp": "datetime"}, ts_field="timestamp"
+    )
+    return [h["_source"]["timestamp"] for h in res["hits"]["hits"]], res["hits"]["total"]["value"]
+
+
+def test_multi_splits_sorted_pagination(spark, multi_splits_index):
+    """multi_splits/0001-request-optimizations.yaml: sorted top-k must merge
+    across splits (commits); _source returns the ORIGINAL docs, preserving
+    the nanosecond timestamp text verbatim."""
+    asc = [{"timestamp": {"order": "asc"}}]
+    desc = [{"timestamp": {"order": "desc"}}]
+    for size in (1, 2, 3):
+        got, total = _ms_hits(
+            spark, multi_splits_index,
+            {"size": size, "query": {"match_all": {}}, "sort": asc},
+        )
+        assert got == ["2015-01-10T10:00:00Z"] * size and total == 13
+    got, _ = _ms_hits(
+        spark, multi_splits_index, {"size": 5, "query": {"match_all": {}}, "sort": asc}
+    )
+    assert got == ["2015-01-10T10:00:00Z"] * 4 + ["2015-01-10T12:00:00Z"]
+    # ASC + gte filter (also exercises automatic split pruning on the range)
+    got, _ = _ms_hits(
+        spark, multi_splits_index,
+        {"size": 5, "query": {"range": {"timestamp": {"gte": "2015-01-10T12:00:00Z"}}},
+         "sort": asc},
+    )
+    assert got == [
+        "2015-01-10T12:00:00Z", "2015-01-10T13:00:00Z",
+        "2015-01-10T14:00:00.000000001Z", "2015-01-11T12:00:00Z",
+        "2015-01-11T12:00:00Z",
+    ]
+    # ASC + lt filter
+    got, _ = _ms_hits(
+        spark, multi_splits_index,
+        {"size": 5, "query": {"range": {"timestamp": {"lt": "2015-01-10T12:00:00Z"}}},
+         "sort": asc},
+    )
+    assert got == ["2015-01-10T10:00:00Z"] * 4
+    # DESC
+    got, _ = _ms_hits(
+        spark, multi_splits_index, {"size": 6, "query": {"match_all": {}}, "sort": desc}
+    )
+    assert got == [
+        "2016-01-11T12:00:00Z", "2016-01-10T10:00:00Z",
+        "2015-01-11T12:00:00Z", "2015-01-11T12:00:00Z",
+        "2015-01-11T12:00:00Z", "2015-01-11T12:00:00Z",
+    ]
+    got, _ = _ms_hits(
+        spark, multi_splits_index, {"size": 7, "query": {"match_all": {}}, "sort": desc}
+    )
+    assert got[-1] == "2015-01-10T14:00:00.000000001Z"
+
+
 def test_query_bound_datetime_garbage_raises():
     from quickwit_spark.functions.datetime import parse_query_datetime
 
