@@ -79,18 +79,24 @@ def main() -> None:
         "x", routing_hash_col("tenant_id", ["id"])
     ).agg(F.max("x")).collect()
 
-    # this sandbox has bursty hypervisor CPU steal: time each query twice
-    # and keep the min (steady state), so one stolen window doesn't skew
+    # this sandbox has bursty multi-minute external-interference windows:
+    # time each query twice and keep the min; when the two passes DISAGREE
+    # by >1.4x (the contamination signature — steady-state re-runs of these
+    # plans are within ~10%), keep re-measuring up to 3 extra passes until
+    # two samples agree, so a stolen window can't masquerade as a regression
     for name in HEADLINE:
         fn = qs[name]
-        best = None
-        for _ in range(2):
+        samples: list[float] = []
+        for i in range(5):
             t0 = time.time()
             df = fn(spark, SF_DIR)
             df.count()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+            if i >= 1:
+                lo = sorted(samples)[:2]
+                if lo[1] <= lo[0] * 1.4:
+                    break
+        timings[name] = round(min(samples), 3)
 
     # transcripts pipeline end-to-end (no sink write: DAG + per-sink aggregate)
     from quickwit_spark.pipeline.runner import PipelineConfig, build_dag

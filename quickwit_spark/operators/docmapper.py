@@ -216,9 +216,36 @@ def _convert_field(fm: FieldMapping, val: Any) -> Any:
 # ---------------------------------------------------------------------------
 
 
+def validate_tag_fields(mapping: DocMapping) -> None:
+    """Tag-field validation at mapper build time (doc_mapper_impl.rs:310-354
+    validate_tag; tag_fields/0001_allowed_types.yaml): tags are allowed only
+    on raw-tokenized text and u64/i64 fields — tokenized text, f64, bool,
+    json, ip, datetime, bytes and object make poor tags (representation
+    multiplicity) and are hard 400s. Leading/trailing dots and unknown
+    fields are rejected too."""
+    declared = {fm.name: fm for fm in mapping.field_mappings}
+    for name in mapping.tag_fields:
+        if name.startswith(".") or name.startswith("\\."):
+            raise ValueError(f"tag field `{name}` should not start with a `.`")
+        if name.endswith("."):
+            raise ValueError(f"tag field `{name}` should not end with a `.`")
+        fm = declared.get(name)
+        if fm is None:
+            raise ValueError(f"unknown tag field: `{name}`")
+        if fm.type == "text":
+            if fm.tokenizer != "raw":
+                raise ValueError(
+                    "tags collection is only allowed on text fields with the "
+                    "`raw` tokenizer"
+                )
+        elif fm.type not in ("u64", "i64"):
+            raise ValueError(f"tags collection is not allowed on `{fm.type}` fields")
+
+
 class DocMapper:
     def __init__(self, mapping: DocMapping):
         self.mapping = mapping
+        validate_tag_fields(mapping)
         self.schema = compile_schema(mapping)
         self.routing = RoutingExpr(mapping.partition_key)
         self._datetime_fields = {

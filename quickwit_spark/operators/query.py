@@ -890,7 +890,12 @@ def es_dsl_to_ast(dsl: dict) -> QueryAst:
             minimum_should_match=body.get("minimum_should_match"),
         )
     if kind == "query_string":
-        return parse_query(body["query"], tuple(body.get("fields", ())))
+        # `default_field` (singular) is ES shorthand for fields=[one]
+        # (0016-misc-query.yaml)
+        flds = body.get("fields") or (
+            [body["default_field"]] if body.get("default_field") else ()
+        )
+        return parse_query(body["query"], tuple(flds))
     raise ValueError(f"unsupported ES DSL query kind `{kind}`")
 
 

@@ -189,3 +189,43 @@ def test_expand_dots_dynamic_keys():
     m2 = DocMapper(DocMapping(field_mappings=[], mode="dynamic"))
     dyn2 = _json.loads(m2.parse_doc(doc)["_dynamic"])
     assert "k8s.pod.name" in dyn2
+
+
+def test_tag_fields_allowed_types_golden():
+    """tag_fields/0001_allowed_types.yaml: tags allowed only on raw-text /
+    u64 / i64; tokenized text, f64, bool, json, ip, bytes, datetime and
+    undeclared (dynamic) fields are rejected at mapper build time."""
+    import pytest as _pytest
+
+    from quickwit_spark.operators.docmapper import DocMapper, DocMapping, FieldMapping
+
+    ok = DocMapping(
+        field_mappings=[
+            FieldMapping("text1", "text", tokenizer="raw"),
+            FieldMapping("number1", "u64"),
+            FieldMapping("number2", "i64"),
+        ],
+        tag_fields=("text1", "number1", "number2"),
+    )
+    DocMapper(ok)  # no raise
+
+    def rejected(fm, tag=None):
+        bad = DocMapping(field_mappings=[fm], tag_fields=(tag or fm.name,))
+        with _pytest.raises(ValueError):
+            DocMapper(bad)
+
+    rejected(FieldMapping("text1", "text", tokenizer="default"))
+    rejected(FieldMapping("number3", "f64"))
+    rejected(FieldMapping("boolean", "bool"))
+    rejected(FieldMapping("json1", "json"))
+    rejected(FieldMapping("ip1", "ip"))
+    rejected(FieldMapping("bytes1", "bytes"))
+    rejected(FieldMapping("date1", "datetime"))
+    # dynamic (undeclared) tag field
+    with _pytest.raises(ValueError):
+        DocMapper(DocMapping(field_mappings=[], tag_fields=("dynamic1",)))
+    # dot hygiene (validate_tag name rules)
+    with _pytest.raises(ValueError):
+        DocMapper(
+            DocMapping(field_mappings=[FieldMapping("a", "u64")], tag_fields=(".a",))
+        )

@@ -105,3 +105,38 @@ def test_search_after_edge_cases(search_after_docs, after, order, size, expected
     )
     assert res["hits"]["total"]["value"] == 5
     assert _sorts(res) == expected
+
+
+@pytest.fixture(scope="module")
+def fast_only(spark):
+    # _setup.quickwit.yaml fast_only index: 2 docs, a root fast-only text
+    # field and a fast-only leaf under an object field
+    from pyspark.sql import Row
+
+    rows = [
+        Row(fast_text="abc-123", obj=Row(nested_text="abc-123")),
+        Row(fast_text="def-456", obj=Row(nested_text="ghi-789")),
+    ]
+    return spark.createDataFrame(rows).cache()
+
+
+def test_0028_fast_only_field_query(fast_only):
+    """0028-fast_only_field_query.yaml: DSL term/terms over fast-only
+    (non-indexed) text fields — exact raw-value match, incl. a nested
+    object leaf addressed by dotted path."""
+    fields = {"fast_text": "raw", "obj.nested_text": "raw"}
+
+    def total(query):
+        return es_search(
+            fast_only, {"query": query, "size": 0, "track_total_hits": True},
+            field_types=fields,
+        )["hits"]["total"]["value"]
+
+    assert total({"term": {"fast_text": "abc-123"}}) == 1
+    assert total({"term": {"fast_text": "zzz"}}) == 0
+    assert total({"terms": {"fast_text": ["abc-123", "zzz"]}}) == 1
+    assert total({"terms": {"fast_text": ["abc-123", "def-456"]}}) == 2
+    assert total({"term": {"obj.nested_text": "abc-123"}}) == 1
+    assert total({"term": {"obj.nested_text": "zzz"}}) == 0
+    assert total({"terms": {"obj.nested_text": ["abc-123", "ghi-789"]}}) == 2
+    assert total({"terms": {"obj.nested_text": ["zzz"]}}) == 0

@@ -198,6 +198,36 @@ def test_0014_multi_match(gh):
         _total(gh, {"multi_match": {"query": "sign decoration", "fields": []}})
 
 
+def test_0016_misc_query(gh):
+    """0016-misc-query.yaml: multi_match phrase/phrase_prefix over several
+    (incl. struct-path) fields with lenient, query_string with
+    default_field/fields, exists on a plain bool field, terms over commit
+    messages. (The reference's array field payload.commits.message is the
+    flattened commits_msg column here, like the rest of this suite; the
+    exists=59 vector is skipped — it encodes tantivy's >255-char fast-value
+    truncation, a storage-layer artifact.)"""
+    gh2 = gh.withColumn("pl_desc", F.col("payload.description")).withColumn(
+        "cm_body", F.col("payload.comment.body")
+    )
+    fields = {**FIELDS, "pl_desc": "text", "cm_body": "text", "public": "bool"}
+
+    def total(query):
+        return es_search(gh2, {"query": query, "size": 0}, field_types=fields)[
+            "hits"
+        ]["total"]["value"]
+
+    mm = ["commits_msg", "pl_desc", "cm_body"]
+    assert total({"multi_match": {"fields": mm, "lenient": True, "query": "to be", "type": "phrase"}}) == 2
+    assert total({"multi_match": {"fields": mm[:2], "lenient": True, "query": "to b", "type": "phrase"}}) == 0
+    assert total({"multi_match": {"fields": mm, "lenient": True, "query": "to be", "type": "phrase_prefix"}}) == 2
+    assert total({"multi_match": {"fields": mm, "lenient": True, "query": "to b", "type": "phrase_prefix"}}) == 3
+    assert total({"query_string": {"default_field": "commits_msg", "lenient": True, "query": "to AND the"}}) == 3
+    assert total({"query_string": {"fields": ["commits_msg"], "lenient": True, "query": "to AND the"}}) == 3
+    assert total({"exists": {"field": "public"}}) == 100
+    assert total({"match_all": {}}) == 100
+    assert total({"terms": {"commits_msg": ["fix", "bug", "problem", "closes"]}}) == 3
+
+
 def test_0005_0019_query_string_and_count(gh):
     assert _total(gh, {"query_string": {"query": "type:PushEvent AND actor.login:jadonk"}}) == 2
     assert _total(gh, {"query_string": {"query": "PushEvent", "fields": ["type"]}}) == 60
