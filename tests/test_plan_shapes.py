@@ -83,3 +83,23 @@ def test_nested_agg_is_one_groupby_per_level(spark, events):
     # count is CONSTANT in the number of buckets (the old per-bucket recursion
     # fired one query per parent bucket: 30+ jobs on a month of data)
     assert after - before <= 6
+
+
+def test_terms_with_other_is_single_job_no_global_window(spark, events):
+    """terms_with_other runs ONE Spark job (mapInPandas partial top-k +
+    driver merge) and its plan has no global-window exchange-to-one."""
+    from quickwit_spark.operators.aggs import terms_with_other
+
+    sc = spark.sparkContext
+    sc.setJobGroup("two-probe", "count jobs", True)
+    tracker = sc.statusTracker()
+    before = len(tracker.getJobIdsForGroup("two-probe"))
+    buckets, other, err = terms_with_other(events, "event_type", size=2)
+    after = len(tracker.getJobIdsForGroup("two-probe"))
+    sc.setJobGroup("default", "", False)
+    rows = buckets.collect()
+    total = events.filter(events.event_type.isNotNull()).count()
+    assert other == total - sum(r["doc_count"] for r in rows) and err == 0
+    # 1 action (+ tiny createDataFrame collect) — ≤3 under AQE; the old
+    # version ran 3 full scans of the input
+    assert after - before <= 3
