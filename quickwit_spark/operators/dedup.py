@@ -192,16 +192,13 @@ def minhash_dedup_pairs(
     — estimator noise can otherwise promote a 0.98-Jaccard pair past a 1.0
     threshold when all ``num_perm`` mins happen to collide.
 
-    Materialization: the est path localCheckpoints the signatures (they feed
-    both sides of the band join PLUS the two agreement joins — 4 consumers).
-    The exact path does NOT: its only signature consumer is the banded
-    self-join, whose two sides share an identical subplan that Catalyst's
-    ReuseExchange computes once — skipping the checkpoint avoids a full
-    signature write barrier (the round-2 one-shot regression) and removes a
-    driver-disk dependency at scale."""
+    Materialization: signatures are ALWAYS localCheckpointed — the banded
+    self-join consumes them on both sides and the measured AQE plan does
+    NOT reuse the exchange (the ArrowEval signature UDF shows up twice
+    without the checkpoint; A/B at sf0.1 measured ~2× slower). The est path
+    additionally feeds the two agreement joins (4 consumers total)."""
     sigs = minhash_signatures(df, text_col, id_col, shingle_size, num_perm)
-    if verify != "exact":
-        sigs = sigs.localCheckpoint()
+    sigs = sigs.localCheckpoint()
     cands = lsh_candidate_pairs(sigs, id_col, num_bands, num_perm=num_perm)
     if verify == "exact":
         sh = _shingle_sets(df, text_col, id_col, shingle_size)
