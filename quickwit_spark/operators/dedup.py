@@ -449,47 +449,86 @@ def near_dup_clusters(
     ``cluster`` is the smallest id reachable from the member — the canonical
     document a dedup pipeline KEEPS (min-id selection).
 
-    Label propagation to fixpoint: each round every node takes the min of its
-    own label and its neighbors' labels (one join + one groupBy per round;
-    rounds ≈ graph diameter, checked by a cheap changed-count). Near-dup
-    graphs are unions of small cliques, so 2-3 rounds is typical; for
-    adversarially long chains at 10^12 scale swap in large-star/small-star —
-    the (member, cluster) contract is unchanged.
+    Two-level contraction (the scalable CC pattern): each round runs an
+    EXACT union-find (union-by-min, path compression) inside every partition
+    via one Arrow batch pass, contracts the edge set through the local roots,
+    and keeps only edges that still CROSS partitions — the boundary graph,
+    which shrinks geometrically. Rounds ≈ O(log #partitions), not graph
+    diameter: a chain of length 10⁶ inside one partition resolves in its
+    single local pass, where min-label propagation needs 10⁶ joins. The
+    global (node → label) map composes through one join per round. Raises
+    if ``max_iter`` rounds don't converge (never observed: boundary rounds
+    are logarithmic in partition count) rather than returning non-final
+    labels.
     """
+    import pandas as pd
+
+    node_t = pairs.schema[a_col].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    rep_schema = StructType(
+        [StructField("node", node_t), StructField("root", node_t)]
+    )
+
+    def _local_cc(batches):
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for x, y in zip(pdf["x"], pdf["y"]):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                if rx < ry:
+                    parent[ry] = rx
+                else:
+                    parent[rx] = ry
+        nodes = set(pdf["x"]) | set(pdf["y"])
+        yield pd.DataFrame(
+            {"node": list(nodes), "root": [find(n) for n in nodes]}
+        )
+
     edges = (
         pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
-        .union(pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
         .distinct()
         .localCheckpoint()
     )
-    labels = (
-        edges.select(F.col("x").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
+    mapping = None
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.y == labels.node)
-            .groupBy("x")
-            .agg(F.min("label").alias("nmin"))
-        )
-        # per-round localCheckpoint: without it each round's action replays
-        # the whole join chain (quadratic recompute — measured slower than
-        # the checkpoint write). The convergence flag rides along in the SAME
-        # select, so detecting the fixpoint is a take(1) over the cached
-        # partitions instead of an extra labels⋈labels join job per round.
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.x, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-                F.coalesce(F.col("nmin") < F.col("label"), F.lit(False)).alias("_changed"),
+        rep = edges.mapInPandas(_local_cc, schema=rep_schema).localCheckpoint()
+        if mapping is None:
+            mapping = rep.withColumnsRenamed({"root": "label"})
+        else:
+            r2 = rep.withColumnsRenamed({"node": "_n", "root": "_r"})
+            mapping = (
+                mapping.join(r2, mapping.label == r2._n, "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("_r"), F.col("label")).alias("label"),
+                )
+                .localCheckpoint()
             )
+        ra = rep.withColumnsRenamed({"node": "_n", "root": "_ra"})
+        rb = rep.withColumnsRenamed({"node": "_m", "root": "_rb"})
+        edges = (
+            edges.join(ra, edges.x == ra._n)
+            .join(rb, edges.y == rb._m)
+            .select(F.col("_ra").alias("x"), F.col("_rb").alias("y"))
+            .filter(F.col("x") != F.col("y"))
+            .distinct()
             .localCheckpoint()
         )
-        converged = new_labels.filter("_changed").isEmpty()
-        labels = new_labels.drop("_changed")
-        if converged:
-            break
-    return labels.select(F.col("node").alias("member"), F.col("label").alias("cluster"))
+        if edges.isEmpty():
+            return mapping.select(
+                F.col("node").alias("member"), F.col("label").alias("cluster")
+            )
+    raise RuntimeError(f"near_dup_clusters did not converge in {max_iter} rounds")
