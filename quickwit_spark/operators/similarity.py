@@ -263,3 +263,72 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Batch exact k-NN join: for EVERY query row, the top-k corpus rows by
+    cosine. Returns (qid, vec_id, cosine) with k rows per query.
+
+    Scale shape (the batch analog of :func:`cosine_topk`): the small query
+    side is collected and broadcast (sc.broadcast — one copy per executor,
+    like a broadcast hash join's build side), the corpus is scanned ONCE by
+    a mapInPandas block that runs a single BLAS matmul per Arrow batch and
+    emits only the per-batch top-k per query. The global merge then ranks
+    #batches × k candidate rows per query — the full n_corpus × n_queries
+    score matrix never materializes and the corpus is never shuffled.
+
+    Batch-local selection uses the same total order as the final merge
+    (rounded cosine desc, id asc), so merging per-batch top-k is exactly the
+    global top-k.
+    """
+    rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, Q.T.copy()))
+    kk = int(k)
+    nd = int(round_decimals)
+
+    def scan(batches):
+        bqids, QT = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            S = np.round(X @ QT, nd)  # (batch, nq)
+            ids = pdf[id_col].to_numpy()
+            out_q, out_i, out_s = [], [], []
+            for j in range(S.shape[1]):
+                order = np.lexsort((ids, -S[:, j]))[:kk]
+                out_q.append(np.full(len(order), bqids[j]))
+                out_i.append(ids[order])
+                out_s.append(S[order, j])
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    id_col: np.concatenate(out_i),
+                    "cosine": np.concatenate(out_s),
+                }
+            )
+
+    candidates = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        scan, schema=f"qid long, {id_col} long, cosine double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        candidates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= kk)
+        .select("qid", id_col, "cosine")
+    )

@@ -1,0 +1,142 @@
+"""Training-data text extras: repetition filters, PII scrubbing, URL/domain
+extraction, and the batch k-NN join. These extend the engine beyond the
+reference surface (quickwit has no corpus-cleaning tier); semantics modeled
+on the standard web-corpus filtering rules (Gopher-style repetition ratios).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from quickwit_spark.functions import text as TX
+from quickwit_spark.operators import similarity as S
+
+
+def _rep(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    rows = df.select("id", *TX.repetition_features(F.col("text"))).orderBy("id").collect()
+    return [(r.dup_word_frac, r.top_word_frac, r.top_bigram_frac) for r in rows]
+
+
+class TestRepetitionFeatures:
+    def test_all_distinct_words(self, spark):
+        (dup, top, bg), = _rep(spark, ["alpha beta gamma delta"])
+        assert dup == 0.0
+        assert top == 0.25
+        assert bg == pytest.approx(1 / 3, abs=1e-6)  # all bigrams distinct
+
+    def test_all_same_word(self, spark):
+        (dup, top, bg), = _rep(spark, ["spam spam spam spam"])
+        assert dup == 0.75
+        assert top == 1.0
+        assert bg == 1.0
+
+    def test_repeated_bigram(self, spark):
+        # "a b a b a" -> bigrams: [a b, b a, a b, b a] -> top bigram 2/4
+        (dup, top, bg), = _rep(spark, ["a b a b a"])
+        assert top == pytest.approx(3 / 5, abs=1e-6)
+        assert bg == pytest.approx(0.5, abs=1e-6)
+
+    def test_single_word_has_zero_bigram_frac(self, spark):
+        (dup, top, bg), = _rep(spark, ["lonely"])
+        assert (dup, top, bg) == (0.0, 1.0, 0.0)
+
+    def test_case_folded(self, spark):
+        (dup, _, _), = _rep(spark, ["Spam SPAM spam"])
+        assert dup == pytest.approx(2 / 3, abs=1e-6)
+
+
+class TestPii:
+    def test_counts_and_scrub(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "write to alice.smith+x@corp.example.org today"),
+                (1, "call +1-555-123-4567 or 555-987-6543 now"),
+                (2, "no pii here at all"),
+            ],
+            "id long, text string",
+        )
+        rows = (
+            df.select(
+                "id",
+                *TX.pii_features(F.col("text")),
+                TX.pii_scrub_col(F.col("text")).alias("scrubbed"),
+            )
+            .orderBy("id")
+            .collect()
+        )
+        assert [(r.n_emails, r.n_phones) for r in rows] == [(1, 0), (0, 2), (0, 0)]
+        assert rows[0].scrubbed == "write to <EMAIL> today"
+        # "+1-555-123-4567": the \+?\d{3}-\d{3}-\d{4} window matches the
+        # trailing 555-123-4567 run
+        assert "<PHONE>" in rows[1].scrubbed
+        assert rows[2].scrubbed == "no pii here at all"
+
+    def test_scrub_is_idempotent(self, spark):
+        df = spark.createDataFrame([(0, "mail a@b.co now")], "id long, text string")
+        once = df.select(TX.pii_scrub_col(F.col("text")).alias("s"))
+        twice = once.select(TX.pii_scrub_col(F.col("s")).alias("s"))
+        assert twice.first().s == "mail <EMAIL> now"
+
+
+class TestUrlDomains:
+    def test_extracts_domains_only(self, spark):
+        df = spark.createDataFrame(
+            [(0, "see https://a.example.com/x/y?z=1 and http://b.org plus ftp://skip.me")],
+            "id long, text string",
+        )
+        doms = df.select(TX.url_domains_col(F.col("text")).alias("d")).first().d
+        assert doms == ["a.example.com", "b.org"]
+
+    def test_no_urls_gives_empty_array(self, spark):
+        df = spark.createDataFrame([(0, "plain text")], "id long, text string")
+        assert df.select(TX.url_domains_col(F.col("text")).alias("d")).first().d == []
+
+
+class TestKnnJoin:
+    def _emb(self, spark, n=60, dim=8, seed=7):
+        rng = np.random.default_rng(seed)
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        return spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+
+    def test_matches_per_query_brute_force(self, spark):
+        emb = self._emb(spark)
+        queries = emb.filter(F.col("vec_id") % 20 == 0)  # 3 queries
+        got = {
+            (r.qid, r.vec_id): r.cosine
+            for r in S.knn_join(emb, queries, k=4).collect()
+        }
+        for qid in (0, 20, 40):
+            qvec = emb.filter(F.col("vec_id") == qid).first().embedding
+            expect = S.cosine_topk(emb, list(qvec), k=4).collect()
+            for e in expect:
+                assert (qid, e.vec_id) in got
+                assert got[(qid, e.vec_id)] == pytest.approx(e.cosine, abs=1e-5)
+
+    def test_k_rows_per_query_and_self_hit(self, spark):
+        emb = self._emb(spark)
+        queries = emb.filter(F.col("vec_id") % 20 == 0)
+        rows = S.knn_join(emb, queries, k=5).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.qid, []).append(r)
+        assert set(by_q) == {0, 20, 40}
+        for qid, rs in by_q.items():
+            assert len(rs) == 5
+            # the query vector itself is in the corpus: cosine 1.0 self-hit
+            assert any(r.vec_id == qid and r.cosine == 1.0 for r in rs)
+
+    def test_plan_has_no_join_of_corpus(self, spark):
+        emb = self._emb(spark)
+        queries = emb.filter(F.col("vec_id") % 20 == 0)
+        plan = S.knn_join(emb, queries, k=3)._jdf.queryExecution().executedPlan().toString()
+        # the corpus is scanned once through mapInPandas; the only shuffle is
+        # the tiny candidate merge — never a join of corpus against queries
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" not in plan
