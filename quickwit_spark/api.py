@@ -33,8 +33,12 @@ from quickwit_spark.operators.sorts import paginate, search_after, top_k
 
 def _parse_sort(sort_spec) -> list[tuple[str, bool]]:
     """ES sort forms → [(field, descending)]. Accepts "field",
-    {"field": "desc"}, {"field": {"order": "desc"}}."""
+    {"field": "desc"}, {"field": {"order": "desc"}}, and the top-level
+    mapping form ``sort: {field: {order: desc}, ...}`` (multi-indices/0001
+    vectors use it)."""
     out: list[tuple[str, bool]] = []
+    if isinstance(sort_spec, dict):
+        sort_spec = [{f: spec} for f, spec in sort_spec.items()]
     for s in sort_spec or []:
         if isinstance(s, str):
             out.append((s, False))
@@ -151,35 +155,39 @@ def _coerce_cursor(df: DataFrame, field: str, value):
     return value
 
 
-def es_search(
-    df: DataFrame,
-    body: dict[str, Any],
-    field_types: dict[str, str] | None = None,
-    default_fields: tuple[str, ...] = (),
-) -> dict[str, Any]:
-    """Execute one ES `_search` body over ``df``; returns the response dict."""
-    t0 = time.time()
-    compiler = QueryCompiler(field_types, default_fields=default_fields)
-    compiler.schema = df.schema  # object-leaf `exists` semantics
-
+def _filter_for_body(df: DataFrame, body: dict[str, Any], compiler) -> DataFrame:
+    """Apply the request's query (`q` param wins over the body query,
+    0002-query_string.yaml) plus every `extra_filters` conjunct (0023)."""
     filtered = df
     if body.get("q"):
-        # the `q` query-string param takes priority over the body query
-        # (0002-query_string.yaml)
-        filtered = df.filter(
-            compiler.compile(compiler.parse(str(body["q"])))
-        )
+        filtered = df.filter(compiler.compile(compiler.parse(str(body["q"]))))
     elif body.get("query"):
         query = _prune_unmapped_multi_match(df, body["query"])
-        pred = compiler.compile(es_dsl_to_ast(query))
-        filtered = df.filter(pred)
-    # quickwit extra_filters param (0023): comma-separated query strings
-    # ANDed onto the body query — the permissions-filter hook
+        filtered = df.filter(compiler.compile(es_dsl_to_ast(query)))
     extra = body.get("extra_filters")
     if extra:
         parts = extra.split(",") if isinstance(extra, str) else list(extra)
         for q in parts:
             filtered = filtered.filter(compiler.compile(compiler.parse(q)))
+    return filtered
+
+
+def es_search(
+    df: DataFrame,
+    body: dict[str, Any],
+    field_types: dict[str, str] | None = None,
+    default_fields: tuple[str, ...] = (),
+    compiler: "QueryCompiler | None" = None,
+) -> dict[str, Any]:
+    """Execute one ES `_search` body over ``df``; returns the response dict.
+
+    ``compiler`` overrides the default-constructed QueryCompiler (callers
+    with dynamic-mode mappings pass ``QueryCompiler.from_doc_mapping``)."""
+    t0 = time.time()
+    if compiler is None:
+        compiler = QueryCompiler(field_types, default_fields=default_fields)
+    compiler.schema = df.schema  # object-leaf `exists` semantics
+    filtered = _filter_for_body(df, body, compiler)
 
     size = body.get("size", 10)
     frm = body.get("from", 0)
@@ -364,6 +372,219 @@ def es_scroll(
     if scroll_state is not None:
         page_body["search_after"] = scroll_state
     res = es_search(df, page_body, field_types=field_types)
+    hits = res["hits"]["hits"]
+    next_state = hits[-1]["sort"] if hits else None
+    return res, next_state
+
+
+# ---------------------------------------------------------------------------
+# multi-index `_search`: {target}/_search with wildcard/exclusion selectors
+# (es_compatibility/multi-indices vectors; reference resolves selectors via
+# the metastore's ListIndexes pattern matching and merges leaf responses at
+# the root, search/root.rs merge_search_responses behavior)
+# ---------------------------------------------------------------------------
+
+
+def resolve_search_targets(
+    tables: dict[str, Any], target: str, ignore_unavailable: bool = False
+) -> list[str]:
+    """ES index-selector resolution for ``{target}/_search``: comma-separated
+    selectors (URL-encoded commas accepted), ``*`` wildcards, and leading
+    ``-`` exclusion patterns applied to the already-selected set. A wildcard
+    matching nothing is valid (0 indexes); a LITERAL name that is missing
+    raises :class:`IndexNotFoundError` (404) unless ``ignore_unavailable``
+    (multi-indices/0004 + 0012-scroll-api semantics)."""
+    import fnmatch
+    from urllib.parse import unquote
+
+    selected: list[str] = []
+    for p in (s for s in unquote(str(target)).split(",") if s):
+        if p.startswith("-") and len(p) > 1:
+            pat = p[1:]
+            selected = [n for n in selected if not fnmatch.fnmatch(n, pat)]
+        elif "*" in p or "?" in p:
+            selected.extend(
+                n for n in sorted(tables) if fnmatch.fnmatch(n, p) and n not in selected
+            )
+        elif p in tables:
+            if p not in selected:
+                selected.append(p)
+        elif not ignore_unavailable:
+            raise IndexNotFoundError(p)
+    return selected
+
+
+def _field_value_col(df: DataFrame, compiler, field: str):
+    """Best-effort typed value column for a dotted field: the native column
+    when the schema resolves it, else dynamic-capture JSON extraction
+    (mode=dynamic indexes), else NULL (field absent on this index — its rows
+    sort missing-last / fall out of field aggs, like unmapped fields in the
+    reference)."""
+    try:
+        df.select(F.col(field))
+        return F.col(field)
+    except Exception:
+        pass
+    if getattr(compiler, "dynamic_col", None) and compiler.dynamic_col in df.columns:
+        return compiler._dynamic_value(field)
+    return F.lit(None).cast("string")
+
+
+def _merge_sorted_hits(hits: list, sort_fields: list, limit: int) -> list:
+    import functools
+
+    if not sort_fields:
+        return hits[:limit]
+
+    def cmp(a, b):
+        for i, (_, desc) in enumerate(sort_fields):
+            va, vb = a["sort"][i], b["sort"][i]
+            if va == vb:
+                continue
+            if va is None:  # missing-last in BOTH directions (sorts.py)
+                return 1
+            if vb is None:
+                return -1
+            lt = va < vb
+            if desc:
+                return 1 if lt else -1
+            return -1 if lt else 1
+        return 0
+
+    return sorted(hits, key=functools.cmp_to_key(cmp))[:limit]
+
+
+def _collect_agg_fields(spec, acc: list) -> None:
+    if isinstance(spec, dict):
+        for k, v in spec.items():
+            if k == "field" and isinstance(v, str):
+                if v not in acc:
+                    acc.append(v)
+            else:
+                _collect_agg_fields(v, acc)
+    elif isinstance(spec, list):
+        for v in spec:
+            _collect_agg_fields(v, acc)
+
+
+def _rewrite_agg_fields(spec, mapping: dict):
+    if isinstance(spec, dict):
+        return {
+            k: (mapping.get(v, v) if k == "field" and isinstance(v, str) else _rewrite_agg_fields(v, mapping))
+            for k, v in spec.items()
+        }
+    if isinstance(spec, list):
+        return [_rewrite_agg_fields(v, mapping) for v in spec]
+    return spec
+
+
+def es_multi_search(
+    tables: dict[str, DataFrame],
+    target: str,
+    body: dict[str, Any],
+    field_types: dict[str, dict[str, str]] | None = None,
+    compilers: dict[str, Any] | None = None,
+    ignore_unavailable: bool = False,
+) -> dict[str, Any]:
+    """ES ``{target}/_search`` across the registered ``tables``: resolve the
+    selector expression, run the gather phase per index (each index's scan
+    keeps its own pushdown/pruning — the leaf-search analog), merge hits
+    under the request sort at the root, sum totals, and run field-referencing
+    aggs over the union of per-index value frames.
+
+    Per-index ``compilers`` (``QueryCompiler.from_doc_mapping``) override the
+    default field_types-built compilers — required for mode=dynamic indexes.
+    Hits carry ``_index``. Zero resolved indexes is a valid empty response
+    with NO aggregations key (multi-indices/0003)."""
+    names = resolve_search_targets(tables, target, ignore_unavailable)
+    body = dict(body)
+    if body.get("ignore_unavailable") is not None:
+        body.pop("ignore_unavailable")
+    size = body.get("size", 10)
+    frm = body.get("from", 0)
+    sort_fields = _parse_sort(body.get("sort"))
+
+    def compiler_for(name):
+        if compilers and name in compilers:
+            return compilers[name]
+        return QueryCompiler((field_types or {}).get(name))
+
+    all_hits: list[dict[str, Any]] = []
+    total = 0
+    for name in names:
+        df = tables[name]
+        comp = compiler_for(name)
+        gather = dict(body)
+        gather.pop("aggs", None)
+        gather.pop("aggregations", None)
+        gather["size"] = frm + size
+        gather["from"] = 0
+        if sort_fields:
+            # materialize each sort field as a hidden typed column so every
+            # index — including dynamic-capture ones where the dotted path
+            # has no native column — sorts under the same key (dynamic
+            # values sort by their numeric fast value; non-numeric → NULL,
+            # missing-last)
+            prepared = df
+            rewritten = []
+            for i, (f, desc) in enumerate(sort_fields):
+                c = _field_value_col(df, comp, f)
+                try:
+                    df.select(F.col(f))
+                except Exception:
+                    c = c.cast("double")
+                prepared = prepared.withColumn(f"__msort_{i}", c)
+                rewritten.append({f"__msort_{i}": {"order": "desc" if desc else "asc"}})
+            gather["sort"] = rewritten
+            df = prepared
+        res = es_search(df, gather, compiler=comp)
+        total += res["hits"]["total"]["value"] or 0
+        for h in res["hits"]["hits"]:
+            h["_index"] = name
+            if isinstance(h.get("_source"), dict):
+                for i in range(len(sort_fields)):
+                    h["_source"].pop(f"__msort_{i}", None)
+            all_hits.append(h)
+
+    merged = _merge_sorted_hits(all_hits, sort_fields, frm + size)[frm : frm + size]
+    out: dict[str, Any] = {
+        "hits": {"total": {"value": int(total), "relation": "eq"}, "hits": merged}
+    }
+
+    aggs = body.get("aggs") or body.get("aggregations")
+    if aggs and names:
+        fields: list[str] = []
+        _collect_agg_fields(aggs, fields)
+        safe = {f: f"__aggf_{i}" for i, f in enumerate(fields)}
+        union = None
+        for name in names:
+            comp = compiler_for(name)
+            part = _filter_for_body(tables[name], body, comp).select(
+                *[_field_value_col(tables[name], comp, f).alias(s) for f, s in safe.items()]
+            )
+            union = part if union is None else union.unionByName(part)
+        out["aggregations"] = run_es_aggs(union, _rewrite_agg_fields(aggs, safe))
+    return out
+
+
+def es_multi_scroll(
+    tables: dict[str, DataFrame],
+    target: str,
+    body: dict[str, Any],
+    scroll_state: list | None = None,
+    field_types: dict[str, dict[str, str]] | None = None,
+    compilers: dict[str, Any] | None = None,
+) -> tuple[dict[str, Any], list | None]:
+    """Multi-index scroll: same stateless iterated-search_after protocol as
+    :func:`es_scroll`, but the cursor advances over the MERGED stream
+    (multi-indices/0002: page size 1 walks hits across both indexes in
+    global sort order)."""
+    page_body = dict(body)
+    if scroll_state is not None:
+        page_body["search_after"] = scroll_state
+    res = es_multi_search(
+        tables, target, page_body, field_types=field_types, compilers=compilers
+    )
     hits = res["hits"]["hits"]
     next_state = hits[-1]["sort"] if hits else None
     return res, next_state
