@@ -384,3 +384,32 @@ def test_0002_q_param_overrides_body_query(gh):
     )
     assert res["hits"]["total"]["value"] == 60
     assert len(res["hits"]["hits"]) == 3
+
+
+def test_0004_term_aggregations(gh):
+    """0004-term_aggregations.yaml: terms agg size=5 over the type fast field
+    (the setup declares fast: normalizer: lowercase, so bucket keys are the
+    lowercased values — modeled with an explicit lowercase column here).
+    Checks exact buckets, sum_other_doc_count and the error bound."""
+    prepared = gh.withColumn("type_fast", F.lower(F.col("type")))
+    res = es_search(
+        prepared,
+        {
+            "size": 0,
+            "query": {"match_all": {}},
+            "aggs": {"mytypeagg": {"terms": {"field": "type_fast", "size": 5}}},
+        },
+        field_types=FIELDS,
+    )
+    assert res["hits"]["total"]["value"] == 100
+    assert res["hits"]["hits"] == []
+    agg = res["aggregations"]["mytypeagg"]
+    assert [(b["key"], b["doc_count"]) for b in agg["buckets"]] == [
+        ("pushevent", 60),
+        ("createevent", 12),
+        ("issuecommentevent", 8),
+        ("watchevent", 6),
+        ("pullrequestevent", 5),
+    ]
+    assert agg["sum_other_doc_count"] == 9
+    assert agg["doc_count_error_upper_bound"] == 0
