@@ -514,6 +514,20 @@ def _q_text_fingerprint(spark, sf_dir):
     return docs.select("doc_id", TX.fingerprint_col(F.col("text")).alias("fingerprint"))
 
 
+def _q_dedup_paragraphs(spark, sf_dir):
+    """C4-style paragraph dedup over deterministic synthetic paragraphs
+    (doc_id arithmetic forces cross-document repeats: 5 paras per doc drawn
+    from a 199-key space, so every key recurs ~12× at sf0.01)."""
+    docs = _t(spark, sf_dir, "documents")
+    paras = F.transform(
+        F.sequence(F.lit(0), F.lit(4)),
+        lambda j: F.concat(
+            F.lit("para"), ((F.col("doc_id") * 31 + j * 7) % 199).cast("string")
+        ),
+    )
+    return D.dedup_paragraphs(docs.select("doc_id", paras.alias("paras")))
+
+
 def _q_text_repetition(spark, sf_dir):
     """Gopher-style repetition filters: dup-word / top-word / top-bigram
     fractions — pure Column ops (single narrow map, no shuffle)."""
@@ -803,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_features": _q_multimodal_image_features,
         # oracle-backed overflow (see note above; gapfill/range_ts/pii/url
         # semantics are each also covered by in-window entries or pytest)
+        "dedup_paragraphs": _q_dedup_paragraphs,
         "text_pii": _q_text_pii,
         "text_url_domains": _q_text_url_domains,
         "agg_date_histogram_gapfill": _q_agg_date_histogram_gapfill,
@@ -1139,6 +1154,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id, text AS extracted_text,
                    CAST(length(text) AS INTEGER) AS n_bytes
             FROM documents WHERE doc_id % 3 = 2
+        """,
+        "dedup_paragraphs": """
+            WITH raw AS (
+              SELECT doc_id, unnest(generate_series(0, 4)) AS pos FROM documents
+            ), p AS (
+              SELECT doc_id, pos,
+                     'para' || CAST((doc_id * 31 + pos * 7) % 199 AS VARCHAR) AS para
+              FROM raw
+            ), r AS (
+              SELECT doc_id, pos, para,
+                     row_number() OVER (PARTITION BY para
+                         ORDER BY doc_id, pos) AS rn
+              FROM p
+            )
+            SELECT doc_id,
+                   count(*) AS n_paras,
+                   sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                                       chr(10) ORDER BY pos), '') AS kept_text
+            FROM r GROUP BY doc_id
         """,
         "text_repetition": r"""
             WITH t AS (

@@ -298,13 +298,21 @@ def field_caps(
     df: DataFrame,
     field_types: dict[str, str] | None = None,
     index: str = "index",
+    fields: str | list[str] | None = None,
 ) -> dict[str, Any]:
     """ES `_field_caps` response over a DataFrame schema
     (es_field_capabilities/0001 shape): every leaf field (nested structs as
     dotted paths) reports its capability entry; declared query kinds override
     the Spark-type mapping (text fields report both `text` and `keyword`,
-    like the reference's dynamic text)."""
+    like the reference's dynamic text). ``fields`` is the `?fields=` selector
+    — comma-separated names or `*` wildcards restrict the response (0001
+    third vector)."""
     from pyspark.sql import types as T
+
+    if isinstance(fields, str):
+        fields_sel = [p for p in fields.split(",") if p]
+    else:
+        fields_sel = list(fields) if fields else None
 
     kinds = field_types or {}
 
@@ -321,7 +329,7 @@ def field_caps(
             return "binary"
         return "keyword"
 
-    fields: dict[str, Any] = {}
+    fields_out: dict[str, Any] = {}
 
     def cap(t: str) -> dict:
         return {
@@ -348,10 +356,20 @@ def field_caps(
                 names = _ES_TYPE_BY_KIND[kind]
             else:
                 names = (spark_es_type(dt),)
-            fields[path] = {n: cap(n) for n in names}
+            fields_out[path] = {n: cap(n) for n in names}
 
     walk(df.schema)
-    return {"indices": [index], "fields": fields}
+    if fields_sel:
+        import fnmatch
+
+        out_fields = {
+            p: caps_
+            for p, caps_ in fields_out.items()
+            if any(fnmatch.fnmatch(p, pat) for pat in fields_sel)
+        }
+    else:
+        out_fields = fields_out
+    return {"indices": [index], "fields": out_fields}
 
 
 def es_scroll(

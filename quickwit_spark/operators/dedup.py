@@ -201,7 +201,10 @@ def minhash_dedup_pairs(
     sigs = sigs.localCheckpoint()
     cands = lsh_candidate_pairs(sigs, id_col, num_bands, num_perm=num_perm)
     if verify == "exact":
-        sh = _shingle_sets(df, text_col, id_col, shingle_size)
+        # checkpoint: the a-side and b-side joins both consume the shingle
+        # frame; without it the split+transform+array_distinct tree runs
+        # twice (same AQE no-reuse behavior as the signatures above)
+        sh = _shingle_sets(df, text_col, id_col, shingle_size).localCheckpoint()
         joined = (
             cands.join(
                 sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"),
@@ -532,3 +535,51 @@ def near_dup_clusters(
                 F.col("node").alias("member"), F.col("label").alias("cluster")
             )
     raise RuntimeError(f"near_dup_clusters did not converge in {max_iter} rounds")
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    paras_col: str = "paras",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style paragraph-level exact dedup: across the WHOLE corpus, each
+    distinct paragraph survives only at its globally-first occurrence
+    (smallest ``(id, position)``); every later repeat is dropped from its
+    document. Returns (id, n_paras, n_kept, kept_text).
+
+    Scale shape: posexplode → ONE hash shuffle partitioned by paragraph
+    (row_number keeps the first occurrence — no self-join back, and each
+    paragraph's partition is tiny so there is no skew beyond genuinely
+    viral paragraphs) → one shuffle by id to reassemble documents. This is
+    the C4 pipeline's dedup step expressed as two shuffles, both on keys
+    that stay balanced at 10^12 docs.
+    """
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col), F.posexplode(F.col(paras_col)).alias("pos", "para")
+    )
+    w = Window.partitionBy("para").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    marked = paras.withColumn("_rn", F.row_number().over(w))
+    kept = marked.withColumn("_keep", F.col("_rn") == 1)
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct(F.col("pos"), F.col("para")),
+                            )
+                        )
+                    ),
+                    lambda s: s.para,
+                ),
+            ).alias("kept_text"),
+        )
+    )

@@ -290,3 +290,19 @@ def test_es_admin_resolve_health_info_delete(tmp_path):
     # plain delete of a live index → 200
     assert delete_indexes(dirs, "test_index2") == {"acknowledged": True}
     assert set(dirs) == {"gharchive"}
+
+
+def test_field_caps_fields_selector(spark):
+    """es_field_capabilities/0001 third vector: `?fields=a,b` (comma list,
+    wildcards allowed) restricts the response to the named leaf paths."""
+    from quickwit_spark.api import field_caps
+
+    df = spark.createDataFrame(
+        [(1, "x", ("a", 2), "10.0.0.1")],
+        "id long, name string, nested struct<name:string, response:long>, host string",
+    )
+    caps = field_caps(df, fields="nested.response,nested.name")
+    assert set(caps["fields"]) == {"nested.response", "nested.name"}
+    caps_wild = field_caps(df, fields="nested.*")
+    assert set(caps_wild["fields"]) == {"nested.response", "nested.name"}
+    assert set(field_caps(df)["fields"]) >= {"id", "name", "host"}

@@ -140,3 +140,33 @@ class TestKnnJoin:
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" not in plan
         assert "BroadcastHashJoin" not in plan
+
+
+class TestDedupParagraphs:
+    def test_first_occurrence_survives(self, spark):
+        from quickwit_spark.operators.dedup import dedup_paragraphs
+
+        df = spark.createDataFrame(
+            [
+                (0, ["alpha", "beta", "gamma"]),
+                (1, ["beta", "delta"]),       # beta repeats -> dropped here
+                (2, ["alpha", "alpha"]),      # both copies repeat doc 0's alpha
+            ],
+            "doc_id long, paras array<string>",
+        )
+        rows = {r.doc_id: r for r in dedup_paragraphs(df).collect()}
+        assert (rows[0].n_paras, rows[0].n_kept) == (3, 3)
+        assert rows[0].kept_text == "alpha\nbeta\ngamma"
+        assert (rows[1].n_paras, rows[1].n_kept) == (2, 1)
+        assert rows[1].kept_text == "delta"
+        assert (rows[2].n_paras, rows[2].n_kept) == (2, 0)
+        assert rows[2].kept_text == ""
+
+    def test_within_doc_repeat_keeps_earliest_position(self, spark):
+        from quickwit_spark.operators.dedup import dedup_paragraphs
+
+        df = spark.createDataFrame(
+            [(7, ["x", "y", "x"])], "doc_id long, paras array<string>"
+        )
+        r = dedup_paragraphs(df).first()
+        assert (r.n_paras, r.n_kept, r.kept_text) == (3, 2, "x\ny")
