@@ -60,21 +60,32 @@ def minhash_signatures(
     permutation mins run in one Arrow-batched pandas UDF over the shingle
     hashes (numpy broadcast: num_perm × shingles per row).
     """
-    a, b = _minhash_params(num_perm, seed)
-
-    # materialize the token array once: element_at inside the shingle lambda
-    # then reads an attribute instead of re-running split per element
-    # (inline it and the plan is O(tokens^2) string splits per row)
     tok_df = df.select(
         F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("_toks")
     )
-    toks = F.col("_toks")
+    hashed = F.transform(_shingles_expr(shingle_size), lambda s: F.xxhash64(s))
+    return tok_df.select(
+        F.col(id_col), _sig_udf(num_perm, seed)(hashed).alias("signature")
+    )
+
+
+def _shingles_expr(shingle_size: int, toks_col: str = "_toks"):
+    """Word-shingle array over a materialized token-array column (element_at
+    reads an attribute; inlining the split would be O(tokens²) string
+    splits per row)."""
+    toks = F.col(toks_col)
     n_sh = F.greatest(F.size(toks) - F.lit(shingle_size - 1), F.lit(1))
     idx = F.sequence(F.lit(0), n_sh - 1)
-    shingles = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(shingle_size)])
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(shingle_size)]
+        ),
     )
-    hashed = F.transform(shingles, lambda s: F.xxhash64(s))
+
+
+def _sig_udf(num_perm: int, seed: int = 1):
+    a, b = _minhash_params(num_perm, seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(hashes: pd.Series) -> pd.Series:
@@ -97,7 +108,32 @@ def minhash_signatures(
             sigs[:, lo:hi] = mins.T.astype(np.int64)
         return pd.Series(list(sigs))
 
-    return tok_df.select(F.col(id_col), sig(hashed).alias("signature"))
+    return sig
+
+
+def _signatures_with_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    num_perm: int = 64,
+    seed: int = 1,
+) -> DataFrame:
+    """(id, signature, sh, n) in ONE scan: the exact-verify tier needs both
+    the MinHash signature and the distinct shingle set; deriving them from
+    the same shingle pipeline lets the caller checkpoint once."""
+    tok_df = df.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("_toks")
+    )
+    shingles = _shingles_expr(shingle_size)
+    hashed = F.transform(shingles, lambda s: F.xxhash64(s))
+    sh = F.array_distinct(shingles)
+    return tok_df.select(
+        F.col(id_col),
+        _sig_udf(num_perm, seed)(hashed).alias("signature"),
+        sh.alias("sh"),
+        F.size(sh).alias("n"),
+    )
 
 
 def lsh_candidate_pairs(
@@ -196,15 +232,20 @@ def minhash_dedup_pairs(
     self-join consumes them on both sides and the measured AQE plan does
     NOT reuse the exchange (the ArrowEval signature UDF shows up twice
     without the checkpoint; A/B at sf0.1 measured ~2× slower). The est path
-    additionally feeds the two agreement joins (4 consumers total)."""
-    sigs = minhash_signatures(df, text_col, id_col, shingle_size, num_perm)
-    sigs = sigs.localCheckpoint()
-    cands = lsh_candidate_pairs(sigs, id_col, num_bands, num_perm=num_perm)
+    additionally feeds the two agreement joins (4 consumers total).
+
+    The exact path builds signatures AND distinct shingle sets in one scan
+    behind ONE checkpoint (MinHash over the shingle multiset equals MinHash
+    over the set — duplicates never change a min — so both derive from the
+    same shingle pipeline; measured: saves a second checkpoint barrier and
+    a second corpus scan)."""
     if verify == "exact":
-        # checkpoint: the a-side and b-side joins both consume the shingle
-        # frame; without it the split+transform+array_distinct tree runs
-        # twice (same AQE no-reuse behavior as the signatures above)
-        sh = _shingle_sets(df, text_col, id_col, shingle_size).localCheckpoint()
+        base = _signatures_with_shingles(
+            df, text_col, id_col, shingle_size, num_perm
+        ).localCheckpoint()
+        sigs = base.select(id_col, "signature")
+        sh = base.select(id_col, "sh", "n")
+        cands = lsh_candidate_pairs(sigs, id_col, num_bands, num_perm=num_perm)
         joined = (
             cands.join(
                 sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"),
@@ -218,6 +259,9 @@ def minhash_dedup_pairs(
         return joined.select("a", "b", F.round(jac, 6).alias("jaccard")).filter(
             F.col("jaccard") >= threshold
         )
+    sigs = minhash_signatures(df, text_col, id_col, shingle_size, num_perm)
+    sigs = sigs.localCheckpoint()
+    cands = lsh_candidate_pairs(sigs, id_col, num_bands, num_perm=num_perm)
     sl = sigs.select(F.col(id_col).alias("a"), F.col("signature").alias("sig_a"))
     sr = sigs.select(F.col(id_col).alias("b"), F.col("signature").alias("sig_b"))
     joined = cands.join(sl, "a").join(sr, "b")
