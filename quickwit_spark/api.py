@@ -902,3 +902,218 @@ def delete_indexes(
             shutil.rmtree(indexes[name], ignore_errors=True)
             del indexes[name]
     return {"acknowledged": True}
+
+
+# ---------------------------------------------------------------------------
+# ES `_bulk` ingest surface (bulk_v2.rs semantics; es_compatibility/bulk/*)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_INDEX_ID_RE = _re.compile(r"^[a-zA-Z][a-zA-Z0-9\-_\.]{2,254}$")
+
+
+class BulkIndexRegistry:
+    """Metastore analog for the `_bulk` surface: ``index_id → DocMapping``
+    plus index templates (``index_id_patterns → DocMapping``) that
+    auto-create a matching index on first ingest
+    (index_template/mod.rs + bulk _setup: test-index-pattern-* template)."""
+
+    def __init__(self, indexes=None, templates=()):
+        self.indexes = dict(indexes or {})
+        self.templates = [(list(p), m) for p, m in templates]
+        self.auto_created: list[str] = []
+
+    def resolve(self, index_id: str):
+        import fnmatch
+
+        if index_id in self.indexes:
+            return self.indexes[index_id]
+        for patterns, mapping in self.templates:
+            if any(fnmatch.fnmatch(index_id, p) for p in patterns):
+                self.indexes[index_id] = mapping
+                self.auto_created.append(index_id)
+                return mapping
+        return None
+
+
+def _bulk_err(status: int, etype: str, reason: str) -> dict[str, Any]:
+    return {"status": status, "error": {"type": etype, "reason": reason}}
+
+
+def es_bulk(
+    spark,
+    registry: BulkIndexRegistry,
+    payload: str | list,
+    default_index: str | None = None,
+) -> tuple[dict[str, Any], dict[str, DataFrame]]:
+    """ES ``POST /_bulk`` (and ``/{index}/_bulk`` via ``default_index``):
+    returns ``(response, {index_id: parsed valid DataFrame})``.
+
+    Semantics follow the reference bulk_v2.rs:
+    - only ``index`` / ``create`` actions; anything else (or unparsable
+      JSON) → whole-request 400 ``Malformed action/metadata line [N]``
+    - an action with no doc line → 400 ``Validation Failed: 1: no requests
+      added;``; no resolvable index → 400 ``Validation Failed: 1: index is
+      missing;`` (the ``{index}/_bulk`` path segment is a DEFAULT, not a
+      constraint — per-action ``_index`` wins)
+    - invalid index ids (``^[a-zA-Z][a-zA-Z0-9-_.]{2,254}$``) → per-item 400
+    - unknown index with no matching template → per-item 404
+      ``no such index [id]``; a template match auto-creates the index
+    - docs run through each index's DocMapper as ONE Arrow batch job per
+      index (mapInPandas — the ingest path, not a driver loop); per-doc
+      parse failures → per-item 400 ``document_parsing_exception`` carrying
+      the mapper's error (field name included), successes → 201
+
+    The returned frames are this request's VALID rows per index, ready for
+    the caller's sink write (runner.publish)."""
+    from quickwit_spark.operators.docmapper import DocMapper
+
+    # -- split into (action, doc) pairs ------------------------------------
+    if isinstance(payload, str):
+        raw_lines = [ln for ln in payload.splitlines() if ln.strip()]
+        lines: list[Any] = []
+        for ln in raw_lines:
+            try:
+                lines.append(_json.loads(ln))
+            except Exception:
+                lines.append(ValueError(ln))
+    else:
+        lines = list(payload)
+
+    actions: list[dict[str, Any]] = []  # {index_id, es_doc_id, doc | item}
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if isinstance(line, ValueError) or not isinstance(line, dict) or len(line) != 1 or next(iter(line)) not in ("index", "create"):
+            return (
+                _bulk_err(
+                    400, "illegal_argument_exception",
+                    f"Malformed action/metadata line [{i + 1}]",
+                ),
+                {},
+            )
+        meta = line[next(iter(line))] or {}
+        if i + 1 >= len(lines):
+            return (
+                _bulk_err(
+                    400, "action_request_validation_exception",
+                    "Validation Failed: 1: no requests added;",
+                ),
+                {},
+            )
+        doc = lines[i + 1]
+        i += 2
+        index_id = meta.get("_index") or default_index
+        if not index_id:
+            return (
+                _bulk_err(
+                    400, "action_request_validation_exception",
+                    "Validation Failed: 1: index is missing;",
+                ),
+                {},
+            )
+        actions.append(
+            {
+                "index_id": index_id,
+                "es_doc_id": meta.get("_id"),
+                "doc": doc if isinstance(doc, str) else _json.dumps(doc),
+            }
+        )
+
+    items: list[dict[str, Any] | None] = [None] * len(actions)
+    errors = False
+    by_index: dict[str, list[int]] = {}
+    for pos, act in enumerate(actions):
+        iid = act["index_id"]
+        if not _INDEX_ID_RE.match(iid):
+            items[pos] = {
+                "index": {
+                    "_index": iid, "status": 400,
+                    "error": {
+                        "index": iid, "type": "illegal_argument_exception",
+                        "reason": f"invalid index id [{iid}]",
+                    },
+                    **({"_id": act["es_doc_id"]} if act["es_doc_id"] else {}),
+                }
+            }
+            errors = True
+            continue
+        if registry.resolve(iid) is None:
+            items[pos] = {
+                "index": {
+                    "_index": iid, "status": 404,
+                    "error": {
+                        "index": iid, "type": "index_not_found_exception",
+                        "reason": f"no such index [{iid}]",
+                    },
+                    **({"_id": act["es_doc_id"]} if act["es_doc_id"] else {}),
+                }
+            }
+            errors = True
+            continue
+        by_index.setdefault(iid, []).append(pos)
+
+    # -- one Arrow parse job per target index ------------------------------
+    frames: dict[str, DataFrame] = {}
+    for iid, positions in by_index.items():
+        mapper = DocMapper(registry.indexes[iid])
+        df = spark.createDataFrame(
+            [(p, actions[p]["doc"]) for p in positions], "pos long, value string"
+        )
+        parsed = _apply_docmapper_with_pos(mapper, df)
+        outcome_rows = parsed.select("_pos", "_error", "_error_category").collect()
+        bad_pos = set()
+        for r in outcome_rows:
+            pos = r._pos
+            if r._error_category and r._error_category != "valid":
+                bad_pos.add(pos)
+                items[pos] = {
+                    "index": {
+                        "_index": iid, "status": 400,
+                        "error": {
+                            "type": "document_parsing_exception",
+                            "reason": str(r._error),
+                        },
+                        **(
+                            {"_id": actions[pos]["es_doc_id"]}
+                            if actions[pos]["es_doc_id"]
+                            else {}
+                        ),
+                    }
+                }
+                errors = True
+            else:
+                items[pos] = {
+                    "index": {
+                        "_index": iid, "status": 201,
+                        **(
+                            {"_id": actions[pos]["es_doc_id"]}
+                            if actions[pos]["es_doc_id"]
+                            else {}
+                        ),
+                    }
+                }
+        frames[iid] = parsed.filter(F.col("_error_category") == "valid").drop("_pos")
+    return {"errors": errors, "items": [it for it in items if it is not None]}, frames
+
+
+def _apply_docmapper_with_pos(mapper, df: DataFrame) -> DataFrame:
+    """DocMapper.apply variant that carries a ``pos`` column through the
+    Arrow batch (parse_batch is row-aligned) so per-item bulk statuses can
+    be matched back without assuming partition order."""
+    from pyspark.sql import types as T
+    from quickwit_spark.operators.docmapper import _arrow_safe
+
+    schema = T.StructType(
+        list(mapper.schema.fields) + [T.StructField("_pos", T.LongType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = mapper.parse_batch(pdf["value"])
+            out = _arrow_safe(out, mapper.schema)
+            out["_pos"] = pdf["pos"].values
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
