@@ -267,12 +267,28 @@ def es_msearch(
     tables: dict[str, DataFrame],
     requests: list[tuple[str, dict[str, Any]]],
     field_types: dict[str, dict[str, str]] | None = None,
+    compilers: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
     """ES `_msearch`: a batch of (index, body) pairs → ``{"responses": [...]}``
     in request order (0025-msearch.yaml shape). Unknown indexes produce an
-    error entry instead of failing the whole batch, like ES."""
+    error entry instead of failing the whole batch, like ES. A header index
+    expression with commas/wildcards routes through the multi-index search
+    path (same selector grammar as ``{target}/_search``)."""
     responses = []
     for index, body in requests:
+        if any(c in index for c in ",*?"):
+            try:
+                responses.append(
+                    es_multi_search(
+                        tables, index, body,
+                        field_types=field_types, compilers=compilers,
+                    )
+                )
+            except IndexNotFoundError as e:
+                responses.append(
+                    {"error": {"type": "index_not_found_exception", "index": str(e.args[0])}}
+                )
+            continue
         df = tables.get(index)
         if df is None:
             responses.append(
@@ -280,7 +296,11 @@ def es_msearch(
             )
             continue
         responses.append(
-            es_search(df, body, field_types=(field_types or {}).get(index))
+            es_search(
+                df, body,
+                field_types=(field_types or {}).get(index),
+                compiler=(compilers or {}).get(index),
+            )
         )
     return {"responses": responses}
 

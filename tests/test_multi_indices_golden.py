@@ -265,3 +265,25 @@ class Test0003Aggs:
             },
         )
         assert "aggregations" not in res
+
+
+def test_msearch_with_pattern_header(indexes):
+    """_msearch header index expressions with wildcards route through the
+    multi-index selector (comma lists too); plain names keep the single-index
+    path; missing literals produce an error entry, not a batch failure."""
+    from quickwit_spark.api import es_msearch
+
+    tables, compilers = indexes
+    res = es_msearch(
+        tables,
+        [
+            ("gharchive-*", {"q": "*", "size": 0}),
+            ("gharchive-1,gharchive-2", {"q": "actor.login:fmassot OR actor.login:trinity", "size": 0}),
+            ("nope-index", {"q": "*"}),
+        ],
+        compilers=compilers,
+    )
+    r0, r1, r2 = res["responses"]
+    assert r0["hits"]["total"]["value"] == 4
+    assert r1["hits"]["total"]["value"] == 2  # one dynamic + one strict match
+    assert r2["error"]["type"] == "index_not_found_exception"
