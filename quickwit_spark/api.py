@@ -1137,3 +1137,29 @@ def _apply_docmapper_with_pos(mapper, df: DataFrame) -> DataFrame:
             yield out
 
     return df.mapInPandas(run, schema=schema)
+
+
+def create_index(
+    indexes: dict[str, Any], config: dict[str, Any]
+) -> dict[str, Any]:
+    """``POST /api/v1/indexes`` analog (index create bodies as in the
+    reference's rest-api-tests _setup files): validates the index id against
+    the reference identifier rule, parses ``doc_mapping`` via
+    :meth:`DocMapping.from_config`, validates tag-field types, and registers
+    the mapping. Raises ``ValueError`` on invalid ids/configs and on
+    duplicate ids (the reference's 400s)."""
+    from quickwit_spark.operators.docmapper import DocMapping, validate_tag_fields
+
+    index_id = config.get("index_id")
+    if not index_id or not _INDEX_ID_RE.match(index_id):
+        raise ValueError(f"invalid index id [{index_id}]")
+    if index_id in indexes:
+        raise ValueError(f"index [{index_id}] already exists")
+    mapping = DocMapping.from_config(config.get("doc_mapping", {}))
+    validate_tag_fields(mapping)
+    indexes[index_id] = mapping
+    return {
+        "index_id": index_id,
+        "index_uri": config.get("index_uri", f"ram:///{index_id}"),
+        "doc_mapping_fields": [f.name for f in mapping.field_mappings],
+    }

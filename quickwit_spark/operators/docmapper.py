@@ -85,6 +85,53 @@ class DocMapping:
     # like "k8s.pod.name" expands into nested objects instead of one flat key
     expand_dots: bool = False
 
+    @classmethod
+    def from_config(cls, cfg: dict) -> "DocMapping":
+        """Build from the reference's ``doc_mapping`` JSON/YAML shape (index
+        create bodies, default_doc_mapper config parsing): ``field_mappings``
+        entries with name/type/tokenizer/fields/concatenate_fields/
+        input_formats, plus mode, timestamp_field, tag_fields, store_source,
+        partition_key, max_num_partitions and dynamic_mapping.expand_dots.
+        Array types use the reference's ``array<T>`` spelling
+        (field_mapping_entry.rs type grammar)."""
+
+        def field(entry: dict) -> FieldMapping:
+            ftype = entry["type"]
+            multi = False
+            if ftype.startswith("array<") and ftype.endswith(">"):
+                ftype, multi = ftype[6:-1], True
+            kwargs: dict = {}
+            if "tokenizer" in entry:
+                kwargs["tokenizer"] = entry["tokenizer"]
+            if "coerce" in entry:
+                kwargs["coerce"] = bool(entry["coerce"])
+            if "input_formats" in entry:
+                kwargs["input_formats"] = tuple(entry["input_formats"])
+            if "input_format" in entry:
+                kwargs["input_format"] = entry["input_format"]
+            if "fast_precision" in entry:
+                kwargs["fast_precision"] = entry["fast_precision"]
+            if ftype == "object":
+                kwargs["fields"] = [field(e) for e in entry.get("field_mappings", [])]
+            if ftype == "concatenate":
+                kwargs["source_fields"] = tuple(entry.get("concatenate_fields", ()))
+                kwargs["include_dynamic_fields"] = bool(
+                    entry.get("include_dynamic_fields", True)
+                )
+            return FieldMapping(entry["name"], ftype, multi=multi, **kwargs)
+
+        dyn = cfg.get("dynamic_mapping") or {}
+        return cls(
+            field_mappings=[field(e) for e in cfg.get("field_mappings", [])],
+            mode=cfg.get("mode", "dynamic"),
+            timestamp_field=cfg.get("timestamp_field"),
+            partition_key=cfg.get("partition_key", ""),
+            max_num_partitions=int(cfg.get("max_num_partitions", 200)),
+            tag_fields=tuple(cfg.get("tag_fields", ())),
+            store_source=bool(cfg.get("store_source", False)),
+            expand_dots=bool(dyn.get("expand_dots", False)),
+        )
+
 
 _SPARK_TYPES = {
     "text": T.StringType(),

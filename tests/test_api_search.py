@@ -306,3 +306,41 @@ def test_field_caps_fields_selector(spark):
     caps_wild = field_caps(df, fields="nested.*")
     assert set(caps_wild["fields"]) == {"nested.response", "nested.name"}
     assert set(field_caps(df)["fields"]) >= {"id", "name", "host"}
+
+
+def test_create_index_registers_mapping():
+    from quickwit_spark.api import create_index
+    import pytest as _pt
+
+    registry = {}
+    res = create_index(
+        registry,
+        {
+            "version": "0.8",
+            "index_id": "test-index",
+            "doc_mapping": {
+                "field_mappings": [
+                    {"name": "message", "type": "text"},
+                    {"name": "timestamp", "type": "datetime"},
+                ]
+            },
+        },
+    )
+    assert res["index_id"] == "test-index"
+    assert "test-index" in registry
+    with _pt.raises(ValueError, match="already exists"):
+        create_index(registry, {"index_id": "test-index", "doc_mapping": {}})
+    with _pt.raises(ValueError, match="invalid index id"):
+        create_index(registry, {"index_id": "-bad&name", "doc_mapping": {}})
+    with _pt.raises(ValueError):
+        # tag fields must be raw-text/u64/i64 (validate_tag parity)
+        create_index(
+            registry,
+            {
+                "index_id": "tagged-index",
+                "doc_mapping": {
+                    "tag_fields": ["f"],
+                    "field_mappings": [{"name": "f", "type": "f64"}],
+                },
+            },
+        )

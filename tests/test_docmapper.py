@@ -229,3 +229,49 @@ def test_tag_fields_allowed_types_golden():
         DocMapper(
             DocMapping(field_mappings=[FieldMapping("a", "u64")], tag_fields=(".a",))
         )
+
+
+def test_doc_mapping_from_config_reference_shape():
+    """DocMapping.from_config parses the reference's index-create
+    `doc_mapping` JSON (concat_fields/_setup.quickwit.yaml + multi-indices
+    setup shapes) — field types incl. array<T>, object nesting, concatenate
+    sources, dynamic_mapping.expand_dots."""
+    from quickwit_spark.operators.docmapper import DocMapping
+
+    cfg = {
+        "mode": "dynamic",
+        "timestamp_field": "created_at",
+        "store_source": True,
+        "tag_fields": ["tenant"],
+        "field_mappings": [
+            {"name": "created_at", "type": "datetime", "fast": True},
+            {"name": "text1", "type": "text", "tokenizer": "default"},
+            {"name": "vals", "type": "array<u64>"},
+            {
+                "name": "actor",
+                "type": "object",
+                "field_mappings": [
+                    {"name": "id", "type": "u64"},
+                    {"name": "login", "type": "text"},
+                ],
+            },
+            {
+                "name": "concat_raw",
+                "type": "concatenate",
+                "concatenate_fields": ["text1"],
+                "tokenizer": "raw",
+                "include_dynamic_fields": True,
+            },
+        ],
+        "dynamic_mapping": {"tokenizer": "default", "expand_dots": True},
+    }
+    m = DocMapping.from_config(cfg)
+    assert m.mode == "dynamic" and m.timestamp_field == "created_at"
+    assert m.store_source is True and m.tag_fields == ("tenant",)
+    assert m.expand_dots is True
+    by_name = {f.name: f for f in m.field_mappings}
+    assert by_name["vals"].type == "u64" and by_name["vals"].multi is True
+    assert [f.name for f in by_name["actor"].fields] == ["id", "login"]
+    assert by_name["concat_raw"].source_fields == ("text1",)
+    assert by_name["concat_raw"].tokenizer == "raw"
+    assert by_name["text1"].tokenizer == "default"
