@@ -93,24 +93,37 @@ def main() -> None:
         return time.time() - t0
 
     probe_best = min(probe() for _ in range(3))
+    # interference windows run for MINUTES; six back-to-back samples can all
+    # land inside one. When the probe says the window is hot and the query is
+    # expensive enough to matter, wait it out — bounded by a global budget so
+    # total runtime stays predictable.
+    hot_sleep_budget = 120.0
 
     for name in HEADLINE:
         fn = qs[name]
         samples: list[float] = []
         clean_flags: list[bool] = []
-        for i in range(6):
+        slept = False
+        i = 0
+        while i < (8 if slept else 6):
             t0 = time.time()
             df = fn(spark, SF_DIR)
             df.count()
             samples.append(time.time() - t0)
             p = probe()
             probe_best = min(probe_best, p)
-            clean_flags.append(p <= probe_best * 1.5)
+            hot = p > probe_best * 1.5
+            clean_flags.append(not hot)
             if i >= 1:
                 lo = sorted(range(len(samples)), key=samples.__getitem__)[:2]
                 agree = samples[lo[1]] <= samples[lo[0]] * 1.4
                 if agree and clean_flags[lo[0]]:
                     break
+            if hot and min(samples) > 0.8 and hot_sleep_budget >= 20.0:
+                time.sleep(20.0)
+                hot_sleep_budget -= 20.0
+                slept = True
+            i += 1
         timings[name] = round(min(samples), 3)
 
     # transcripts pipeline end-to-end (no sink write: DAG + per-sink aggregate)
@@ -141,8 +154,25 @@ def main() -> None:
 
     pipeline_pass()  # warm pass (page cache, codegen, python workers)
     # this host has bursty multi-second interference windows (external load
-    # with ~0 local steal%); min over 6 fresh-plan passes rides them out
-    pipe_sec = min(pipeline_pass() for _ in range(6))
+    # with ~0 local steal%); min over 6 fresh-plan passes rides them out,
+    # with the same bounded hot-window wait as the query loop
+    pipe_samples: list[float] = []
+    slept = False
+    i = 0
+    while i < (8 if slept else 6):
+        pipe_samples.append(pipeline_pass())
+        p = probe()
+        probe_best = min(probe_best, p)
+        if (
+            p > probe_best * 1.5
+            and min(pipe_samples) > 0.8
+            and hot_sleep_budget >= 20.0
+        ):
+            time.sleep(20.0)
+            hot_sleep_budget -= 20.0
+            slept = True
+        i += 1
+    pipe_sec = min(pipe_samples)
     timings["pipeline_e2e"] = round(pipe_sec, 3)
 
     total = round(sum(timings.values()), 3)

@@ -1163,3 +1163,51 @@ def create_index(
         "index_uri": config.get("index_uri", f"ram:///{index_id}"),
         "doc_mapping_fields": [f.name for f in mapping.field_mappings],
     }
+
+
+def analyze_text(
+    spark, text: str, tokenizer: str = "default", **tok_kwargs
+) -> list[dict[str, Any]]:
+    """``POST /api/v1/analyze`` analog (index_api/rest_handler.rs
+    analyze_request → doc_mapper analyze_text): tokenize ``text`` with a
+    named tokenizer and return tantivy-Token-shaped dicts
+    (text/position/offset_from/offset_to/position_length).
+
+    Runs the SAME Column tokenizer used at indexing time over a one-row
+    frame — the debug endpoint can never diverge from the ingest path.
+    Offsets are reconstructed by a sequential case-insensitive scan of the
+    original text (exact for the sequential tokenizers; best-effort for
+    overlapping ngram output)."""
+    from quickwit_spark.functions.tokenizers import TOKENIZERS
+
+    if tokenizer not in TOKENIZERS:
+        raise ValueError(
+            f"unknown tokenizer {tokenizer!r}; available: {sorted(TOKENIZERS)}"
+        )
+    fn = TOKENIZERS[tokenizer]
+    df = spark.createDataFrame([(text,)], "t string")
+    col = fn(F.col("t"), **tok_kwargs) if tok_kwargs else fn(F.col("t"))
+    tokens = df.select(col.alias("tokens")).first().tokens or []
+
+    out = []
+    hay = text.casefold()
+    cursor = 0
+    for pos, tok in enumerate(tokens):
+        needle = str(tok).casefold()
+        at = hay.find(needle, cursor)
+        if at < 0:  # overlapping tokenizers (ngram) rewind
+            at = hay.find(needle)
+        start = at if at >= 0 else 0
+        end = start + len(tok)
+        if at >= 0:
+            cursor = max(cursor, start + 1)
+        out.append(
+            {
+                "text": str(tok),
+                "position": pos,
+                "offset_from": start,
+                "offset_to": end,
+                "position_length": 1,
+            }
+        )
+    return out

@@ -344,3 +344,20 @@ def test_create_index_registers_mapping():
                 },
             },
         )
+
+
+def test_analyze_text_endpoint(spark):
+    """/api/v1/analyze analog: tantivy-Token-shaped output from the same
+    Column tokenizers the ingest path uses."""
+    from quickwit_spark.api import analyze_text
+    import pytest as _pt
+
+    toks = analyze_text(spark, "Hello, World! Bonjour", tokenizer="default")
+    assert [t["text"] for t in toks] == ["hello", "world", "bonjour"]
+    assert [t["position"] for t in toks] == [0, 1, 2]
+    assert toks[0]["offset_from"] == 0 and toks[0]["offset_to"] == 5
+    assert toks[1]["offset_from"] == 7 and toks[1]["offset_to"] == 12
+    raw = analyze_text(spark, "Keep AS-IS", tokenizer="raw")
+    assert [t["text"] for t in raw] == ["Keep AS-IS"]
+    with _pt.raises(ValueError, match="unknown tokenizer"):
+        analyze_text(spark, "x", tokenizer="nope")
