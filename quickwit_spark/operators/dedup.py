@@ -433,8 +433,17 @@ def simhash_near_dup_pairs(
     is exact content dedup with SimHash doing the bucketing.
 
     Signatures are materialized once (localCheckpoint) — both sides of the
-    chunk join would otherwise recompute the SimHash UDF."""
-    sh = df.select(F.col(id_col), simhash_col(text_col).alias("sim")).localCheckpoint()
+    chunk join would otherwise recompute the SimHash UDF. With
+    ``verify_exact`` the sorted token multiset rides in the SAME checkpointed
+    frame (one corpus scan, one write barrier — the a/b verify joins would
+    otherwise re-split the text twice; same shape as the minhash exact
+    tier)."""
+    base_cols = [F.col(id_col), simhash_col(text_col).alias("sim")]
+    if verify_exact:
+        base_cols.append(
+            F.array_sort(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_ms")
+        )
+    sh = df.select(*base_cols).localCheckpoint()
     chunks = sh.select(
         id_col,
         "sim",
@@ -471,10 +480,7 @@ def simhash_near_dup_pairs(
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     out = pairs.select("a", "b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)
     if verify_exact:
-        norm = df.select(
-            F.col(id_col),
-            F.array_sort(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_ms"),
-        )
+        norm = sh.select(F.col(id_col), F.col("_ms"))
         out = (
             out.join(norm.select(F.col(id_col).alias("a"), F.col("_ms").alias("ms_a")), "a")
             .join(norm.select(F.col(id_col).alias("b"), F.col("_ms").alias("ms_b")), "b")
