@@ -93,14 +93,114 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + dib + b"".join(rows)
 
 
+def _decode_png(b: bytes) -> np.ndarray:
+    """Pure-Python PNG decode (stdlib zlib + scanline-filter reconstruction)
+    for non-interlaced 8-bit RGB/RGBA/gray — no imaging library. The five
+    PNG filters (None/Sub/Up/Average/Paeth) are undone per scanline; alpha
+    drops, gray broadcasts → HxWx3 uint8 RGB."""
+    import zlib
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG signature")
+    pos, w = 8, 0
+    h = bit_depth = color_type = interlace = 0
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if ctype == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type, interlace = data[8], data[9], data[12]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 4, 6):
+        raise NotImplementedError(
+            f"PNG variant unsupported (depth={bit_depth}, color={color_type}, "
+            f"interlace={interlace})"
+        )
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:  # Up
+            rec = (line + prev) & 0xFF
+        else:  # Sub/Average/Paeth need the running left pixel — per-pixel
+            rec = np.empty(stride, dtype=np.int32)
+            pv = prev.astype(np.int32)
+            for i in range(stride):
+                a = rec[i - nch] if i >= nch else 0
+                bb = pv[i]
+                if ftype == 1:
+                    rec[i] = (line[i] + a) & 0xFF
+                elif ftype == 3:
+                    rec[i] = (line[i] + ((a + bb) >> 1)) & 0xFF
+                elif ftype == 4:
+                    cc = pv[i - nch] if i >= nch else 0
+                    p = a + bb - cc
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else cc)
+                    rec[i] = (line[i] + pred) & 0xFF
+                else:
+                    raise NotImplementedError(f"PNG filter {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = out[y]
+    img = out.reshape(h, w, nch)
+    if color_type == 0:
+        return np.repeat(img, 3, axis=2)
+    if color_type == 2:
+        return img
+    if color_type == 4:
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3]  # RGBA → RGB
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG encoder (filter 0, one IDAT; round-trip-tested against
+    :func:`_decode_png`). ``img``: HxWx3 uint8."""
+    import struct
+    import zlib
+
+    h, w, _ = img.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image_batch(payloads: pd.Series, deterministic_fake: bool = False) -> list[np.ndarray]:
     """Decode a batch of encoded image bytes → HxWx3 uint8 arrays.
 
-    BMP payloads (magic ``BM``) decode for REAL via the pure-numpy parser —
-    no imaging library needed. Other formats (PNG/JPEG) need Pillow/opencv
-    (not in this container): with ``deterministic_fake=True`` a seeded,
-    content-derived fake is produced so the plumbing still exercises
-    end-to-end; otherwise they raise.
+    BMP (magic ``BM``) and PNG (8-bit non-interlaced) payloads decode for
+    REAL via the pure-Python parsers — no imaging library needed. Remaining
+    formats (JPEG/WebP) need Pillow/opencv (not in this container): with
+    ``deterministic_fake=True`` a seeded, content-derived fake is produced
+    so the plumbing still exercises end-to-end; otherwise they raise.
     """
     out = []
     for p in payloads:
@@ -111,9 +211,12 @@ def decode_image_batch(payloads: pd.Series, deterministic_fake: bool = False) ->
         if b[:2] == b"BM":
             out.append(_decode_bmp(b))
             continue
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            out.append(_decode_png(b))
+            continue
         if not deterministic_fake:
             raise NotImplementedError(
-                "only BMP decodes without Pillow/opencv — pass "
+                "only BMP and PNG decode without Pillow/opencv — pass "
                 "deterministic_fake=True for plumbing tests of other formats"
             )
         digest = hashlib.sha256(b).digest()

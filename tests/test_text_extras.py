@@ -170,3 +170,77 @@ class TestDedupParagraphs:
         )
         r = dedup_paragraphs(df).first()
         assert (r.n_paras, r.n_kept, r.kept_text) == (3, 2, "x\ny")
+
+
+class TestPngCodec:
+    """Pure-Python PNG decode (stdlib zlib + all five scanline filters)."""
+
+    def _filtered_png(self, img, filters):
+        """Hand-encode `img` (HxWx3 uint8) using a chosen filter per row —
+        exercises the decoder's filter reconstruction beyond the filter-0
+        path encode_png emits."""
+        import struct
+        import zlib
+
+        h, w, _ = img.shape
+        nch = 3
+        raw = bytearray()
+        prev = np.zeros(w * nch, dtype=np.int32)
+        for y in range(h):
+            line = img[y].reshape(-1).astype(np.int32)
+            f = filters[y % len(filters)]
+            raw.append(f)
+            for i in range(w * nch):
+                a = int(line[i - nch]) if i >= nch else 0
+                b = int(prev[i])
+                c = int(prev[i - nch]) if i >= nch else 0
+                if f == 0:
+                    v = line[i]
+                elif f == 1:
+                    v = line[i] - a
+                elif f == 2:
+                    v = line[i] - b
+                elif f == 3:
+                    v = line[i] - ((a + b) >> 1)
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = line[i] - pred
+                raw.append(v & 0xFF)
+            prev = line
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+        )
+
+    def test_round_trip_filter0(self):
+        from quickwit_spark.operators.multimodal import _decode_png, encode_png
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+        assert np.array_equal(_decode_png(encode_png(img)), img)
+
+    def test_all_five_filters_reconstruct(self):
+        from quickwit_spark.operators.multimodal import _decode_png
+
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 256, size=(10, 6, 3), dtype=np.uint8)
+        png = self._filtered_png(img, filters=[0, 1, 2, 3, 4])
+        assert np.array_equal(_decode_png(png), img)
+
+    def test_decode_image_batch_takes_png(self, spark):
+        import pandas as pd
+        from quickwit_spark.operators.multimodal import decode_image_batch, encode_png
+
+        img = np.full((4, 4, 3), 99, dtype=np.uint8)
+        out = decode_image_batch(pd.Series([encode_png(img)]))
+        assert np.array_equal(out[0], img)
