@@ -259,7 +259,26 @@ def es_search(
     }
     aggs = body.get("aggs") or body.get("aggregations")
     if aggs:
-        out["aggregations"] = run_es_aggs(filtered, aggs)
+        # dynamic-capture fields (mode=dynamic indexes) have no native
+        # column: materialize them via the compiler's JSON extraction so
+        # aggs on `actor.login`-style dynamic paths work like the reference
+        # (dynamic fast fields are aggregatable)
+        fields: list[str] = []
+        _collect_agg_fields(aggs, fields)
+        dyn_fields = [
+            f for f in fields
+            if not _resolvable(filtered, f)
+            and getattr(compiler, "dynamic_col", None)
+            and compiler.dynamic_col in filtered.columns
+        ]
+        if dyn_fields:
+            safe = {f: f"__aggf_{i}" for i, f in enumerate(dyn_fields)}
+            agg_df = filtered
+            for f, s in safe.items():
+                agg_df = agg_df.withColumn(s, compiler._dynamic_value(f))
+            out["aggregations"] = run_es_aggs(agg_df, _rewrite_agg_fields(aggs, safe))
+        else:
+            out["aggregations"] = run_es_aggs(filtered, aggs)
     return out
 
 

@@ -287,3 +287,25 @@ def test_msearch_with_pattern_header(indexes):
     assert r0["hits"]["total"]["value"] == 4
     assert r1["hits"]["total"]["value"] == 2  # one dynamic + one strict match
     assert r2["error"]["type"] == "index_not_found_exception"
+
+
+def test_single_dynamic_index_aggs(indexes):
+    """Aggs over a dynamic-capture field on a SINGLE mode=dynamic index:
+    the compiler's JSON extraction materializes the column (dynamic fast
+    fields are aggregatable in the reference)."""
+    from quickwit_spark.api import es_search
+
+    tables, compilers = indexes
+    res = es_search(
+        tables["gharchive-1"],
+        {
+            "size": 0,
+            "aggs": {"logins": {"terms": {"field": "actor.login", "order": {"_key": "asc"}}}},
+        },
+        compiler=compilers["gharchive-1"],
+    )
+    buckets = res["aggregations"]["logins"]["buckets"]
+    assert [(b["key"], b["doc_count"]) for b in buckets] == [
+        ("fmassot", 1),
+        ("fulmicoton", 1),
+    ]
