@@ -200,9 +200,29 @@ def es_search(
     hits: list[dict[str, Any]] = []
     if size > 0:
         if sort_fields:
+            # dynamic-capture sort fields (mode=dynamic) have no native
+            # column: materialize via JSON extraction cast to the numeric
+            # fast value (non-numeric → NULL → missing-last), mirroring
+            # es_multi_search's per-index sort materialization
+            dyn_sorts = [
+                (i, f)
+                for i, (f, _) in enumerate(sort_fields)
+                if not _resolvable(filtered, f)
+                and getattr(compiler, "dynamic_col", None)
+                and compiler.dynamic_col in filtered.columns
+            ]
+            if dyn_sorts:
+                for i, f in dyn_sorts:
+                    filtered = filtered.withColumn(
+                        f"__dsort_{i}", compiler._dynamic_value(f).cast("double")
+                    )
+                sort_fields = [
+                    (f"__dsort_{i}" if any(j == i for j, _ in dyn_sorts) else f, d)
+                    for i, (f, d) in enumerate(sort_fields)
+                ]
             if body.get("search_after") is not None:
                 cursor = {
-                    f: _coerce_cursor(df, f, v)
+                    f: _coerce_cursor(filtered, f, v)
                     for (f, _), v in zip(sort_fields, body["search_after"])
                 }
                 page = search_after(filtered, sort_fields, cursor, size)
@@ -232,6 +252,7 @@ def es_search(
             src = r.asDict(recursive=True)
             for i in range(len(sort_fields)):
                 src.pop(f"__sort_{i}", None)
+                src.pop(f"__dsort_{i}", None)
             if has_stored_source and isinstance(src.get("_source"), str):
                 # docmapper output: `_source` holds the ORIGINAL doc — ES
                 # returns exactly that, which also keeps metadata columns

@@ -309,3 +309,21 @@ def test_single_dynamic_index_aggs(indexes):
         ("fmassot", 1),
         ("fulmicoton", 1),
     ]
+
+
+def test_single_dynamic_index_sort(indexes):
+    """Sort on a dynamic-capture numeric field (actor.id) on a single
+    mode=dynamic index: materialized via JSON extraction (numeric fast
+    value), hidden columns never leak into _source."""
+    from quickwit_spark.api import es_search
+
+    tables, compilers = indexes
+    res = es_search(
+        tables["gharchive-1"],
+        {"size": 2, "sort": [{"actor.id": {"order": "desc"}}]},
+        compiler=compilers["gharchive-1"],
+    )
+    hits = res["hits"]["hits"]
+    assert [h["_source"]["actor"]["login"] for h in hits] == ["fulmicoton", "fmassot"]
+    assert not any(k.startswith("__dsort") for k in hits[0]["_source"])
+    assert hits[0]["sort"] == [2.0]
