@@ -528,6 +528,15 @@ def _q_dedup_paragraphs(spark, sf_dir):
     return D.dedup_paragraphs(docs.select("doc_id", paras.alias("paras")))
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Train/test decontamination: every 50th doc acts as the benchmark set;
+    flag corpus docs sharing any word 5-gram with it (the 13-gram rule at a
+    gram size that exists in the ~30-word synthetic docs)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return D.decontaminate(docs, bench, n=5)
+
+
 def _q_text_repetition(spark, sf_dir):
     """Gopher-style repetition filters: dup-word / top-word / top-bigram
     fractions — pure Column ops (single narrow map, no shuffle)."""
@@ -818,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-backed overflow (see note above; gapfill/range_ts/pii/url
         # semantics are each also covered by in-window entries or pytest)
         "dedup_paragraphs": _q_dedup_paragraphs,
+        "decontaminate": _q_decontaminate,
         "text_pii": _q_text_pii,
         "text_url_domains": _q_text_url_domains,
         "agg_date_histogram_gapfill": _q_agg_date_histogram_gapfill,
@@ -1174,6 +1184,24 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
                                        chr(10) ORDER BY pos), '') AS kept_text
             FROM r GROUP BY doc_id
+        """,
+        "decontaminate": r"""
+            WITH d AS (
+              SELECT doc_id, str_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, greatest(len(t) - 4, 1)),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])
+                     )) AS gram
+              FROM d
+            ), bg AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0
+            )
+            SELECT g.doc_id, count(DISTINCT g.gram) AS n_contaminated
+            FROM g JOIN bg USING (gram)
+            GROUP BY g.doc_id
         """,
         "text_repetition": r"""
             WITH t AS (

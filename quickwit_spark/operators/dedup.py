@@ -633,3 +633,49 @@ def dedup_paragraphs(
             ).alias("kept_text"),
         )
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Train/test decontamination: find training documents that share any
+    word ``n``-gram with a benchmark/eval set (the standard 13-gram overlap
+    rule used to scrub eval contamination from web corpora). Returns
+    (id, n_contaminated) for CONTAMINATED docs only — n_contaminated is the
+    number of distinct benchmark n-grams the doc contains.
+
+    Scale shape: the benchmark's distinct n-gram hashes are the BROADCAST
+    side (eval sets are tiny next to the corpus); the corpus explodes its
+    n-gram hashes in a narrow map and broadcast-joins — the 10^12-doc side
+    is never shuffled; only matched (doc, gram) rows reach the final
+    per-doc count, whose partial aggregation happens map-side.
+    """
+    bench_toks = benchmark.select(
+        F.split(F.lower(F.col(bench_text_col or text_col)), r"\s+").alias("_toks")
+    )
+    bench_grams = (
+        bench_toks.select(
+            F.explode(
+                F.transform(_shingles_expr(n), lambda s: F.xxhash64(s))
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(_shingles_expr(n), lambda s: F.xxhash64(s))
+        ).alias("gram"),
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.countDistinct("gram").alias("n_contaminated"))
+    )

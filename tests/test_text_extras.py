@@ -244,3 +244,36 @@ class TestPngCodec:
         img = np.full((4, 4, 3), 99, dtype=np.uint8)
         out = decode_image_batch(pd.Series([encode_png(img)]))
         assert np.array_equal(out[0], img)
+
+
+class TestDecontaminate:
+    def test_flags_ngram_overlap(self, spark):
+        from quickwit_spark.operators.dedup import decontaminate
+
+        docs = spark.createDataFrame(
+            [
+                (0, "the quick brown fox jumps over the lazy dog"),
+                (1, "a totally different sentence with no overlap here at all"),
+                (2, "we saw the quick brown fox jumps again yesterday evening"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "quick brown fox jumps over cliffs")], "doc_id long, text string"
+        )
+        rows = {r.doc_id: r.n_contaminated for r in decontaminate(docs, bench, n=5).collect()}
+        # doc 0 contains 'quick brown fox jumps over' (1 benchmark 5-gram);
+        # doc 2 shares only 4-gram runs; doc 1 shares nothing
+        assert rows == {0: 1}
+
+    def test_benchmark_side_is_broadcast(self, spark):
+        from quickwit_spark.operators.dedup import decontaminate
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4} w{i+5}") for i in range(30)],
+            "doc_id long, text string",
+        )
+        bench = docs.filter(F.col("doc_id") < 2)
+        plan = decontaminate(docs, bench, n=5)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
