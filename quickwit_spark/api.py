@@ -673,11 +673,11 @@ def es_multi_scroll(
 # ---------------------------------------------------------------------------
 
 
-def _query_time_bounds(body: dict[str, Any], compiler: QueryCompiler, ts_field: str):
-    """Intersected ts bounds across everything the request REQUIRES: the
+def _required_query_ast(body: dict[str, Any], compiler: QueryCompiler):
+    """One Bool(must=...) over everything the request REQUIRES: the
     `q`/`query` clause plus every `extra_filters` conjunct (they are ANDed
-    onto the query, so each may tighten the bounds)."""
-    from quickwit_spark.operators.query import Bool, extract_time_bounds
+    onto the query, so each may tighten pruning)."""
+    from quickwit_spark.operators.query import Bool
 
     asts = []
     if body.get("q"):
@@ -688,7 +688,13 @@ def _query_time_bounds(body: dict[str, Any], compiler: QueryCompiler, ts_field: 
     if extra:
         parts = extra.split(",") if isinstance(extra, str) else list(extra)
         asts.extend(compiler.parse(q) for q in parts)
-    return extract_time_bounds(Bool(must=asts), ts_field)
+    return Bool(must=asts)
+
+
+def _query_time_bounds(body: dict[str, Any], compiler: QueryCompiler, ts_field: str):
+    from quickwit_spark.operators.query import extract_time_bounds
+
+    return extract_time_bounds(_required_query_ast(body, compiler), ts_field)
 
 
 def search_index(
@@ -722,15 +728,30 @@ def pruned_index_df(
 ):
     """(pruned DataFrame, surviving commit ids) for a `_search` body — the
     split-pruning half of :func:`search_index`, separable for tests and for
-    callers that run their own plans over the pruned read."""
+    callers that run their own plans over the pruned read.
+
+    Both metadata pruning axes run, exactly as the reference root search
+    does before touching any split (root.rs list_relevant_splits): query →
+    ts bounds → :func:`prune_splits_by_time`, and query → TagFilter →
+    :func:`prune_splits_by_tag_filter` (tag_pruning.rs); the surviving set
+    is the intersection."""
+    from quickwit_spark.operators.query import extract_tag_filter
     from quickwit_spark.pipeline.janitor import (
+        prune_splits_by_tag_filter,
         prune_splits_by_time,
         read_index_commits,
     )
 
     compiler = QueryCompiler(field_types, default_fields=default_fields)
-    lo, hi, _lo_inc, hi_inc = _query_time_bounds(body, compiler, ts_field)
+    ast = _required_query_ast(body, compiler)
+    from quickwit_spark.operators.query import extract_time_bounds
+
+    lo, hi, _lo_inc, hi_inc = extract_time_bounds(ast, ts_field)
     commits = prune_splits_by_time(spark, out_dir, lo, hi, end_inclusive=hi_inc)
+    tag_filt = extract_tag_filter(ast)
+    if tag_filt is not None:
+        tag_commits = set(prune_splits_by_tag_filter(spark, out_dir, tag_filt))
+        commits = [c for c in commits if c in tag_commits]
     return read_index_commits(spark, out_dir, commits), commits
 
 

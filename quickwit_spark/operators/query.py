@@ -950,3 +950,151 @@ def extract_time_bounds(ast: QueryAst, ts_field: str):
         return (None, None, True, True)
 
     return walk(ast)
+
+
+# ---------------------------------------------------------------------------
+# Tag-filter extraction for split pruning
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TagFilter:
+    """Predicate over a split's tag set (tag_pruning.rs:165 TagFilterAst —
+    behavior studied, not code): ``op`` ∈ {"and", "or", "tag"}. For a leaf,
+    ``tag`` is either ``{field}!`` (meaning: the split records ``field`` in
+    its tag_fields) or ``{field}:{value}``; ``is_present=False`` tests
+    absence. If the predicate evaluates false over a split's tags, NO doc in
+    that split can match the query."""
+
+    op: str
+    children: tuple = ()
+    tag: str = ""
+    is_present: bool = True
+
+    def __str__(self) -> str:
+        # mirrors the reference's Display (tag_pruning.rs:175-212) so golden
+        # strings compare verbatim
+        if self.op == "tag":
+            return ("" if self.is_present else "¬") + self.tag
+        if not self.children:
+            return ""
+        if len(self.children) == 1:
+            return str(self.children[0])
+        sep = " ∨ " if self.op == "or" else " ∧ "
+        body = sep.join(str(c) for c in self.children)
+        return f"({body})" if self.op == "or" else body
+
+
+_UNINFORMATIVE = ("uninformative",)
+
+
+def _tag_walk(node) -> tuple:
+    """Query AST → unsimplified tag AST (tag_pruning.rs:41-118 semantics).
+    Nodes: ("and"|"or", [children]) | ("tag", is_present, field, value) |
+    _UNINFORMATIVE. FullText/Phrase/PhrasePrefix/Wildcard keep the
+    reference's bug-compatible untokenized value; Range/Regex/Exists are
+    uninformative."""
+    if isinstance(node, Bool):
+        clause: list[tuple[str, tuple]] = []
+        for occur, children in (
+            ("must", node.must),
+            ("must", node.filter),
+            ("should", node.should),
+            ("must_not", node.must_not),
+        ):
+            for child in children:
+                clause.append((occur, _tag_walk(child)))
+        # collect_tag_filters_for_clause (tag_pruning.rs:310-339): with any
+        # MUST present, shoulds are dropped and must_nots negated into the
+        # AND; otherwise everything is OR-ed (must_nots negated).
+        if not clause:
+            return _UNINFORMATIVE
+        if any(occ == "must" for occ, _ in clause):
+            return (
+                "and",
+                [
+                    _tag_negate(ast) if occ == "must_not" else ast
+                    for occ, ast in clause
+                    if occ != "should"
+                ],
+            )
+        return ("or", [_tag_negate(a) if occ == "must_not" else a for occ, a in clause])
+    if isinstance(node, Term):
+        return ("tag", True, node.field, node.value)
+    if isinstance(node, TermSet):
+        return ("or", [("tag", True, node.field, v) for v in node.values])
+    if isinstance(node, FullText):
+        return ("tag", True, node.field, node.text)
+    if isinstance(node, Phrase):
+        return ("tag", True, node.field, node.text)
+    if isinstance(node, PhrasePrefix):
+        return ("tag", True, node.field, node.text)
+    if isinstance(node, Wildcard):
+        return ("tag", True, node.field, node.pattern)
+    # MatchAll/MatchNone/Range/Regex/Exists: true-or-false regardless of tags
+    return _UNINFORMATIVE
+
+
+def _tag_negate(ast: tuple) -> tuple:
+    """De Morgan push-down (tag_pruning.rs:349-368)."""
+    if ast is _UNINFORMATIVE:
+        return _UNINFORMATIVE
+    op = ast[0]
+    if op == "and":
+        return ("or", [_tag_negate(c) for c in ast[1]])
+    if op == "or":
+        return ("and", [_tag_negate(c) for c in ast[1]])
+    return ("tag", not ast[1], ast[2], ast[3])
+
+
+def _tag_simplify(ast: tuple):
+    """Drop uninformative leaves; None means True (tag_pruning.rs:234-276).
+    Negative tags can never prune (a split's tag set is not exhaustive for
+    absent docs), so they simplify to True."""
+    if ast is _UNINFORMATIVE:
+        return None
+    op = ast[0]
+    if op == "and":
+        kept = [s for s in (_tag_simplify(c) for c in ast[1]) if s is not None]
+        if not kept:
+            return None
+        return kept[0] if len(kept) == 1 else ("and", kept)
+    if op == "or":
+        kept = []
+        for c in ast[1]:
+            s = _tag_simplify(c)
+            if s is None:  # True short-circuits the whole OR
+                return None
+            kept.append(s)
+        if not kept:
+            return None
+        return kept[0] if len(kept) == 1 else ("or", kept)
+    _, is_present, f, v = ast
+    return ("term", f, v) if is_present else None
+
+
+def _tag_expand(ast: tuple) -> TagFilter:
+    """Term(field, value) → (¬field! ∨ field:value) (tag_pruning.rs:288-308):
+    a split that does NOT list ``field`` as a tag field is never prunable on
+    it."""
+    op = ast[0]
+    if op in ("and", "or"):
+        return TagFilter(op, tuple(_tag_expand(c) for c in ast[1]))
+    _, f, v = ast
+    return TagFilter(
+        "or",
+        (
+            TagFilter("tag", tag=f"{f}!", is_present=False),
+            TagFilter("tag", tag=f"{f}:{v}"),
+        ),
+    )
+
+
+def extract_tag_filter(ast: QueryAst) -> TagFilter | None:
+    """Query AST → tag-set predicate for split pruning, or None when the
+    query implies no tag constraint (tag_pruning.rs:35 —
+    extract_tags_from_query). Conservative by construction: should/must_not
+    and untaggable node kinds contribute True, so evaluating the result over
+    a split's tags can only over-include splits, never drop a match."""
+    simplified = _tag_simplify(_tag_walk(ast))
+    return None if simplified is None else _tag_expand(simplified)

@@ -658,3 +658,74 @@ def prune_splits_by_time(
     cond = F.coalesce(cond, F.lit(True))
     rows = lineage.filter(cond).select("commit_id").distinct().collect()
     return [r["commit_id"] for r in rows]
+
+
+def _tag_filter_col(filt, lineage: DataFrame):
+    """Compile a query-derived :class:`TagFilter` into a Column over one
+    lineage row (TagFilterAst::evaluate, tag_pruning.rs:216-226 — behavior).
+
+    Leaf semantics against the ``tags_<field>`` arrays:
+    - ``field!`` present ⇔ the split recorded tags for ``field`` (column
+      exists and is non-null). A missing column means the index never tagged
+      that field → ``¬field!`` is True → the split is kept.
+    - ``field:value`` present ⇔ value ∈ the recorded set — OR the set
+      overflowed the 64-value cap (then the split may contain anything, so a
+      positive test must conservatively pass).
+    """
+    schema = {f.name: f.dataType for f in lineage.schema.fields}
+
+    def leaf(tag: str, is_present: bool):
+        if tag.endswith("!") and ":" not in tag:
+            fcol = f"tags_{tag[:-1]}"
+            present = (
+                F.col(fcol).isNotNull() if fcol in schema else F.lit(False)
+            )
+            return present if is_present else ~present
+        fname, value = tag.split(":", 1)
+        fcol = f"tags_{fname}"
+        if fcol not in schema:
+            # untaggable split: a positive term test may pass, its negation
+            # may too — evaluate to the conservative constant
+            return F.lit(True)
+        elem = schema[fcol].elementType
+        contains = F.coalesce(
+            F.array_contains(F.col(fcol), F.lit(value).cast(elem)), F.lit(False)
+        )
+        overflowed = F.size(F.col(fcol)) >= MAX_VALUES_PER_TAG
+        if is_present:
+            return contains | overflowed
+        # a listed value is definitely in the set; absence is only definite
+        # when the set did not overflow
+        return ~contains | overflowed
+
+    def compile_(node):
+        if node.op == "tag":
+            return leaf(node.tag, node.is_present)
+        cols = [compile_(c) for c in node.children]
+        out = cols[0]
+        for c in cols[1:]:
+            out = (out | c) if node.op == "or" else (out & c)
+        return out
+
+    return compile_(filt)
+
+
+def prune_splits_by_tag_filter(
+    spark: SparkSession, out_dir: str, filt
+) -> list[str]:
+    """Commits whose tag sets might satisfy a query-derived
+    :class:`~quickwit_spark.operators.query.TagFilter` — the metadata-only
+    second pruning axis next to :func:`prune_splits_by_time` (the reference
+    root search runs both: root.rs list_relevant_splits passes the
+    TagFilterAst to the metastore). ``filt=None`` (no tag constraint) keeps
+    every commit."""
+    lineage = read_lineage(spark, out_dir)
+    if filt is None:
+        return [r["commit_id"] for r in lineage.select("commit_id").distinct().collect()]
+    rows = (
+        lineage.filter(_tag_filter_col(filt, lineage))
+        .select("commit_id")
+        .distinct()
+        .collect()
+    )
+    return [r["commit_id"] for r in rows]

@@ -521,3 +521,51 @@ def test_query_lifecycle_prune_then_aggregate(spark, tiny_dir, index_dir):
 
     got, want = buckets(pruned_scan), buckets(full_scan)
     assert got == want and len(got) == 6
+
+
+def test_search_index_auto_tag_pruning(spark, tmp_path_factory):
+    """tag_fields/0002_negative_tags.yaml end-to-end, with AUTOMATIC query →
+    tag split pruning (tag_pruning.rs:35 extract_tags_from_query → metastore
+    tag filter): the `simple` index's three ingest splits carry u64 `tag`
+    tags; a positive tag query opens only matching splits, a negative one
+    must open all (negation can never prune), and hit counts match the
+    scenario's vectors either way."""
+    from quickwit_spark.api import pruned_index_df, search_index
+    from quickwit_spark.pipeline.janitor import build_lineage
+
+    out = str(tmp_path_factory.mktemp("tag_prune_idx"))
+    splits = {
+        "c1": [(1, 1), (2, 2)],
+        "c2": [(1, 1), (3, None)],
+        "c3": [(4, 1)],
+    }
+    for cid, rows in splits.items():
+        df = (
+            spark.createDataFrame(rows, "seq long, tag long")
+            .withColumn("sink", F.lit("default"))
+            .withColumn("commit", F.lit(cid))
+        )
+        df.write.mode("append").partitionBy("commit", "sink").parquet(
+            os.path.join(out, "sinks")
+        )
+        lin = build_lineage(df, source_id="simple", tag_fields=("tag",))
+        lin.withColumn("commit_id", F.lit(cid)).write.mode("append").partitionBy(
+            "commit_id"
+        ).parquet(os.path.join(out, "_lineage"))
+
+    field_types = {"tag": "numeric", "seq": "numeric"}
+
+    def run(q):
+        _, commits = pruned_index_df(spark, out, q_body := {"q": q, "size": 0}, field_types)
+        res = search_index(spark, out, q_body, field_types)
+        return res["hits"]["total"]["value"], sorted(commits)
+
+    # scenario vectors: hits AND which splits were opened
+    assert run("tag:1") == (3, ["c1", "c2", "c3"])
+    assert run("tag:2") == (1, ["c1"])
+    assert run("-tag:2") == (4, ["c1", "c2", "c3"])  # negation never prunes
+    assert run("-tag:1") == (2, ["c1", "c2", "c3"])
+    # absent value prunes everything before any file is read
+    assert run("tag:7") == (0, [])
+    # non-tag field conjunct does not prune; tag conjunct still does
+    assert run("tag:2 AND seq:2") == (1, ["c1"])

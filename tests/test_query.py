@@ -310,3 +310,69 @@ def test_compiler_from_doc_mapping_tokenizers(spark):
     # undeclared fields route to the dynamic column in dynamic mode
     assert qc2.dynamic_col == "_dynamic"
     assert qc2.info("anything").kind == "dynamic"
+
+
+# ---------------------------------------------------------------------------
+# tag-filter extraction (tag_pruning.rs unit vectors, expected strings
+# verbatim from the reference's Display)
+# ---------------------------------------------------------------------------
+
+
+def test_extract_tag_filter_reference_vectors():
+    from quickwit_spark.operators.query import (
+        Bool,
+        MatchAll,
+        Range,
+        Term,
+        TermSet,
+        extract_tag_filter,
+    )
+
+    def s(ast):
+        filt = extract_tag_filter(ast)
+        return None if filt is None else str(filt)
+
+    # "*" → no tag constraint
+    assert s(MatchAll()) == None  # noqa: E711
+    # "title:>foo lang:fr" (OR operand): range is uninformative → whole OR True
+    assert s(Bool(should=[Range("title", lower="foo"), Term("lang", "fr")])) is None
+    # "title:>foo AND lang:fr"
+    assert s(Bool(must=[Range("title", lower="foo"), Term("lang", "fr")])) == "(¬lang! ∨ lang:fr)"
+    # "title:foo user:bart lang:fr" (OR operand)
+    assert (
+        s(Bool(should=[Term("title", "foo"), Term("user", "bart"), Term("lang", "fr")]))
+        == "((¬title! ∨ title:foo) ∨ (¬user! ∨ user:bart) ∨ (¬lang! ∨ lang:fr))"
+    )
+    # "title:foo AND (user:bart OR lang:fr)"
+    assert (
+        s(Bool(must=[Term("title", "foo"),
+                     Bool(should=[Term("user", "bart"), Term("lang", "fr")])]))
+        == "(¬title! ∨ title:foo) ∧ ((¬user! ∨ user:bart) ∨ (¬lang! ∨ lang:fr))"
+    )
+    # "(user:bart AND lang:fr)"
+    assert (
+        s(Bool(must=[Term("user", "bart"), Term("lang", "fr")]))
+        == "(¬user! ∨ user:bart) ∧ (¬lang! ∨ lang:fr)"
+    )
+    # "(user:bart OR lang:fr)"
+    assert (
+        s(Bool(should=[Term("user", "bart"), Term("lang", "fr")]))
+        == "((¬user! ∨ user:bart) ∨ (¬lang! ∨ lang:fr))"
+    )
+    # "(user:bart -lang:fr)": OR with a negative tag is inconclusive
+    assert s(Bool(should=[Term("user", "bart")], must_not=[Term("lang", "fr")])) is None
+    # "user:bart AND NOT lang:fr": negatives drop out of AND clauses
+    assert (
+        s(Bool(must=[Term("user", "bart")], must_not=[Term("lang", "fr")]))
+        == "(¬user! ∨ user:bart)"
+    )
+    # "(+user:bart lang:fr)": should dropped when a must exists
+    assert (
+        s(Bool(must=[Term("user", "bart")], should=[Term("lang", "fr")]))
+        == "(¬user! ∨ user:bart)"
+    )
+    # TermSet expands to an OR of term tags (tag_pruning.rs:70-85)
+    assert (
+        s(Bool(must=[TermSet("lang", ("fr", "en"))]))
+        == "((¬lang! ∨ lang:fr) ∨ (¬lang! ∨ lang:en))"
+    )
