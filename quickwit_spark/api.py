@@ -260,7 +260,17 @@ def es_search(
                 # (aggregations/0002-doc-len.yaml second vector)
                 src = _json.loads(src["_source"])
             else:
-                for meta in ("_doc_length", "_dynamic", "_error", "_error_category"):
+                # no stored original: reconstruct dynamic captures back into
+                # the doc (the reference returns dynamically-mapped fields in
+                # _source like any other stored field —
+                # default_search_fields/0001 hit shapes), then drop metadata
+                dyn = src.pop("_dynamic", None)
+                if isinstance(dyn, str) and dyn not in ("", "{}", "null"):
+                    try:
+                        src.update(_json.loads(dyn))
+                    except ValueError:
+                        pass
+                for meta in ("_doc_length", "_error", "_error_category"):
                     src.pop(meta, None)
             if src_spec is False:
                 src = {}
@@ -1209,7 +1219,11 @@ def create_index(
     :meth:`DocMapping.from_config`, validates tag-field types, and registers
     the mapping. Raises ``ValueError`` on invalid ids/configs and on
     duplicate ids (the reference's 400s)."""
-    from quickwit_spark.operators.docmapper import DocMapping, validate_tag_fields
+    from quickwit_spark.operators.docmapper import (
+        DocMapping,
+        validate_default_search_fields,
+        validate_tag_fields,
+    )
 
     index_id = config.get("index_id")
     if not index_id or not _INDEX_ID_RE.match(index_id):
@@ -1218,6 +1232,10 @@ def create_index(
         raise ValueError(f"index [{index_id}] already exists")
     mapping = DocMapping.from_config(config.get("doc_mapping", {}))
     validate_tag_fields(mapping)
+    search_settings = config.get("search_settings") or {}
+    dsf = tuple(search_settings.get("default_search_fields") or ())
+    validate_default_search_fields(mapping, dsf)
+    mapping.default_search_fields = dsf
     indexes[index_id] = mapping
     return {
         "index_id": index_id,

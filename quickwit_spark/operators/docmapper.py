@@ -62,6 +62,10 @@ class FieldMapping:
     tokenizer: str = "default"
     multi: bool = False
     coerce: bool = True
+    # indexed=False (fast-only fields, qw_search_api setup `text_fast`) is
+    # still searchable here (fast-field search) but rejected as a default
+    # search field, matching the reference's build-time validation
+    indexed: bool = True
     input_formats: tuple[str, ...] = DEFAULT_INPUT_FORMATS
     fast_precision: str = "seconds"
     input_format: str = "base64"  # for bytes: base64|hex
@@ -84,6 +88,12 @@ class DocMapping:
     # dynamic_mapping.expand_dots (doc_mapping configs): a dotted dynamic key
     # like "k8s.pod.name" expands into nested objects instead of one flat key
     expand_dots: bool = False
+    # dynamic_mapping.indexed (default true): whether dynamic captures are
+    # searchable — gates default-search-field resolution onto `_dynamic`
+    dynamic_indexed: bool = True
+    # search_settings.default_search_fields (index-level, stored on the
+    # mapping after create_index validates them)
+    default_search_fields: tuple[str, ...] = ()
 
     @classmethod
     def from_config(cls, cfg: dict) -> "DocMapping":
@@ -109,6 +119,8 @@ class DocMapping:
                 kwargs["input_formats"] = tuple(entry["input_formats"])
             if "input_format" in entry:
                 kwargs["input_format"] = entry["input_format"]
+            if "indexed" in entry:
+                kwargs["indexed"] = bool(entry["indexed"])
             if "fast_precision" in entry:
                 kwargs["fast_precision"] = entry["fast_precision"]
             if ftype == "object":
@@ -130,6 +142,7 @@ class DocMapping:
             tag_fields=tuple(cfg.get("tag_fields", ())),
             store_source=bool(cfg.get("store_source", False)),
             expand_dots=bool(dyn.get("expand_dots", False)),
+            dynamic_indexed=bool(dyn.get("indexed", True)),
         )
 
 
@@ -287,6 +300,57 @@ def validate_tag_fields(mapping: DocMapping) -> None:
                 )
         elif fm.type not in ("u64", "i64"):
             raise ValueError(f"tags collection is not allowed on `{fm.type}` fields")
+
+
+def validate_default_search_fields(
+    mapping: DocMapping, fields: tuple[str, ...]
+) -> None:
+    """Default-search-field resolution at mapper build time
+    (doc_mapper_impl.rs:245-262 — behavior and exact error strings,
+    default_search_fields/0002 vectors):
+
+    - a field resolves to a declared mapping (dotted paths descend object
+      sub-mappings; any remainder under a ``json`` field resolves), else to
+      the dynamic capture — but ONLY when no declared prefix shadows the
+      path (``text.inner`` under a text field is unknown, not dynamic);
+    - duplicates are rejected;
+    - the resolved target must be indexed (``indexed: false`` fast-only
+      fields and ``dynamic_mapping.indexed: false`` are 400s).
+    """
+    seen: set[str] = set()
+    for name in fields:
+        if name in seen:
+            raise ValueError(f"duplicated default search field: `{name}`")
+        seen.add(name)
+        fm, shadowed = _resolve_mapped_path(mapping.field_mappings, name)
+        if fm is not None:
+            if not fm.indexed:
+                raise ValueError(
+                    f"default search field `{name}` is not indexed"
+                )
+            continue
+        if shadowed or mapping.mode != "dynamic":
+            raise ValueError(f"unknown default search field `{name}`")
+        if not mapping.dynamic_indexed:
+            raise ValueError(f"default search field `{name}` is not indexed")
+
+
+def _resolve_mapped_path(fms: list[FieldMapping], path: str):
+    """(FieldMapping | None, shadowed: bool) for a dotted search-field path.
+    ``shadowed`` is True when a declared field matches a prefix of the path
+    but cannot absorb the remainder — which blocks the dynamic fallback
+    (tantivy find_field_with_default behavior)."""
+    head, _, rest = path.partition(".")
+    for fm in fms:
+        if fm.name == path:
+            return fm, False
+        if fm.name == head and rest:
+            if fm.type == "json":
+                return fm, False  # json absorbs any sub-path
+            if fm.type == "object":
+                return _resolve_mapped_path(fm.fields, rest)
+            return None, True  # scalar field shadows the sub-path
+    return None, False
 
 
 class DocMapper:

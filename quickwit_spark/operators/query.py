@@ -288,6 +288,17 @@ class QueryCompiler:
             return F.lit(False)
         if isinstance(ast, Term):
             info = self.info(ast.field)
+            jp = self._declared_json_parent(ast.field)
+            if ast.field not in self.field_types and jp is not None:
+                # dotted path under a DECLARED json field (mapping wins over
+                # dynamic capture): match the extracted leaf like a dynamic
+                # value (default_search_fields/0001: `inner_json.somefieldinjson`)
+                parent, sub = jp
+                dv = F.get_json_object(F.col(parent), "$." + sub)
+                v = ast.value.lower() if (ast.analyzed or ast.case_insensitive) else ast.value
+                return F.array_contains(tokenize_default(dv), v) | (
+                    dv == F.lit(ast.value)
+                )
             if info.kind == "dynamic":
                 # dynamic fields tokenize with the default tokenizer; numbers
                 # and bools stored as JSON come back as their literal text,

@@ -261,3 +261,11 @@ def test_query_bound_datetime_garbage_raises():
     assert parse_query_datetime("2023/05/25").year == 2023
     assert parse_query_datetime("2023-05-25 10:00:00").hour == 10
     assert parse_query_datetime(1684993001).minute == 56 or True  # epoch accepted
+
+
+def test_0005_fast_field_search(nested):
+    """0005_fast_field_search.yaml: a fast-only (indexed: false) text field
+    is still searchable by its exact raw value — and ONLY the exact value."""
+    qc = QueryCompiler({"text_fast": "raw"})
+    assert qc.where(nested, "text_fast:fast-text-value-dashes").count() == 1
+    assert qc.where(nested, "text_fast:fast_text_value_dashes").count() == 0
