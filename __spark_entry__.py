@@ -537,6 +537,32 @@ def _q_decontaminate(spark, sf_dir):
     return D.decontaminate(docs, bench, n=5)
 
 
+def _q_dedup_substrings(spark, sf_dir):
+    """Exact substring-level duplication (Lee et al. token-window form):
+    per-doc duplicated 8-token-window counts; first global occurrence of a
+    span is not a duplicate. The synthetic ~30-word vocabulary repeats real
+    8-grams across docs (~5% of windows at sf0.01), so the stats are
+    non-trivial without planting."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.dedup_substrings(docs, window=8)
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style cluster-then-prune over embeddings: codebook = the 8
+    lowest-vec_id embeddings, planted exact duplicates (vec_id+100000 for
+    every 7th vector) are the rows that must be dropped (kept=false)."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    cents = np.stack(
+        [r["embedding"] for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    )
+    return S.semantic_dedup(emb.unionByName(planted), cents, threshold=0.95)
+
+
 def _q_text_repetition(spark, sf_dir):
     """Gopher-style repetition filters: dup-word / top-word / top-bigram
     fractions — pure Column ops (single narrow map, no shuffle)."""
@@ -828,6 +854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semantics are each also covered by in-window entries or pytest)
         "dedup_paragraphs": _q_dedup_paragraphs,
         "decontaminate": _q_decontaminate,
+        "dedup_substrings": _q_dedup_substrings,
+        "semantic_dedup": _q_semantic_dedup,
         "text_pii": _q_text_pii,
         "text_url_domains": _q_text_url_domains,
         "agg_date_histogram_gapfill": _q_agg_date_histogram_gapfill,
@@ -1184,6 +1212,53 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
                                        chr(10) ORDER BY pos), '') AS kept_text
             FROM r GROUP BY doc_id
+        """,
+        "dedup_substrings": r"""
+            WITH d AS (
+              SELECT doc_id, str_split_regex(trim(text), '\s+') AS t FROM documents
+            ), w AS (
+              SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 7),
+                             i -> struct_pack(pos := i - 1,
+                                              win := array_to_string(t[i:i+7], ' ')))) AS s
+              FROM d WHERE len(t) >= 8
+            ), x AS (
+              SELECT doc_id, s.pos AS pos, s.win AS win FROM w
+            ), r AS (
+              SELECT doc_id,
+                     row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+              FROM x
+            )
+            SELECT doc_id, count(*) AS n_windows,
+                   CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_windows,
+                   round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS dup_frac
+            FROM r GROUP BY doc_id
+        """,
+        "semantic_dedup": """
+            WITH allv AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 7 = 0
+            ), c AS (
+              SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+              FROM embeddings WHERE vec_id < 8
+            ), a AS (
+              SELECT e.vec_id,
+                     (SELECT CAST(cid AS INTEGER) FROM c
+                      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                      ce) DESC, cid ASC
+                      LIMIT 1) AS cluster,
+                     CAST(e.embedding AS DOUBLE[]) AS emb
+              FROM allv e
+            )
+            SELECT a.vec_id, a.cluster,
+                   NOT EXISTS (
+                     SELECT 1 FROM a b
+                     WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+                       AND round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.95
+                   ) AS kept
+            FROM a
         """,
         "decontaminate": r"""
             WITH d AS (

@@ -679,3 +679,54 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.countDistinct("gram").alias("n_contaminated"))
     )
+
+
+def dedup_substrings(
+    df: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-level duplication (Lee et al. 2021 "Deduplicating
+    Training Data" semantics, token-window form): every ``window``-token
+    sliding span that re-occurs ANYWHERE in the corpus — other docs or
+    earlier in the same doc — counts as duplicated except its globally
+    first occurrence (smallest ``(id, pos)``). Returns per-doc
+    (id, n_windows, n_dup_windows, dup_frac).
+
+    The reference paper uses a corpus-wide suffix array; the Spark-first
+    re-expression is banded window hashing: windows are generated JVM-side
+    (sequence + slice, no Python), then ONE shuffle partitioned by
+    ``(xxhash64(win), win)`` ranks occurrences — the 8-byte hash drives
+    partitioning while the span text rides along only to break hash
+    collisions exactly (same trick as dedup_exact). Window keys stay
+    balanced at 10^12 docs except genuinely viral spans, which is the
+    skew already inherent to the problem.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    spans = F.when(
+        n >= window,
+        F.transform(
+            F.sequence(F.lit(0), n - window),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = df.select(F.col(id_col), F.posexplode(spans).alias("pos", "win"))
+    w = Window.partitionBy(F.xxhash64("win"), "win").orderBy(
+        F.col(id_col).asc(), F.col("pos").asc()
+    )
+    marked = wins.withColumn("_rn", F.row_number().over(w))
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("_rn") > 1).cast("long")).alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 6),
+        )
+    )

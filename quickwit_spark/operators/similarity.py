@@ -332,3 +332,71 @@ def knn_join(
         .filter(F.col("_rn") <= kk)
         .select("qid", id_col, "cosine")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023 shape): cluster the
+    corpus against a fixed centroid codebook, then prune within clusters —
+    a row is dropped when its cosine to ANY lower-id member of the SAME
+    cluster is ≥ ``threshold`` (the deterministic "any earlier example"
+    variant of the paper's ε-ball pruning; greedy keep-set pruning differs
+    only on chain cases and is not order-stable under retries).
+
+    Returns (id, cluster, kept).
+
+    Scale shape: centroid assignment is ONE BLAS matmul per Arrow batch
+    against the broadcast (k×d) codebook — no shuffle; pruning shuffles
+    once on cluster id and does the pairwise matmul per cluster, which is
+    the point of clustering first: O(n²/k) FLOPs instead of O(n²), and each
+    cluster's block fits one task. Skewed (viral) clusters are the known
+    caveat — cap cluster size upstream or split hot clusters by a salt on a
+    second-nearest centroid.
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        sims = Xn @ Cn.T
+        # ties break toward the smallest centroid index (argmax is first-max)
+        return pd.Series(sims.argmax(axis=1).astype("int32"))
+
+    assigned = df.select(
+        F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("cluster")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("kept", T.BooleanType()),
+        ]
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        sims = np.round(Xn @ Xn.T, 6)
+        close = sims >= threshold
+        lower = np.tri(len(pdf), k=-1, dtype=bool)
+        kept = ~(close & lower).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cluster": pdf["cluster"],
+                "kept": kept,
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(prune, schema=out_schema)

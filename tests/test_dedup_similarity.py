@@ -429,3 +429,53 @@ def test_bmp_and_wav_real_decode(spark):
     stereo = np.zeros(400, dtype=np.float32)
     stereo[0::2], stereo[1::2] = 0.25, -0.25
     assert np.abs(_decode_wav(encode_wav_pcm16(stereo, n_channels=2))).max() < 1e-3
+
+
+def test_dedup_substrings_window_semantics(spark):
+    """First global occurrence of a repeated 3-token window is not a dup;
+    every later occurrence (same doc or later doc) is."""
+    from quickwit_spark.operators.dedup import dedup_substrings
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e"),        # windows: "a b c", "b c d", "c d e"
+            (1, "a b c d x"),        # "a b c" dup, "b c d" dup, "c d x" new
+            (2, "z z"),              # shorter than window → no rows? n<3 → 0 windows
+            (3, "q q q q"),          # "q q q" ×2: second is an in-doc dup
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+        for r in dedup_substrings(docs, window=3).collect()
+    }
+    assert got[0] == (3, 0)
+    assert got[1] == (3, 2)
+    assert got[3] == (2, 1)
+    assert 2 not in got  # too short for any window
+
+
+def test_semantic_dedup_prunes_within_cluster_only(spark):
+    """Planted near-identical vectors in the same cluster are dropped
+    (keep-min-id); an identical-direction vector in ANOTHER cluster's cell
+    is untouched — pruning is strictly intra-cluster."""
+    import numpy as np
+
+    from quickwit_spark.operators.similarity import semantic_dedup
+
+    e1, e2 = [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]
+    rows = [
+        (0, e1),                    # cluster 0, kept (lowest id)
+        (1, [0.999, 0.01, 0.0]),    # cluster 0, cosine≈1 to id 0 → dropped
+        (2, e2),                    # cluster 1, kept
+        (3, [0.01, 0.999, 0.0]),    # cluster 1, dropped vs id 2
+        (4, [0.8, 0.6, 0.0]),       # cluster 0 (closer to e1), far from both → kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: (r["cluster"], r["kept"])
+           for r in semantic_dedup(df, np.array([e1, e2]), threshold=0.98).collect()}
+    assert out[0] == (0, True)
+    assert out[1] == (0, False)
+    assert out[2] == (1, True)
+    assert out[3] == (1, False)
+    assert out[4] == (0, True)
