@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from quickwit_spark.operators import aggs as A
+from quickwit_spark.operators import corpus as CP
 from quickwit_spark.operators import dedup as D
 from quickwit_spark.operators import similarity as S
 from quickwit_spark.operators.query import QueryCompiler
@@ -563,6 +564,28 @@ def _q_semantic_dedup(spark, sf_dir):
     return S.semantic_dedup(emb.unionByName(planted), cents, threshold=0.95)
 
 
+def _q_bigram_lm(spark, sf_dir):
+    """Perplexity filtering: per-doc cross-entropy under an add-α bigram LM
+    trained on the corpus itself (the CCNet/KenLM quality tier)."""
+    docs = _t(spark, sf_dir, "documents")
+    return CP.bigram_lm_scores(docs)
+
+
+def _q_mixture_plan(spark, sf_dir):
+    """Temperature-based source mixing over a deliberately skewed source
+    tiering (60/30/10 by doc_id) so τ=0.7 visibly upweights the small
+    source; realization is the deterministic LCG keep rule."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "src_tier",
+        F.when(F.col("doc_id") % 10 < 6, F.lit("web"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("books"))
+        .otherwise(F.lit("code")),
+    )
+    return CP.mixture_plan(
+        docs, temperature=0.7, budget_frac=0.5, source_col="src_tier"
+    )
+
+
 def _q_text_repetition(spark, sf_dir):
     """Gopher-style repetition filters: dup-word / top-word / top-bigram
     fractions — pure Column ops (single narrow map, no shuffle)."""
@@ -856,6 +879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "dedup_substrings": _q_dedup_substrings,
         "semantic_dedup": _q_semantic_dedup,
+        "bigram_lm": _q_bigram_lm,
+        "mixture_plan": _q_mixture_plan,
         "text_pii": _q_text_pii,
         "text_url_domains": _q_text_url_domains,
         "agg_date_histogram_gapfill": _q_agg_date_histogram_gapfill,
@@ -1259,6 +1284,61 @@ def oracle_sql() -> dict[str, str]:
                        AND round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.95
                    ) AS kept
             FROM a
+        """,
+        "bigram_lm": r"""
+            WITH d AS (
+              SELECT doc_id, str_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), bg AS (
+              SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                             i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS s
+              FROM d WHERE len(t) >= 2
+            ), b AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bg),
+            uni AS (
+              SELECT w1, count(*) AS c1
+              FROM (SELECT doc_id, unnest(t) AS w1 FROM d) GROUP BY w1
+            ), v AS (SELECT count(*)::DOUBLE AS vocab FROM uni),
+            bi AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+            model AS (
+              SELECT bi.w1, bi.w2,
+                     ln((c12 + 0.1) / (c1 + 0.1 * (SELECT vocab FROM v))) AS logp
+              FROM bi JOIN uni ON bi.w1 = uni.w1
+            )
+            SELECT b.doc_id, count(*) AS n_bigrams,
+                   round(-avg(logp), 6) AS cross_entropy,
+                   round(exp(-avg(logp)), 6) AS perplexity
+            FROM b JOIN model ON b.w1 = model.w1 AND b.w2 = model.w2
+            GROUP BY b.doc_id
+        """,
+        "mixture_plan": """
+            WITH docs2 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 < 6 THEN 'web'
+                          WHEN doc_id % 10 < 9 THEN 'books'
+                          ELSE 'code' END AS src_tier
+              FROM documents
+            ),
+            counts AS (SELECT src_tier, count(*) AS n_docs FROM docs2 GROUP BY src_tier),
+            tot AS (SELECT sum(n_docs)::DOUBLE AS total FROM counts),
+            ws AS (SELECT sum(pow(n_docs::DOUBLE, 0.7)) AS wsum FROM counts),
+            plan AS (
+              SELECT src_tier, n_docs,
+                     n_docs / (SELECT total FROM tot) AS nat_share,
+                     pow(n_docs::DOUBLE, 0.7) / (SELECT wsum FROM ws) AS target_share,
+                     least(1.0, (pow(n_docs::DOUBLE, 0.7) / (SELECT wsum FROM ws))
+                                * (0.5 * (SELECT total FROM tot)) / n_docs) AS rate
+              FROM counts
+            ),
+            kept AS (
+              SELECT d.src_tier, count(*) AS n_kept
+              FROM docs2 d JOIN plan p ON d.src_tier = p.src_tier
+              WHERE (d.doc_id * 40503 + 2531011) % 65536 < p.rate * 65536
+              GROUP BY d.src_tier
+            )
+            SELECT p.src_tier, p.n_docs, round(nat_share, 6) AS nat_share,
+                   round(target_share, 6) AS target_share, round(rate, 6) AS rate,
+                   coalesce(n_kept, 0) AS n_kept
+            FROM plan p LEFT JOIN kept ON p.src_tier = kept.src_tier
         """,
         "decontaminate": r"""
             WITH d AS (

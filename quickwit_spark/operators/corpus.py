@@ -1,0 +1,156 @@
+"""Corpus-level statistics operators for training-data pipelines: n-gram
+language-model scoring (perplexity filtering, CCNet/KenLM tier) and
+deterministic temperature-based source mixing (data-mixture planning).
+
+Everything here is two-pass Spark: one corpus aggregation producing a small
+model/plan, then one scoring/sampling pass that broadcasts it. Nothing
+iterates, nothing collects the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _tokens(text_col):
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Per-doc cross-entropy + perplexity under an add-α-smoothed bigram LM
+    trained on the corpus itself — the perplexity-filter quality signal
+    (CCNet-style: docs whose perplexity under an in-domain LM is extreme are
+    dropped or bucketed). Returns (id, n_bigrams, cross_entropy, perplexity),
+    both rounded to 6 dp.
+
+    P(w2|w1) = (c(w1,w2) + α) / (c(w1) + α·V), V = unigram vocab size.
+
+    Scale shape: training is two hash aggregations (unigram + bigram counts
+    — partial aggregation map-side, one shuffle each); scoring joins each
+    doc bigram against the model. The model for a natural-language corpus
+    (≤ ~10⁸ bigrams) broadcasts; beyond that the same plan degrades
+    gracefully to a sort-merge join keyed by the bigram — both stay one
+    shuffle over the exploded corpus. No Python in either pass.
+    """
+    toks = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("t"))
+    bigrams = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.element_at("t", i + 1).alias("w1"),
+                        F.element_at("t", i + 2).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("pos", "bg"),
+    ).select(F.col(id_col), "pos", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    uni = (
+        toks.select(F.explode("t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.count()
+    bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    model = F.broadcast(
+        bi.join(F.broadcast(uni), "w1").select(
+            "w1",
+            "w2",
+            (
+                F.log((F.col("c12") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha * vocab)))
+            ).alias("logp"),
+        )
+    )
+    scored = bigrams.join(model, ["w1", "w2"], "left")
+    # unseen bigrams (possible when scoring a different frame than the
+    # training corpus) back off to the unseen-mass floor log(α / (c1 + αV));
+    # over the training corpus itself every bigram is seen
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.avg("logp")).alias("_h"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            F.round("_h", 6).alias("cross_entropy"),
+            F.round(F.exp("_h"), 6).alias("perplexity"),
+        )
+    )
+
+
+def mixture_plan(
+    df: DataFrame,
+    temperature: float = 0.7,
+    budget_frac: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based source-mixing plan + deterministic realization —
+    the data-mixing step of a pretraining pipeline (multinomial sampling
+    with exponent τ as in multilingual/LLM corpus weighting): target share
+    of source i ∝ (n_i)^τ, re-normalized; the overall budget is
+    ``budget_frac`` of the corpus. Returns one row per source:
+    (source, n_docs, nat_share, target_share, rate, n_kept).
+
+    Realization is a DETERMINISTIC per-doc keep rule — keep iff
+    ``(id * 40503 + 2531011) mod 65536 < rate * 65536`` — an LCG-mixed
+    decision that is reproducible across runs/engines and independent of
+    partitioning (the production-size variant swaps the LCG for
+    xxhash64(id, salt); same plan shape). Rates are capped at 1 (a source
+    cannot be up-sampled without replication, which is a separate op).
+
+    Scale shape: one groupBy(source) for counts (tiny result), the plan
+    computed on that aggregate, then one broadcast-joined filter pass for
+    n_kept — metadata-size driver state only.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs")).collect()[0][0] or 0
+    plan = counts.select(
+        source_col,
+        "n_docs",
+        (F.col("n_docs") / F.lit(float(total))).alias("nat_share"),
+        F.pow(F.col("n_docs").cast("double"), F.lit(temperature)).alias("_w"),
+    )
+    wsum = plan.agg(F.sum("_w")).collect()[0][0]
+    plan = plan.select(
+        source_col,
+        "n_docs",
+        "nat_share",
+        (F.col("_w") / F.lit(wsum)).alias("target_share"),
+        F.least(
+            F.lit(1.0),
+            (F.col("_w") / F.lit(wsum)) * F.lit(budget_frac * total) / F.col("n_docs"),
+        ).alias("rate"),
+    )
+    keep = (
+        (F.col(id_col) * 40503 + 2531011) % 65536
+    ) < (F.col("rate") * 65536)
+    kept = (
+        df.select(F.col(id_col), F.col(source_col))
+        .join(F.broadcast(plan.select(source_col, "rate")), source_col)
+        .filter(keep)
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        plan.join(kept, source_col, "left")
+        .select(
+            source_col,
+            "n_docs",
+            F.round("nat_share", 6).alias("nat_share"),
+            F.round("target_share", 6).alias("target_share"),
+            F.round("rate", 6).alias("rate"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )

@@ -277,3 +277,48 @@ class TestDecontaminate:
         plan = decontaminate(docs, bench, n=5)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+def test_bigram_lm_hand_computed(spark):
+    """add-α bigram LM on a 2-doc corpus, hand-checkable: corpus "a b a b" /
+    "a b" → V=2, c(a)=3, c(b)=3, c(a,b)=3, c(b,a)=1."""
+    import math
+
+    from quickwit_spark.operators.corpus import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in bigram_lm_scores(docs, alpha=0.1).collect()}
+    p_ab = (3 + 0.1) / (3 + 0.2)
+    p_ba = (1 + 0.1) / (3 + 0.2)
+    h0 = -(2 * math.log(p_ab) + math.log(p_ba)) / 3
+    assert rows[0]["n_bigrams"] == 3
+    assert abs(rows[0]["cross_entropy"] - round(h0, 6)) < 1e-9
+    assert abs(rows[0]["perplexity"] - round(math.exp(h0), 6)) < 1e-9
+    assert rows[1]["n_bigrams"] == 1
+    assert abs(rows[1]["cross_entropy"] - round(-math.log(p_ab), 6)) < 1e-9
+
+
+def test_mixture_plan_temperature_upweights_small_sources(spark):
+    """τ<1 flattens the mixture: the small source's target share exceeds its
+    natural share, the big one's shrinks; rates cap at 1; realization is
+    deterministic (same counts on re-run)."""
+    from quickwit_spark.operators.corpus import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(i, "web" if i < 900 else "code") for i in range(1000)],
+        "doc_id long, source string",
+    )
+    plan = {r["source"]: r for r in mixture_plan(docs, temperature=0.5,
+                                                 budget_frac=0.5).collect()}
+    assert plan["code"]["target_share"] > plan["code"]["nat_share"]
+    assert plan["web"]["target_share"] < plan["web"]["nat_share"]
+    assert plan["code"]["rate"] <= 1.0 and plan["web"]["rate"] <= 1.0
+    # kept counts are near rate*n (LCG equidistribution) and reproducible
+    again = {r["source"]: r for r in mixture_plan(docs, temperature=0.5,
+                                                  budget_frac=0.5).collect()}
+    for s in plan:
+        assert plan[s]["n_kept"] == again[s]["n_kept"]
+        assert abs(plan[s]["n_kept"] - plan[s]["rate"] * plan[s]["n_docs"]) \
+            <= 0.1 * plan[s]["n_docs"] + 3
