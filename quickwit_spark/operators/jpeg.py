@@ -1,0 +1,498 @@
+"""Pure-numpy baseline JPEG codec (ITU-T T.81 baseline sequential DCT).
+
+No imaging library in this container, so like the BMP/PNG/WAV codecs in
+operators/multimodal.py this implements the public wire format directly:
+
+- :func:`decode_jpeg` — baseline (SOF0) decoder: DQT/DHT/SOF0/DRI/SOS
+  parsing, canonical Huffman decode with byte-unstuffing and restart
+  markers, dequantize → un-zigzag → IDCT, chroma upsampling for any
+  sampling factors (4:4:4 / 4:2:2 / 4:2:0), YCbCr→RGB (JFIF/BT.601).
+  Grayscale and 3-component images supported; progressive (SOF2) and
+  arithmetic coding are out of scope and raise.
+- :func:`encode_jpeg` — a minimal spec-compliant baseline encoder for
+  round-trip tests: Annex-K quantization tables scaled by ``quality``,
+  FIXED-LENGTH canonical Huffman tables declared in DHT (4-bit DC codes,
+  8-bit AC codes — valid but unoptimized, which is irrelevant for tests),
+  4:4:4 or 4:2:0 chroma, optional grayscale.
+
+Decode is a per-payload Python kernel, same tier as the PNG path: it runs
+inside an Arrow-batched UDF where the per-image work dominates, and the
+Spark plumbing around it (binary columns, mapInPandas batches) stays
+columnar.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: ZIGZAG[k] = raster index of the k-th coefficient
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# Annex K example quantization tables (public spec constants)
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# orthonormal 8-point DCT-II basis: forward Y = C @ X @ C.T, inverse C.T@Y@C
+_k = np.arange(8)
+_C = np.cos((2 * _k[None, :] + 1) * _k[:, None] * np.pi / 16) * np.sqrt(2 / 8)
+_C[0] *= np.sqrt(0.5)
+
+
+def _idct2(block: np.ndarray) -> np.ndarray:
+    return _C.T @ block @ _C
+
+
+def _dct2(block: np.ndarray) -> np.ndarray:
+    return _C @ block @ _C.T
+
+
+# ---------------------------------------------------------------------------
+# Huffman
+# ---------------------------------------------------------------------------
+
+
+def _build_huffman(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical Huffman per T.81 Annex C: {(length, code) → value}."""
+    table = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded bytes with 0xFF00 unstuffing;
+    stops at any non-RST marker."""
+
+    def __init__(self, data: bytes, start: int):
+        self.data = data
+        self.pos = start
+        self.bitbuf = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self):
+        while self.nbits <= 24:
+            if self.marker is not None or self.pos >= len(self.data):
+                self.bitbuf = (self.bitbuf << 8) & 0xFFFFFFFF
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                else:
+                    self.marker = nxt
+                    self.pos += 2
+                    continue
+            else:
+                self.pos += 1
+            self.bitbuf = ((self.bitbuf << 8) | b) & 0xFFFFFFFF
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self):
+        """Consume a pending RSTn marker and realign to a byte boundary."""
+        self.bitbuf = 0
+        self.nbits = 0
+        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+            self.marker = None
+
+    def decode_huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            v = table.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t raw bits to the signed coefficient."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg(b: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → HxWx3 uint8 (grayscale replicates channels)."""
+    if b[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG (no SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    while i < len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        i += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack(">H", b[i:i + 2])[0]
+        seg = b[i + 2:i + seglen]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                prec, tid = seg[j] >> 4, seg[j] & 0xF
+                if prec == 0:
+                    tbl = np.frombuffer(seg[j + 1:j + 65], dtype=np.uint8).astype(np.int64)
+                    j += 65
+                else:
+                    tbl = np.frombuffer(seg[j + 1:j + 129], dtype=">u2").astype(np.int64)
+                    j += 129
+                raster = np.zeros(64, dtype=np.int64)
+                raster[ZIGZAG] = tbl
+                qt[tid] = raster.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                cls, tid = seg[j] >> 4, seg[j] & 0xF
+                bits = list(seg[j + 1:j + 17])
+                n = sum(bits)
+                vals = list(seg[j + 17:j + 17 + n])
+                (huff_ac if cls else huff_dc)[tid] = _build_huffman(bits, vals)
+                j += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only baseline sequential JPEG (SOF0/1) supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan.append({"id": cid, "dc": tt >> 4, "ac": tt & 0xF})
+            data_start = i + seglen
+            return _decode_scan(b, data_start, frame, scan, qt, huff_dc,
+                                huff_ac, restart_interval)
+        i += seglen
+    raise ValueError("no SOS scan found")
+
+
+def _decode_scan(b, start, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    by_id = {c["id"]: c for c in comps}
+    for s in scan:
+        c = by_id[s["id"]]
+        c["dc_tbl"], c["ac_tbl"] = huff_dc[s["dc"]], huff_ac[s["ac"]]
+    planes = {
+        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    }
+    pred = {c["id"]: 0 for c in comps}
+    r = _BitReader(b, start)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                r.align_restart()
+                pred = {c["id"]: 0 for c in comps}
+            for c in comps:
+                q = qt[c["tq"]]
+                for vy in range(c["v"]):
+                    for vx in range(c["h"]):
+                        coef = np.zeros(64, dtype=np.int64)
+                        t = r.decode_huff(c["dc_tbl"])
+                        diff = _extend(r.read_bits(t), t)
+                        pred[c["id"]] += diff
+                        coef[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = r.decode_huff(c["ac_tbl"])
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            coef[k] = _extend(r.read_bits(size), size)
+                            k += 1
+                        block = np.zeros(64, dtype=np.int64)
+                        block[ZIGZAG] = coef
+                        px = _idct2(block.reshape(8, 8) * q) + 128
+                        y0, x0 = (my * c["v"] + vy) * 8, (mx * c["h"] + vx) * 8
+                        planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = px
+            mcu_count += 1
+    # upsample each component to full size by sample replication
+    out = []
+    for c in comps:
+        p = planes[c["id"]]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        g = np.clip(out[0], 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    Y, Cb, Cr = out
+    R = Y + 1.402 * (Cr - 128)
+    G = Y - 0.344136 * (Cb - 128) - 0.714136 * (Cr - 128)
+    B = Y + 1.772 * (Cb - 128)
+    return np.clip(np.stack([R, G, B], axis=2).round(), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder (tests / fixtures)
+# ---------------------------------------------------------------------------
+
+_DC_SYMS = list(range(12))
+_AC_SYMS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+
+
+def _fixed_tables():
+    """Valid fixed-length canonical tables: 12 DC syms at 4 bits, 162 AC
+    syms at 8 bits (the all-ones code stays unused in both, as T.81
+    requires). Codes are just the canonical sequence 0..n-1."""
+    dc_bits = [0] * 16
+    dc_bits[3] = len(_DC_SYMS)  # length 4
+    ac_bits = [0] * 16
+    ac_bits[7] = len(_AC_SYMS)  # length 8
+    dc_codes = {v: (4, i) for i, v in enumerate(_DC_SYMS)}
+    ac_codes = {v: (8, i) for i, v in enumerate(_AC_SYMS)}
+    return dc_bits, dc_codes, ac_bits, ac_codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val: int, nbits: int):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(max(quality, 1), 100)
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    q = np.floor((base * scale + 50) / 100).astype(np.int64)
+    return np.clip(q, 1, 255)
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _encode_component(bw, blocks, q, pred, dc_codes, ac_codes):
+    for block in blocks:
+        coef = np.round(_dct2(block - 128.0) / q).astype(np.int64)
+        zz = coef.reshape(64)[ZIGZAG]
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        t = _category(diff)
+        length, code = dc_codes[t]
+        bw.write(code, length)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                length, code = ac_codes[0xF0]
+                bw.write(code, length)
+                run -= 16
+            s = _category(v)
+            length, code = ac_codes[(run << 4) | s]
+            bw.write(code, length)
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            length, code = ac_codes[0x00]
+            bw.write(code, length)
+    return pred
+
+
+def _blocks_of(plane: np.ndarray):
+    h, w = plane.shape
+    H = (h + 7) // 8 * 8
+    W = (w + 7) // 8 * 8
+    padded = np.pad(plane, ((0, H - h), (0, W - w)), mode="edge").astype(np.float64)
+    return padded, H // 8, W // 8
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85, subsampling: str = "444") -> bytes:
+    """HxWx3 (or HxW) uint8 → baseline JFIF bytes. ``subsampling``: "444" or
+    "420" (chroma 2x2 box-mean). Grayscale input emits a 1-component scan."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    ql = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+    dc_bits, dc_codes, ac_bits, ac_codes = _fixed_tables()
+    if gray:
+        h, w = img.shape
+        Y = img.astype(np.float64)
+    else:
+        h, w = img.shape[:2]
+        R, G, B = (img[..., c].astype(np.float64) for c in range(3))
+        Y = 0.299 * R + 0.587 * G + 0.114 * B
+        Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128
+        Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+    def dqt(tid, q):
+        z = q.reshape(64)[ZIGZAG].astype(np.uint8)
+        return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + z.tobytes()
+
+    out += dqt(0, ql)
+    if not gray:
+        out += dqt(1, qc)
+
+    if gray:
+        comps_sof = [(1, 0x11, 0)]
+    elif subsampling == "420":
+        comps_sof = [(1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1)]
+    else:
+        comps_sof = [(1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1)]
+    sof = struct.pack(">BHHB", 8, h, w, len(comps_sof))
+    for cid, hv, tq in comps_sof:
+        sof += bytes([cid, hv, tq])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(cls, tid, bits, syms):
+        payload = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(syms)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    out += dht(0, 0, dc_bits, _DC_SYMS) + dht(1, 0, ac_bits, _AC_SYMS)
+    sos_comps = [(1, 0x00)]
+    if not gray:
+        out += dht(0, 1, dc_bits, _DC_SYMS) + dht(1, 1, ac_bits, _AC_SYMS)
+        sos_comps = [(1, 0x00), (2, 0x11), (3, 0x11)]
+    sos = bytes([len(sos_comps)])
+    for cid, tt in sos_comps:
+        sos += bytes([cid, tt])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    bw = _BitWriter()
+    if gray:
+        P, nby, nbx = _blocks_of(Y)
+        blocks = [P[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                  for by in range(nby) for bx in range(nbx)]
+        _encode_component(bw, blocks, ql, 0, dc_codes, ac_codes)
+    elif subsampling == "420":
+        # pad Y to 16-multiples so MCUs are complete, box-mean the chroma
+        H2 = (h + 15) // 16 * 16
+        W2 = (w + 15) // 16 * 16
+        Yp = np.pad(Y, ((0, H2 - h), (0, W2 - w)), mode="edge")
+        Cbs = np.pad(Cb, ((0, H2 - h), (0, W2 - w)), mode="edge")
+        Crs = np.pad(Cr, ((0, H2 - h), (0, W2 - w)), mode="edge")
+        Cbs = Cbs.reshape(H2 // 2, 2, W2 // 2, 2).mean(axis=(1, 3))
+        Crs = Crs.reshape(H2 // 2, 2, W2 // 2, 2).mean(axis=(1, 3))
+        py = px = 0
+        pred = {1: 0, 2: 0, 3: 0}
+        for my in range(H2 // 16):
+            for mx in range(W2 // 16):
+                yb = [
+                    Yp[my * 16 + vy * 8:my * 16 + vy * 8 + 8,
+                       mx * 16 + vx * 8:mx * 16 + vx * 8 + 8]
+                    for vy in range(2) for vx in range(2)
+                ]
+                pred[1] = _encode_component(bw, yb, ql, pred[1], dc_codes, ac_codes)
+                cb = [Cbs[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]]
+                cr = [Crs[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]]
+                pred[2] = _encode_component(bw, cb, qc, pred[2], dc_codes, ac_codes)
+                pred[3] = _encode_component(bw, cr, qc, pred[3], dc_codes, ac_codes)
+    else:
+        Yp, nby, nbx = _blocks_of(Y)
+        Cbp, _, _ = _blocks_of(Cb)
+        Crp, _, _ = _blocks_of(Cr)
+        pred = {1: 0, 2: 0, 3: 0}
+        for by in range(nby):
+            for bx in range(nbx):
+                sl = np.s_[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                pred[1] = _encode_component(bw, [Yp[sl]], ql, pred[1], dc_codes, ac_codes)
+                pred[2] = _encode_component(bw, [Cbp[sl]], qc, pred[2], dc_codes, ac_codes)
+                pred[3] = _encode_component(bw, [Crp[sl]], qc, pred[3], dc_codes, ac_codes)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

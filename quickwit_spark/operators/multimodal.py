@@ -196,11 +196,13 @@ def encode_png(img: np.ndarray) -> bytes:
 def decode_image_batch(payloads: pd.Series, deterministic_fake: bool = False) -> list[np.ndarray]:
     """Decode a batch of encoded image bytes → HxWx3 uint8 arrays.
 
-    BMP (magic ``BM``) and PNG (8-bit non-interlaced) payloads decode for
-    REAL via the pure-Python parsers — no imaging library needed. Remaining
-    formats (JPEG/WebP) need Pillow/opencv (not in this container): with
-    ``deterministic_fake=True`` a seeded, content-derived fake is produced
-    so the plumbing still exercises end-to-end; otherwise they raise.
+    BMP (magic ``BM``), PNG (8-bit non-interlaced) and baseline JPEG
+    (SOF0/1 — operators/jpeg.py) payloads decode for REAL via the
+    pure-Python parsers — no imaging library needed. Remaining formats
+    (progressive JPEG, WebP) need Pillow/opencv (not in this container):
+    with ``deterministic_fake=True`` a seeded, content-derived fake is
+    produced so the plumbing still exercises end-to-end; otherwise they
+    raise.
     """
     out = []
     for p in payloads:
@@ -214,10 +216,20 @@ def decode_image_batch(payloads: pd.Series, deterministic_fake: bool = False) ->
         if b[:8] == b"\x89PNG\r\n\x1a\n":
             out.append(_decode_png(b))
             continue
+        if b[:3] == b"\xff\xd8\xff":
+            from quickwit_spark.operators.jpeg import decode_jpeg
+
+            try:
+                out.append(decode_jpeg(b))
+                continue
+            except NotImplementedError:
+                if not deterministic_fake:
+                    raise
         if not deterministic_fake:
             raise NotImplementedError(
-                "only BMP and PNG decode without Pillow/opencv — pass "
-                "deterministic_fake=True for plumbing tests of other formats"
+                "only BMP, PNG and baseline JPEG decode without "
+                "Pillow/opencv — pass deterministic_fake=True for plumbing "
+                "tests of other formats"
             )
         digest = hashlib.sha256(b).digest()
         rng = np.random.default_rng(int.from_bytes(digest[:8], "little"))

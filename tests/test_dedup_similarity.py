@@ -479,3 +479,58 @@ def test_semantic_dedup_prunes_within_cluster_only(spark):
     assert out[2] == (1, True)
     assert out[3] == (1, False)
     assert out[4] == (0, True)
+
+
+def test_jpeg_codec_roundtrip_and_real_files():
+    """Baseline JPEG codec (operators/jpeg.py): encode→decode round-trips
+    within quantization error on smooth images; flat color is exact; 4:2:0
+    exercises the chroma up/downsample path; real-world baseline files from
+    the box (written by real encoders with optimized Huffman tables) decode
+    to their SOF dimensions without entropy-stream errors."""
+    import numpy as np
+
+    from quickwit_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 // (w - 1), yy * 255 // (h - 1), (xx + yy) * 255 // (w + h - 2)],
+        axis=2,
+    ).astype(np.uint8)
+    for sub, tol in (("444", 3), ("420", 8)):
+        dec = decode_jpeg(encode_jpeg(img, quality=95, subsampling=sub))
+        assert dec.shape == (h, w, 3)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= tol
+
+    flat = np.full((16, 16, 3), 128, np.uint8)
+    assert (decode_jpeg(encode_jpeg(flat, 90)) == 128).all()
+
+    g = (yy * 255 // (h - 1)).astype(np.uint8)
+    dg = decode_jpeg(encode_jpeg(g, quality=90))
+    assert dg.shape == (h, w, 3)
+    assert np.abs(dg[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+
+    import glob as _glob
+
+    real = [
+        p
+        for pat in (
+            "/root/.pyenv/versions/3.1*/lib/python3.1*/test/test_email/data/python.jpg",
+        )
+        for p in _glob.glob(pat)
+    ][:1]
+    for p in real:
+        out = decode_jpeg(open(p, "rb").read())
+        assert out.shape == (16, 16, 3)
+
+
+def test_jpeg_dispatch_in_decode_image_batch():
+    import numpy as np
+    import pandas as pd
+
+    from quickwit_spark.operators.jpeg import encode_jpeg
+    from quickwit_spark.operators.multimodal import decode_image_batch
+
+    img = np.full((8, 8, 3), 200, np.uint8)
+    out = decode_image_batch(pd.Series([encode_jpeg(img, 90)]))
+    assert out[0].shape == (8, 8, 3) and (out[0] == 200).all()
