@@ -742,26 +742,21 @@ def pruned_index_df(
 
     Both metadata pruning axes run, exactly as the reference root search
     does before touching any split (root.rs list_relevant_splits): query →
-    ts bounds → :func:`prune_splits_by_time`, and query → TagFilter →
-    :func:`prune_splits_by_tag_filter` (tag_pruning.rs); the surviving set
-    is the intersection."""
-    from quickwit_spark.operators.query import extract_tag_filter
-    from quickwit_spark.pipeline.janitor import (
-        prune_splits_by_tag_filter,
-        prune_splits_by_time,
-        read_index_commits,
+    ts bounds AND query → TagFilter (tag_pruning.rs), evaluated together in
+    ONE lineage scan (:func:`prune_splits`)."""
+    from quickwit_spark.operators.query import (
+        extract_tag_filter,
+        extract_time_bounds,
     )
+    from quickwit_spark.pipeline.janitor import prune_splits, read_index_commits
 
     compiler = QueryCompiler(field_types, default_fields=default_fields)
     ast = _required_query_ast(body, compiler)
-    from quickwit_spark.operators.query import extract_time_bounds
-
     lo, hi, _lo_inc, hi_inc = extract_time_bounds(ast, ts_field)
-    commits = prune_splits_by_time(spark, out_dir, lo, hi, end_inclusive=hi_inc)
-    tag_filt = extract_tag_filter(ast)
-    if tag_filt is not None:
-        tag_commits = set(prune_splits_by_tag_filter(spark, out_dir, tag_filt))
-        commits = [c for c in commits if c in tag_commits]
+    commits = prune_splits(
+        spark, out_dir, lo, hi, end_inclusive=hi_inc,
+        tag_filter=extract_tag_filter(ast),
+    )
     return read_index_commits(spark, out_dir, commits), commits
 
 

@@ -719,13 +719,37 @@ def prune_splits_by_tag_filter(
     root search runs both: root.rs list_relevant_splits passes the
     TagFilterAst to the metastore). ``filt=None`` (no tag constraint) keeps
     every commit."""
+    return prune_splits(spark, out_dir, tag_filter=filt)
+
+
+def prune_splits(
+    spark: SparkSession,
+    out_dir: str,
+    start=None,
+    end=None,
+    end_inclusive: bool = False,
+    tag_filter=None,
+) -> list[str]:
+    """Both metadata pruning axes — time range AND query-derived tag filter
+    — in ONE lineage scan (the reference metastore's list_relevant_splits
+    also evaluates both predicates in a single query). A split survives
+    only if it can overlap [start, end) and its tag set can satisfy
+    ``tag_filter``; either axis may be None (no constraint)."""
     lineage = read_lineage(spark, out_dir)
-    if filt is None:
-        return [r["commit_id"] for r in lineage.select("commit_id").distinct().collect()]
-    rows = (
-        lineage.filter(_tag_filter_col(filt, lineage))
-        .select("commit_id")
-        .distinct()
-        .collect()
-    )
+    cond = F.lit(True)
+    if "time_range_start" in lineage.columns and (start is not None or end is not None):
+        tcond = F.lit(True)
+        if end is not None:
+            end_lit = F.lit(end).cast("timestamp")
+            tcond = tcond & (
+                F.col("time_range_start") <= end_lit
+                if end_inclusive
+                else F.col("time_range_start") < end_lit
+            )
+        if start is not None:
+            tcond = tcond & (F.col("time_range_end") >= F.lit(start).cast("timestamp"))
+        cond = cond & F.coalesce(tcond, F.lit(True))
+    if tag_filter is not None:
+        cond = cond & _tag_filter_col(tag_filter, lineage)
+    rows = lineage.filter(cond).select("commit_id").distinct().collect()
     return [r["commit_id"] for r in rows]
