@@ -103,3 +103,47 @@ def test_terms_with_other_is_single_job_no_global_window(spark, events):
     # 1 action (+ tiny createDataFrame collect) — ≤3 under AQE; the old
     # version ran 3 full scans of the input
     assert after - before <= 3
+
+
+def test_bigram_lm_model_join_is_broadcast(spark, sf_dir):
+    """The LM model (small aggregate) must broadcast to the scoring pass —
+    a sort-merge join on the exploded corpus would shuffle the whole
+    bigram stream twice."""
+    from quickwit_spark.operators.corpus import bigram_lm_scores
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    p = plan_of(bigram_lm_scores(docs))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_dedup_substrings_single_window_shuffle(spark, sf_dir):
+    """Window ranking shuffles ONCE on the span key; no join back to the
+    corpus and no cartesian anywhere."""
+    from quickwit_spark.operators.dedup import dedup_substrings
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    p = plan_of(dedup_substrings(docs, window=8))
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+    # one exchange for the window rank, one for the per-doc regroup
+    assert p.count("Exchange") == 2
+
+
+def test_semantic_dedup_no_join(spark, sf_dir):
+    """Codebook assignment is a vectorized UDF (no join); pruning is one
+    grouped-map over cluster cells — the whole plan has a single shuffle."""
+    import numpy as np
+
+    from quickwit_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    cents = np.stack([r["embedding"] for r in emb.limit(4).collect()])
+    p = plan_of(semantic_dedup(emb, cents, threshold=0.95))
+    assert "Join" not in p
+    assert "ArrowEvalPython" in p  # codebook matmul
+    assert "FlatMapGroupsInPandas" in p  # per-cluster prune
+    assert p.count("Exchange") == 1
