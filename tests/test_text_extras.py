@@ -322,3 +322,42 @@ def test_mixture_plan_temperature_upweights_small_sources(spark):
         assert plan[s]["n_kept"] == again[s]["n_kept"]
         assert abs(plan[s]["n_kept"] - plan[s]["rate"] * plan[s]["n_docs"]) \
             <= 0.1 * plan[s]["n_docs"] + 3
+
+
+def test_bpe_train_hand_computed(spark):
+    """Sennrich-style toy corpus: merges are hand-derivable. Corpus
+    "low low low lower lowest": pair counts make (l,o)→lo, (lo,w)→low the
+    first two merges; "low</w>" becomes a single token after 3 merges."""
+    from quickwit_spark.functions.bpe import _bpe_word, train_bpe
+
+    docs = spark.createDataFrame(
+        [(0, "low low low"), (1, "lower lowest")], "doc_id long, text string"
+    )
+    merges = train_bpe(docs, num_merges=3)
+    assert merges[0] == ("l", "o")
+    assert merges[1] == ("lo", "w")
+    assert merges[2] == ("low", "</w>")
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert _bpe_word("low", ranks) == ["low</w>"]
+    assert _bpe_word("lower", ranks) == ["low", "e", "r", "</w>"]
+    assert _bpe_word("unseen", ranks) == list("unseen") + ["</w>"]
+
+
+def test_bpe_stats_deterministic_and_compressive(spark, sf_dir):
+    """Training twice on the same corpus gives identical merges (content-
+    keyed sample); more merges never increase the token count; stats join
+    up with whitespace word counts."""
+    import os
+
+    from quickwit_spark.functions.bpe import bpe_stats, train_bpe
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(200)
+    m1 = train_bpe(docs, num_merges=64)
+    m2 = train_bpe(docs.repartition(7), num_merges=64)
+    assert m1 == m2  # partitioning-independent
+
+    s64 = bpe_stats(docs, m1).toPandas().set_index("doc_id")
+    s8 = bpe_stats(docs, m1[:8]).toPandas().set_index("doc_id")
+    assert (s64.n_tokens <= s8.n_tokens).all()
+    assert (s64.n_tokens >= s64.n_words).all()  # ≥1 token per word
+    assert (s64.tokens_per_word >= 1.0).all()
