@@ -421,7 +421,16 @@ class QueryCompiler:
             c = F.col(ast.field)
             if ast.case_insensitive:
                 return F.lower(c).rlike(_wildcard_to_regex(ast.pattern.lower()))
-            return c.rlike(_wildcard_to_regex(ast.pattern))
+            pred = c.rlike(_wildcard_to_regex(ast.pattern))
+            prefix = _wildcard_literal_prefix(ast.pattern)
+            if prefix:
+                # zonemap-style pruning (the reference's parquet-engine regex
+                # zonemap, automaton.rs behavior): the pattern's literal
+                # prefix becomes a StringStartsWith conjunct that Catalyst
+                # pushes to parquet row-group min/max stats — the regex
+                # itself never pushes down
+                pred = c.startswith(prefix) & pred
+            return pred
         if isinstance(ast, Regex):
             info = self.info(ast.field)
             flags = "(?i)" if ast.case_insensitive else ""
@@ -434,7 +443,13 @@ class QueryCompiler:
                     tokenize_default(F.col(ast.field)), lambda t: t.rlike(pat)
                 )
             # tantivy regexes are implicitly anchored (`(re)` ≡ `^(re)$`)
-            return F.col(ast.field).rlike(flags + "^(?:" + ast.pattern + ")$")
+            pred = F.col(ast.field).rlike(flags + "^(?:" + ast.pattern + ")$")
+            if not ast.case_insensitive:
+                prefix = _regex_literal_prefix(ast.pattern)
+                if prefix:
+                    # zonemap prefix guard (see Wildcard above)
+                    pred = F.col(ast.field).startswith(prefix) & pred
+            return pred
         if isinstance(ast, Range):
             info = self.info(ast.field)
             if info.kind == "ip":
@@ -604,6 +619,77 @@ def _range_lit(info: FieldInfo, v: str):
         # timestamp literal in the plan, so pushdown still applies
         return F.lit(parse_query_datetime(v))
     return F.lit(_literal(info, v))
+
+
+def _wildcard_literal_prefix(pattern: str) -> str:
+    """Literal prefix of a wildcard pattern (chars before the first
+    unescaped * or ?), for the zonemap-style StartsWith pruning guard."""
+    out: list[str] = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch in "*?":
+            break
+        if ch == "\\" and i + 1 < len(pattern):
+            out.append(pattern[i + 1])
+            i += 2
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _regex_literal_prefix(pattern: str) -> str:
+    """Longest prefix every match of the (implicitly anchored) regex must
+    start with — conservative: empty on anything uncertain. Mirrors the
+    intent of the reference parquet-engine's regex zonemap (automaton-walk
+    over byte ranges); here the prefix feeds a StartsWith conjunct that
+    parquet min/max stats can prune on."""
+    # a top-level alternation makes any prefix unsound ("abc|xyz")
+    depth = 0
+    in_class = False
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+        elif ch == "[":
+            in_class = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif ch == "|" and depth == 0:
+            return ""
+        i += 1
+
+    out: list[str] = []
+    meta = set(".^$*+?()[]{}|")
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        nxt = pattern[i + 1] if i + 1 < len(pattern) else ""
+        if ch == "\\":
+            if nxt and not nxt.isalnum():
+                # escaped literal metachar — unless quantified
+                after = pattern[i + 2] if i + 2 < len(pattern) else ""
+                if after and after in "*+?{":
+                    break
+                out.append(nxt)
+                i += 2
+                continue
+            break  # \d, \w, \b... character classes end the literal run
+        if ch in meta:
+            break
+        if nxt and nxt in "*+?{":
+            break  # a quantified char is not guaranteed
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def _wildcard_to_regex(pattern: str) -> str:

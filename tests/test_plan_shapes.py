@@ -147,3 +147,38 @@ def test_semantic_dedup_no_join(spark, sf_dir):
     assert "ArrowEvalPython" in p  # codebook matmul
     assert "FlatMapGroupsInPandas" in p  # per-cluster prune
     assert p.count("Exchange") == 1
+
+
+def test_wildcard_regex_prefix_guard_pushes_to_scan(spark, events):
+    """Zonemap-style pruning for pattern queries on raw fields: the literal
+    prefix of a wildcard/regex becomes a StringStartsWith conjunct in
+    PushedFilters (parquet min/max prunable); results must equal the
+    unguarded regex."""
+    from quickwit_spark.operators.query import QueryCompiler
+
+    qc = QueryCompiler({"event_type": "raw"})
+    wc = qc.where(events, "event_type:err*")
+    p = plan_of(wc.select("event_id"))
+    assert "StringStartsWith(event_type,err)" in p
+
+    rx = qc.where(events, "event_type:/err.*/")
+    p2 = plan_of(rx.select("event_id"))
+    assert "StringStartsWith(event_type,err)" in p2
+
+    # guard must not change results
+    base = events.filter(F.col("event_type").rlike("^(?:err.*)$")).count()
+    assert rx.count() == base
+    assert wc.count() == base
+
+    # no guard when none can be sound
+    from quickwit_spark.operators.query import (
+        _regex_literal_prefix,
+        _wildcard_literal_prefix,
+    )
+
+    assert _regex_literal_prefix("abc|xyz") == ""
+    assert _regex_literal_prefix("[ae]rr") == ""
+    assert _regex_literal_prefix("er+or") == "e"
+    assert _regex_literal_prefix(r"a\.b.*") == "a.b"
+    assert _wildcard_literal_prefix("e?r*") == "e"
+    assert _wildcard_literal_prefix(r"a\*b*") == "a*b"
