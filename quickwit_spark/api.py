@@ -1285,3 +1285,82 @@ def analyze_text(
             }
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# list_terms: GET /api/v1/{index}/terms (quickwit-native term listing)
+# ---------------------------------------------------------------------------
+
+
+def list_terms(
+    spark,
+    df: DataFrame,
+    field: str,
+    field_types: dict[str, str] | None = None,
+    start_key: str | None = None,
+    end_key: str | None = None,
+    max_hits: int | None = None,
+    indexed_fields: set[str] | None = None,
+) -> list[Any]:
+    """Sorted distinct terms of ``field`` — the root_list_terms analog
+    (quickwit-search/src/list_terms.rs: leaves stream their term
+    dictionaries over ``[start_key, end_key)`` capped at max_hits, the root
+    sort-merges and truncates; much simpler than search since no docs are
+    fetched).
+
+    Term semantics follow the index, not the raw value: tokenized text
+    fields list post-tokenization TOKENS (the term dictionary IS the token
+    space); raw/numeric/datetime fields list stored values. Errors mirror
+    the reference: unknown field and non-indexed field are invalid-query
+    errors (list_terms.rs:74-85).
+
+    Spark shape: partial-aggregated distinct, range filter pushed into the
+    scan, TakeOrdered for the cap — no global sort of the term space.
+    """
+    ftypes = field_types or {}
+    if field not in ftypes and field not in df.columns:
+        raise ValueError(
+            f"failed to list terms in `{field}`, field doesn't exist"
+        )
+    if indexed_fields is not None and field not in indexed_fields:
+        raise ValueError("trying to list terms on field which isn't indexed")
+    kind = ftypes.get(field, "raw")
+    if kind == "text":
+        from quickwit_spark.functions.tokenizers import tokenize_default
+
+        terms = df.select(
+            F.explode(tokenize_default(F.col(field))).alias("term")
+        )
+    else:
+        terms = df.select(F.col(field).alias("term"))
+    terms = terms.filter(F.col("term").isNotNull())
+    if start_key is not None:
+        terms = terms.filter(F.col("term") >= F.lit(start_key))
+    if end_key is not None:
+        terms = terms.filter(F.col("term") < F.lit(end_key))
+    distinct = terms.distinct().orderBy(F.col("term").asc())
+    if max_hits is not None:
+        distinct = distinct.limit(int(max_hits))
+    return [r["term"] for r in distinct.collect()]
+
+
+def list_terms_index(
+    spark,
+    out_dir: str,
+    field: str,
+    field_types: dict[str, str] | None = None,
+    start_timestamp=None,
+    end_timestamp=None,
+    **kwargs,
+) -> list[Any]:
+    """:func:`list_terms` over a janitor-managed index with the reference's
+    metastore-side time pruning (list_terms.rs:97-105: splits outside
+    [start_timestamp, end_timestamp) are never opened, so their terms do
+    not appear — term listing is split-granular by design)."""
+    from quickwit_spark.pipeline.janitor import prune_splits, read_index_commits
+
+    commits = prune_splits(spark, out_dir, start_timestamp, end_timestamp)
+    return list_terms(
+        spark, read_index_commits(spark, out_dir, commits), field,
+        field_types, **kwargs,
+    )

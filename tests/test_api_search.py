@@ -361,3 +361,48 @@ def test_analyze_text_endpoint(spark):
     assert [t["text"] for t in raw] == ["Keep AS-IS"]
     with _pt.raises(ValueError, match="unknown tokenizer"):
         analyze_text(spark, "x", tokenizer="nope")
+
+
+def test_list_terms_semantics(spark):
+    """list_terms.rs analog: tokenized fields list TOKENS, raw fields list
+    values; [start_key, end_key) range; max_hits cap; reference error
+    strings for unknown / non-indexed fields."""
+    from quickwit_spark.api import list_terms
+
+    df = spark.createDataFrame(
+        [("Alpha beta", "E1"), ("beta Gamma", "E2"), ("delta", "E1")],
+        "body string, event string",
+    )
+    ft = {"body": "text", "event": "raw"}
+    assert list_terms(spark, df, "body", ft) == ["alpha", "beta", "delta", "gamma"]
+    assert list_terms(spark, df, "event", ft) == ["E1", "E2"]
+    assert list_terms(spark, df, "body", ft, start_key="b", end_key="d") == ["beta"]
+    assert list_terms(spark, df, "body", ft, max_hits=2) == ["alpha", "beta"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="failed to list terms in `nope`"):
+        list_terms(spark, df, "nope", ft)
+    with _pytest.raises(ValueError, match="isn't indexed"):
+        list_terms(spark, df, "event", ft, indexed_fields={"body"})
+
+
+def test_list_terms_index_time_pruned(spark, tmp_path_factory):
+    """Terms from splits outside the time range never appear (split-granular
+    listing, like the reference's metastore pruning)."""
+    from quickwit_spark.api import list_terms_index
+    from quickwit_spark.pipeline.janitor import build_time_partitioned_index
+
+    out = str(tmp_path_factory.mktemp("lt_idx"))
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "early"), ("2024-01-03 10:00:00", "late")],
+        "ts_s string, word string",
+    ).select(F.to_timestamp("ts_s").alias("ts"), "word")
+    build_time_partitioned_index(spark, df, out, sink_expr=F.lit("d"))
+    ft = {"word": "raw", "ts": "datetime"}
+    assert list_terms_index(spark, out, "word", ft) == ["early", "late"]
+    got = list_terms_index(
+        spark, out, "word", ft,
+        start_timestamp="2024-01-01 00:00:00", end_timestamp="2024-01-02 00:00:00",
+    )
+    assert got == ["early"]
