@@ -270,6 +270,19 @@ def parse_otlp_traces_json(requests: DataFrame, input_col: str = "value") -> Dat
     end = F.col("sp.endTimeUnixNano").cast("long")
     kind_arr = F.array(*[F.lit(k) for k in _SPAN_KINDS])
     code_arr = F.array(*[F.lit(c) for c in _STATUS_CODES])
+    res_attrs = _attrs_to_map(F.col("_res_attrs"))
+    service_name = F.element_at(res_attrs, "service.name")
+    kind_int = F.coalesce(F.col("sp.kind"), F.lit(0))
+    # SpanFingerprint (traces.rs:406-421): service \0 kind-digit \0 span_name
+    # — ONE sortable term whose [start_key, end_key) ranges answer Jaeger
+    # GetOperations straight from the term dictionary
+    fingerprint = F.concat(
+        F.coalesce(service_name, F.lit("")),
+        F.lit("\x00"),
+        kind_int.cast("string"),
+        F.lit("\x00"),
+        F.col("sp.name"),
+    )
     return sp.select(
         F.col("sp.traceId").alias("trace_id"),
         F.col("sp.spanId").alias("span_id"),
@@ -290,6 +303,8 @@ def parse_otlp_traces_json(requests: DataFrame, input_col: str = "value") -> Dat
         F.transform(F.coalesce(F.col("sp.events"), F.array()), lambda e: e["name"]).alias(
             "event_names"
         ),
+        service_name.alias("service_name"),
+        fingerprint.alias("span_fingerprint"),
     )
 
 
