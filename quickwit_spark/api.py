@@ -1364,3 +1364,93 @@ def list_terms_index(
         spark, read_index_commits(spark, out_dir, commits), field,
         field_types, **kwargs,
     )
+
+
+# ---------------------------------------------------------------------------
+# delete-task API: POST/GET /api/v1/{index}/delete-tasks
+# ---------------------------------------------------------------------------
+
+
+def create_delete_task(
+    spark,
+    out_dir: str,
+    request: dict[str, Any],
+    field_types: dict[str, str] | None = None,
+    default_fields: tuple[str, ...] = (),
+    ts_field: str = "ts",
+) -> dict[str, Any]:
+    """``POST /{index}/delete-tasks`` analog (delete_task_api/handler.rs:
+    DeleteQueryRequest is deny_unknown_fields; the query parses against the
+    doc mapping with optional ``search_field`` overriding the defaults;
+    start/end_timestamp bound the delete to ``ts >= start AND ts < end``).
+
+    The reference QUEUES the task for its janitor; here the janitor runs
+    availableNow-style, so the task is applied before returning — same
+    contract a caller observes after the reference's janitor cycle.
+    Returns the DeleteTask shape (create_timestamp, opstamp, delete_query).
+    """
+    import time as _time
+
+    from quickwit_spark.pipeline.janitor import delete_by_query
+
+    allowed = {"query", "search_field", "start_timestamp", "end_timestamp"}
+    unknown = set(request) - allowed
+    if unknown:
+        raise ValueError(f"unknown field `{sorted(unknown)[0]}` in delete query request")
+    query = request.get("query") or ""
+    fields = tuple(request.get("search_field") or default_fields)
+    compiler = QueryCompiler(field_types, default_fields=fields)
+    try:
+        compiler.parse(query)
+    except ValueError as err:
+        raise ValueError(f"invalid delete query: {err}") from err
+    start = request.get("start_timestamp")
+    end = request.get("end_timestamp")
+    effective = f"({query})" if query.strip() not in ("", "*") else "*"
+    if start is not None or end is not None:
+        lo = str(start) if start is not None else "*"
+        hi = str(end) if end is not None else "*"
+        bound = f"{ts_field}:[{lo} TO {hi}}}"
+        effective = bound if effective == "*" else f"{effective} AND {bound}"
+    result = delete_by_query(spark, out_dir, effective, compiler)
+    task = {
+        "create_timestamp": int(_time.time()),
+        "opstamp": result["opstamp"],
+        "delete_query": {
+            "query": query,
+            "start_timestamp": start,
+            "end_timestamp": end,
+        },
+    }
+    # enrich the janitor's write-ahead record so GET /delete-tasks can return
+    # the full task shape later
+    import os as _os
+
+    path = _os.path.join(out_dir, "_deletes", f"{result['opstamp']}.json")
+    with open(path) as fh:
+        record = _json.load(fh)
+    record["task"] = task
+    with open(path, "w") as fh:
+        _json.dump(record, fh)
+    return task
+
+
+def list_delete_tasks(out_dir: str) -> list[dict[str, Any]]:
+    """``GET /{index}/delete-tasks`` analog: every delete task ever created
+    on the index, oldest-first by opstamp (metastore list_delete_tasks)."""
+    import glob as _glob
+    import os as _os
+
+    tasks = []
+    for p in sorted(
+        _glob.glob(_os.path.join(out_dir, "_deletes", "*.json")),
+        key=lambda p: int(_os.path.basename(p).split(".")[0]),
+    ):
+        with open(p) as fh:
+            record = _json.load(fh)
+        tasks.append(
+            record.get("task")
+            or {"opstamp": record["opstamp"],
+                "delete_query": {"query": record.get("query", "")}}
+        )
+    return tasks

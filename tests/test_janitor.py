@@ -569,3 +569,44 @@ def test_search_index_auto_tag_pruning(spark, tmp_path_factory):
     assert run("tag:7") == (0, [])
     # non-tag field conjunct does not prune; tag conjunct still does
     assert run("tag:2 AND seq:2") == (1, ["c1"])
+
+
+def test_delete_task_api(spark, tiny_dir, index_dir):
+    """delete_task_api/handler.rs analog: deny_unknown_fields, invalid-query
+    400, ts-bounded deletes, DeleteTask response shape, list ordering."""
+    from quickwit_spark.api import create_delete_task, list_delete_tasks
+
+    ft = {"event_type": "raw", "value": "numeric", "ts": "datetime"}
+    before = read_index(spark, index_dir).count()
+    n_err_day1 = (
+        read_index(spark, index_dir)
+        .filter((F.col("event_type") == "error")
+                & (F.col("ts") < "2024-01-02 00:00:00"))
+        .count()
+    )
+    assert n_err_day1 > 0
+
+    task = create_delete_task(
+        spark, index_dir,
+        {"query": "event_type:error",
+         "end_timestamp": "2024-01-02T00:00:00Z"},
+        ft,
+    )
+    assert task["opstamp"] >= 1
+    assert task["delete_query"]["query"] == "event_type:error"
+    after = read_index(spark, index_dir).count()
+    assert after == before - n_err_day1  # only the bounded slice deleted
+
+    # second task gets a later opstamp; list returns oldest-first
+    task2 = create_delete_task(spark, index_dir, {"query": "value:>=99999"}, ft)
+    assert task2["opstamp"] > task["opstamp"]
+    tasks = list_delete_tasks(index_dir)
+    assert [t["opstamp"] for t in tasks] == sorted(t["opstamp"] for t in tasks)
+    assert tasks[-1]["delete_query"]["query"] == "value:>=99999"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown field"):
+        create_delete_task(spark, index_dir, {"query": "*", "bogus": 1}, ft)
+    with _pytest.raises(ValueError, match="invalid delete query"):
+        create_delete_task(spark, index_dir, {"query": "value:"}, ft)
