@@ -1454,3 +1454,26 @@ def list_delete_tasks(out_dir: str) -> list[dict[str, Any]]:
                 "delete_query": {"query": record.get("query", "")}}
         )
     return tasks
+
+
+# ---------------------------------------------------------------------------
+# SQL over indexes (datafusion_api analog — Spark SQL IS the engine here)
+# ---------------------------------------------------------------------------
+
+
+def register_sql_views(spark, indexes: dict[str, str]) -> list[str]:
+    """Register each janitor-managed index as a temp view so arbitrary
+    ``spark.sql`` runs against it — the analog of the fork's DataFusion SQL
+    endpoint (quickwit-serve/src/datafusion_api: mounts a SQL session over
+    the parquet engine). Partition pruning on ``commit``/``sink`` and
+    parquet filter pushdown apply to any SQL the user writes; view names
+    are validated against the index-id rule."""
+    from quickwit_spark.pipeline.janitor import read_index
+
+    names = []
+    for name, out_dir in indexes.items():
+        if not _INDEX_ID_RE.match(name):
+            raise ValueError(f"invalid index id [{name}]")
+        read_index(spark, out_dir).createOrReplaceTempView(name)
+        names.append(name)
+    return names

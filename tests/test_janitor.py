@@ -610,3 +610,28 @@ def test_delete_task_api(spark, tiny_dir, index_dir):
         create_delete_task(spark, index_dir, {"query": "*", "bogus": 1}, ft)
     with _pytest.raises(ValueError, match="invalid delete query"):
         create_delete_task(spark, index_dir, {"query": "value:"}, ft)
+
+
+def test_sql_over_index(spark, tiny_dir, index_dir):
+    """datafusion_api analog: plain SQL over a registered index view, with
+    results matching the DataFrame path."""
+    from quickwit_spark.api import register_sql_views
+
+    assert register_sql_views(spark, {"events_idx": index_dir}) == ["events_idx"]
+    got = spark.sql(
+        "SELECT event_type, count(*) AS n FROM events_idx "
+        "WHERE value >= 10 GROUP BY event_type ORDER BY event_type"
+    ).collect()
+    want = (
+        read_index(spark, index_dir)
+        .filter(F.col("value") >= 10)
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="invalid index id"):
+        register_sql_views(spark, {"BAD NAME": index_dir})
