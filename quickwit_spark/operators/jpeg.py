@@ -3,12 +3,14 @@
 No imaging library in this container, so like the BMP/PNG/WAV codecs in
 operators/multimodal.py this implements the public wire format directly:
 
-- :func:`decode_jpeg` — baseline (SOF0) decoder: DQT/DHT/SOF0/DRI/SOS
-  parsing, canonical Huffman decode with byte-unstuffing and restart
-  markers, dequantize → un-zigzag → IDCT, chroma upsampling for any
-  sampling factors (4:4:4 / 4:2:2 / 4:2:0), YCbCr→RGB (JFIF/BT.601).
-  Grayscale and 3-component images supported; progressive (SOF2) and
-  arithmetic coding are out of scope and raise.
+- :func:`decode_jpeg` — baseline (SOF0/1) AND progressive (SOF2, T.81
+  Annex G) decoder: DQT/DHT/SOF/DRI/SOS parsing, canonical Huffman decode
+  with byte-unstuffing and restart markers; progressive scans accumulate
+  per-component coefficients (DC first/refine, AC spectral bands with EOB
+  runs, AC refinement correction bits); dequantize → un-zigzag → IDCT,
+  chroma upsampling for any sampling factors (4:4:4 / 4:2:2 / 4:2:0),
+  YCbCr→RGB (JFIF/BT.601). Grayscale and 3-component images supported;
+  arithmetic coding and lossless/hierarchical modes raise.
 - :func:`encode_jpeg` — a minimal spec-compliant baseline encoder for
   round-trip tests: Annex-K quantization tables scaled by ``quality``,
   FIXED-LENGTH canonical Huffman tables declared in DHT (4-bit DC codes,
@@ -212,8 +214,12 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline sequential JPEG (SOF0/1) supported")
+        elif marker == 0xC2:  # progressive DCT → Annex-G path
+            return _decode_progressive(b)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline (SOF0/1) and progressive (SOF2) JPEG supported"
+            )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -496,3 +502,261 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, subsampling: str = "444") ->
     out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decoding — T.81 Annex G
+# ---------------------------------------------------------------------------
+
+
+def _next_marker_after_scan(b: bytes, start: int) -> int:
+    """Index of the 0xFF of the first real marker after entropy data
+    (skipping stuffed FF00 and RSTn)."""
+    i = start
+    while i < len(b) - 1:
+        if b[i] == 0xFF:
+            nxt = b[i + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            return i
+        i += 1
+    return len(b)
+
+
+def _decode_progressive(b: bytes) -> np.ndarray:
+    """Baseline machinery + Annex-G scan accumulation: every SOS refines the
+    per-component coefficient arrays (DC first/refine, AC first/refine with
+    EOB runs and correction bits); reconstruction runs once at the end."""
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    scans = []  # (scan comps, Ss, Se, Ah, Al, data_start, restart_interval)
+    i = 2
+    while i < len(b) - 1:
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        i += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack(">H", b[i:i + 2])[0]
+        seg = b[i + 2:i + seglen]
+        if marker == 0xDB:
+            j = 0
+            while j < len(seg):
+                prec, tid = seg[j] >> 4, seg[j] & 0xF
+                if prec == 0:
+                    tbl = np.frombuffer(seg[j + 1:j + 65], dtype=np.uint8).astype(np.int64)
+                    j += 65
+                else:
+                    tbl = np.frombuffer(seg[j + 1:j + 129], dtype=">u2").astype(np.int64)
+                    j += 129
+                raster = np.zeros(64, dtype=np.int64)
+                raster[ZIGZAG] = tbl
+                qt[tid] = raster.reshape(8, 8)
+        elif marker == 0xC4:
+            j = 0
+            while j < len(seg):
+                cls, tid = seg[j] >> 4, seg[j] & 0xF
+                bits = list(seg[j + 1:j + 17])
+                n = sum(bits)
+                vals = list(seg[j + 17:j + 17 + n])
+                # tables are positional in the scan stream: snapshot per scan
+                (huff_ac if cls else huff_dc)[tid] = _build_huffman(bits, vals)
+                j += 17 + n
+        elif marker == 0xC2:
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC0, 0xC1):
+            raise ValueError("sequential frame in progressive path")
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:
+            ns = seg[0]
+            scomps = []
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scomps.append({"id": cid, "dc": tt >> 4, "ac": tt & 0xF})
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            data_start = i + seglen
+            # Huffman tables are mutable between scans — bind copies now
+            tables = {
+                c["id"]: (huff_dc.get(c["dc"]), huff_ac.get(c["ac"]))
+                for c in scomps
+            }
+            scans.append((scomps, tables, ss, se, ahal >> 4, ahal & 0xF,
+                          data_start, restart_interval))
+            i = _next_marker_after_scan(b, data_start)
+            continue
+        i += seglen
+    if frame is None or not scans:
+        raise ValueError("no progressive frame/scan found")
+
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    by_id = {c["id"]: c for c in comps}
+    for c in comps:
+        # allocated (MCU-padded) block grid; nominal dims for 1-comp scans
+        c["bw_alloc"], c["bh_alloc"] = mcux * c["h"], mcuy * c["v"]
+        c["bw"] = (-(-(w * c["h"]) // hmax) + 7) // 8
+        c["bh"] = (-(-(h * c["v"]) // vmax) + 7) // 8
+    coefs = {
+        c["id"]: np.zeros((c["bh_alloc"], c["bw_alloc"], 64), dtype=np.int64)
+        for c in comps
+    }
+
+    for scomps, tables, ss, se, ah, al, data_start, dri in scans:
+        r = _BitReader(b, data_start)
+        eobrun = 0
+        pred = {sc["id"]: 0 for sc in scomps}
+        blocks_done = 0
+        if len(scomps) == 1:
+            sc = scomps[0]
+            c = by_id[sc["id"]]
+            dc_tbl, ac_tbl = tables[sc["id"]]
+            cf = coefs[sc["id"]]
+            for by in range(c["bh"]):
+                for bx in range(c["bw"]):
+                    if dri and blocks_done and blocks_done % dri == 0:
+                        r.align_restart()
+                        pred[sc["id"]] = 0
+                        eobrun = 0
+                    eobrun = _decode_block_prog(
+                        r, cf[by, bx], dc_tbl, ac_tbl, ss, se, ah, al,
+                        pred, sc["id"], eobrun,
+                    )
+                    blocks_done += 1
+        else:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri and blocks_done and blocks_done % dri == 0:
+                        r.align_restart()
+                        pred = {sc["id"]: 0 for sc in scomps}
+                        eobrun = 0
+                    for sc in scomps:
+                        c = by_id[sc["id"]]
+                        dc_tbl, ac_tbl = tables[sc["id"]]
+                        cf = coefs[sc["id"]]
+                        for vy in range(c["v"]):
+                            for vx in range(c["h"]):
+                                eobrun = _decode_block_prog(
+                                    r, cf[my * c["v"] + vy, mx * c["h"] + vx],
+                                    dc_tbl, ac_tbl, ss, se, ah, al,
+                                    pred, sc["id"], eobrun,
+                                )
+                    blocks_done += 1
+
+    planes = {}
+    for c in comps:
+        cf = coefs[c["id"]]
+        q = qt[c["tq"]]
+        plane = np.zeros((c["bh_alloc"] * 8, c["bw_alloc"] * 8), dtype=np.float64)
+        for by in range(c["bh_alloc"]):
+            for bx in range(c["bw_alloc"]):
+                block = np.zeros(64, dtype=np.int64)
+                block[ZIGZAG] = cf[by, bx]
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                    _idct2(block.reshape(8, 8) * q) + 128
+                )
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        planes[c["id"]] = plane[:h, :w]
+    out = [planes[c["id"]] for c in comps]
+    if len(out) == 1:
+        g = np.clip(out[0], 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    Y, Cb, Cr = out
+    R = Y + 1.402 * (Cr - 128)
+    G = Y - 0.344136 * (Cb - 128) - 0.714136 * (Cr - 128)
+    B = Y + 1.772 * (Cb - 128)
+    return np.clip(np.stack([R, G, B], axis=2).round(), 0, 255).astype(np.uint8)
+
+
+def _decode_block_prog(r, coef, dc_tbl, ac_tbl, ss, se, ah, al, pred, cid, eobrun):
+    """One block of one progressive scan; ``coef`` is the block's zigzag
+    coefficient vector, mutated in place. Returns the new EOB run."""
+    if ss == 0:
+        if ah == 0:  # DC first
+            t = r.decode_huff(dc_tbl)
+            diff = _extend(r.read_bits(t), t)
+            pred[cid] += diff
+            coef[0] = pred[cid] << al
+        else:  # DC refinement
+            if r.read_bit():
+                coef[0] |= 1 << al
+        return eobrun
+    p1 = 1 << al
+    m1 = -1 << al
+    if ah == 0:  # AC first
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = r.decode_huff(ac_tbl)
+            run, size = rs >> 4, rs & 0xF
+            if size == 0:
+                if run < 15:
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += r.read_bits(run)
+                    break
+                k += 16
+                continue
+            k += run
+            if k > se:
+                break
+            coef[k] = _extend(r.read_bits(size), size) << al
+            k += 1
+        return eobrun
+    # AC refinement (G.1.2.3 correction-bit walk). NOTE the EOB asymmetry
+    # vs the first pass: an EOB here still owes correction bits for the
+    # REST of this block's nonzero band, so the run includes this block
+    # (decremented by the tail below after those bits are consumed).
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = r.decode_huff(ac_tbl)
+            run, size = rs >> 4, rs & 0xF
+            if size == 0:
+                if run < 15:
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += r.read_bits(run)
+                    break
+                val = 0  # ZRL: skip 16 zero coefficients
+            else:
+                val = p1 if r.read_bit() else m1
+            while k <= se:
+                if coef[k] != 0:
+                    if r.read_bit() and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] > 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k] != 0:
+                if r.read_bit() and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun

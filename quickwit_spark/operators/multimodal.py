@@ -2,9 +2,10 @@
 with typed metadata; decode / feature-extract / resize / frame-sample as
 Arrow-batched ``mapInPandas`` operators.
 
-Decode kernels: BMP (image) and WAV/PCM (audio) decode for REAL with pure
-numpy — no imaging/audio library needed — and have matching encoders for
-fixtures and oracles. Compressed formats (PNG/JPEG, mp3/ogg) would need
+Decode kernels: BMP, PNG, JPEG (baseline + progressive; operators/jpeg.py)
+and WAV/PCM decode for REAL with pure numpy/stdlib — no imaging/audio
+library needed — with matching encoders for fixtures and oracles. The
+remaining formats (WebP, mp3/ogg) would need
 Pillow/soundfile (not in this container): those raise unless
 ``deterministic_fake=True``, which substitutes a seeded, content-derived
 fake so the Spark-side plumbing — schema, partitioning, UDF signature,
@@ -196,10 +197,10 @@ def encode_png(img: np.ndarray) -> bytes:
 def decode_image_batch(payloads: pd.Series, deterministic_fake: bool = False) -> list[np.ndarray]:
     """Decode a batch of encoded image bytes → HxWx3 uint8 arrays.
 
-    BMP (magic ``BM``), PNG (8-bit non-interlaced) and baseline JPEG
-    (SOF0/1 — operators/jpeg.py) payloads decode for REAL via the
-    pure-Python parsers — no imaging library needed. Remaining formats
-    (progressive JPEG, WebP) need Pillow/opencv (not in this container):
+    BMP (magic ``BM``), PNG (8-bit non-interlaced) and JPEG (baseline
+    SOF0/1 + progressive SOF2 — operators/jpeg.py) payloads decode for
+    REAL via the pure-Python parsers — no imaging library needed.
+    Remaining formats (WebP, arithmetic-coded JPEG) would need Pillow:
     with ``deterministic_fake=True`` a seeded, content-derived fake is
     produced so the plumbing still exercises end-to-end; otherwise they
     raise.

@@ -534,3 +534,115 @@ def test_jpeg_dispatch_in_decode_image_batch():
     img = np.full((8, 8, 3), 200, np.uint8)
     out = decode_image_batch(pd.Series([encode_jpeg(img, 90)]))
     assert out[0].shape == (8, 8, 3) and (out[0] == 200).all()
+
+
+def _encode_progressive_gray(img, quality=85):
+    """Test-only progressive (SOF2) grayscale emitter: spectral selection
+    without successive approximation (DC scan + AC bands 1-5 and 6-63,
+    Al=0). Quantized coefficients are identical to the baseline encoder's,
+    so the progressive decode must produce EXACTLY the baseline-decoded
+    image."""
+    import struct
+
+    import numpy as np
+
+    from quickwit_spark.operators import jpeg as J
+
+    ql = J._scaled_quant(J.QUANT_LUMA, quality)
+    dc_bits, dc_codes, ac_bits, ac_codes = J._fixed_tables()
+    P, nby, nbx = J._blocks_of(img.astype(np.float64))
+    h, w = img.shape
+
+    out = bytearray(b"\xff\xd8")
+    z = ql.reshape(64)[J.ZIGZAG].astype(np.uint8)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + z.tobytes()
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = bytes([0x00]) + bytes(dc_bits) + bytes(J._DC_SYMS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    dht = bytes([0x10]) + bytes(ac_bits) + bytes(J._AC_SYMS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+
+    # quantized zigzag coefficients per block
+    zz_blocks = []
+    for by in range(nby):
+        for bx in range(nbx):
+            blk = P[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+            coef = np.round(J._dct2(blk - 128.0) / ql).astype(np.int64)
+            zz_blocks.append(coef.reshape(64)[J.ZIGZAG])
+
+    def cat(v):
+        return 0 if v == 0 else int(abs(v)).bit_length()
+
+    def sos(comps_spec, ss, se):
+        body = bytes([1, 1, 0x00, ss, se, 0x00])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    # scan 1: DC
+    out += sos(1, 0, 0)
+    bw = J._BitWriter()
+    pred = 0
+    for zzb in zz_blocks:
+        diff = int(zzb[0]) - pred
+        pred = int(zzb[0])
+        t = cat(diff)
+        ln, code = dc_codes[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    bw.flush()
+    out += bw.out
+    # scans 2-3: AC bands (EOB per block, run=0 → EOBRUN=1)
+    for ss, se in ((1, 5), (6, 63)):
+        out += sos(1, ss, se)
+        bw = J._BitWriter()
+        for zzb in zz_blocks:
+            k = ss
+            last_nz = max([i for i in range(ss, se + 1) if zzb[i] != 0], default=ss - 1)
+            while k <= last_nz:
+                run = 0
+                while zzb[k] == 0:
+                    run += 1
+                    k += 1
+                while run > 15:
+                    ln, code = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                v = int(zzb[k])
+                t = cat(v)
+                ln, code = ac_codes[(run << 4) | t]
+                bw.write(code, ln)
+                bw.write(v if v >= 0 else v + (1 << t) - 1, t)
+                k += 1
+            if last_nz < se:
+                ln, code = ac_codes[0x00]  # EOB (EOBRUN = 1)
+                bw.write(code, ln)
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_jpeg_exact_vs_baseline():
+    """Progressive (SOF2) spectral-selection decode must reproduce the
+    baseline decode EXACTLY — same quantized coefficients, two different
+    entropy layouts. Also: real-world progressive files (written by real
+    encoders with successive approximation + EOB runs) decode through all
+    scans without entropy desync."""
+    import numpy as np
+
+    from quickwit_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=85))
+    prog = decode_jpeg(_encode_progressive_gray(img, quality=85))
+    assert (base == prog).all()
+
+    import os
+
+    real = "/root/reference/docs/assets/images/screenshot-indexer-grafana-dashboard.jpeg"
+    if os.path.exists(real):
+        out = decode_jpeg(open(real, "rb").read())
+        assert out.shape == (280, 900, 3)
+        assert 10 < out.mean() < 120  # plausible dark dashboard, not garbage
