@@ -70,10 +70,24 @@ def bigram_lm_scores(
             ).alias("logp"),
         )
     )
-    scored = bigrams.join(model, ["w1", "w2"], "left")
     # unseen bigrams (possible when scoring a different frame than the
-    # training corpus) back off to the unseen-mass floor log(α / (c1 + αV));
-    # over the training corpus itself every bigram is seen
+    # training corpus) back off to the unseen-mass floor log(α / (c1 + αV))
+    # — c1 = 0 for an unseen history word, giving log(1/V). Over the
+    # training corpus itself every bigram is seen and the floor never fires.
+    scored = (
+        bigrams.join(F.broadcast(uni), "w1", "left")
+        .join(model, ["w1", "w2"], "left")
+        .withColumn(
+            "logp",
+            F.coalesce(
+                F.col("logp"),
+                F.log(
+                    F.lit(alpha)
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha * vocab))
+                ),
+            ),
+        )
+    )
     return (
         scored.groupBy(id_col)
         .agg(

@@ -137,11 +137,26 @@ class _BitReader:
         return v
 
     def align_restart(self):
-        """Consume a pending RSTn marker and realign to a byte boundary."""
+        """Consume a pending RSTn marker and realign to a byte boundary.
+
+        The marker may already be latched (``_fill`` ran into it) or still
+        sit unread at ``self.pos`` (``_fill`` buffers 4 bytes at a time, so
+        an interval whose byte length hits the buffer boundary leaves the
+        marker unconsumed) — both cases must advance past it, or the next
+        fill latches the marker and pads zeros for the whole next interval.
+        """
         self.bitbuf = 0
         self.nbits = 0
-        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
-            self.marker = None
+        if self.marker is not None:
+            if 0xD0 <= self.marker <= 0xD7:
+                self.marker = None
+            return
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
 
     def decode_huff(self, table: dict[tuple[int, int], int]) -> int:
         code = 0
@@ -156,6 +171,32 @@ class _BitReader:
 def _extend(v: int, t: int) -> int:
     """T.81 F.2.2.1 EXTEND: map t raw bits to the signed coefficient."""
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _parse_dqt(seg: bytes, qt: dict) -> None:
+    j = 0
+    while j < len(seg):
+        prec, tid = seg[j] >> 4, seg[j] & 0xF
+        if prec == 0:
+            tbl = np.frombuffer(seg[j + 1:j + 65], dtype=np.uint8).astype(np.int64)
+            j += 65
+        else:
+            tbl = np.frombuffer(seg[j + 1:j + 129], dtype=">u2").astype(np.int64)
+            j += 129
+        raster = np.zeros(64, dtype=np.int64)
+        raster[ZIGZAG] = tbl
+        qt[tid] = raster.reshape(8, 8)
+
+
+def _parse_dht(seg: bytes, huff_dc: dict, huff_ac: dict) -> None:
+    j = 0
+    while j < len(seg):
+        cls, tid = seg[j] >> 4, seg[j] & 0xF
+        bits = list(seg[j + 1:j + 17])
+        n = sum(bits)
+        vals = list(seg[j + 17:j + 17 + n])
+        (huff_ac if cls else huff_dc)[tid] = _build_huffman(bits, vals)
+        j += 17 + n
 
 
 # ---------------------------------------------------------------------------
@@ -173,7 +214,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     frame = None
     restart_interval = 0
     i = 2
-    while i < len(b):
+    while i < len(b) - 1:
         if b[i] != 0xFF:
             i += 1
             continue
@@ -186,27 +227,9 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         seglen = struct.unpack(">H", b[i:i + 2])[0]
         seg = b[i + 2:i + seglen]
         if marker == 0xDB:  # DQT
-            j = 0
-            while j < len(seg):
-                prec, tid = seg[j] >> 4, seg[j] & 0xF
-                if prec == 0:
-                    tbl = np.frombuffer(seg[j + 1:j + 65], dtype=np.uint8).astype(np.int64)
-                    j += 65
-                else:
-                    tbl = np.frombuffer(seg[j + 1:j + 129], dtype=">u2").astype(np.int64)
-                    j += 129
-                raster = np.zeros(64, dtype=np.int64)
-                raster[ZIGZAG] = tbl
-                qt[tid] = raster.reshape(8, 8)
+            _parse_dqt(seg, qt)
         elif marker == 0xC4:  # DHT
-            j = 0
-            while j < len(seg):
-                cls, tid = seg[j] >> 4, seg[j] & 0xF
-                bits = list(seg[j + 1:j + 17])
-                n = sum(bits)
-                vals = list(seg[j + 17:j + 17 + n])
-                (huff_ac if cls else huff_dc)[tid] = _build_huffman(bits, vals)
-                j += 17 + n
+            _parse_dht(seg, huff_dc, huff_ac)
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             comps = []
@@ -224,6 +247,10 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
+            if ns < len(frame["comps"]):
+                # spec-legal non-interleaved baseline (one scan per
+                # component) — decode via the generic multi-scan walker
+                return _decode_multiscan(b, progressive=False)
             scan = []
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
@@ -473,7 +500,6 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, subsampling: str = "444") ->
         Crs = np.pad(Cr, ((0, H2 - h), (0, W2 - w)), mode="edge")
         Cbs = Cbs.reshape(H2 // 2, 2, W2 // 2, 2).mean(axis=(1, 3))
         Crs = Crs.reshape(H2 // 2, 2, W2 // 2, 2).mean(axis=(1, 3))
-        py = px = 0
         pred = {1: 0, 2: 0, 3: 0}
         for my in range(H2 // 16):
             for mx in range(W2 // 16):
@@ -525,9 +551,15 @@ def _next_marker_after_scan(b: bytes, start: int) -> int:
 
 
 def _decode_progressive(b: bytes) -> np.ndarray:
-    """Baseline machinery + Annex-G scan accumulation: every SOS refines the
-    per-component coefficient arrays (DC first/refine, AC first/refine with
-    EOB runs and correction bits); reconstruction runs once at the end."""
+    return _decode_multiscan(b, progressive=True)
+
+
+def _decode_multiscan(b: bytes, progressive: bool) -> np.ndarray:
+    """Generic multi-scan decoding: every SOS accumulates into per-component
+    coefficient arrays; reconstruction runs once at the end. Progressive
+    scans refine coefficients (Annex G: DC first/refine, AC bands with EOB
+    runs and correction bits); sequential scans (non-interleaved baseline,
+    one scan per component) decode full blocks."""
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
@@ -548,37 +580,19 @@ def _decode_progressive(b: bytes) -> np.ndarray:
         seglen = struct.unpack(">H", b[i:i + 2])[0]
         seg = b[i + 2:i + seglen]
         if marker == 0xDB:
-            j = 0
-            while j < len(seg):
-                prec, tid = seg[j] >> 4, seg[j] & 0xF
-                if prec == 0:
-                    tbl = np.frombuffer(seg[j + 1:j + 65], dtype=np.uint8).astype(np.int64)
-                    j += 65
-                else:
-                    tbl = np.frombuffer(seg[j + 1:j + 129], dtype=">u2").astype(np.int64)
-                    j += 129
-                raster = np.zeros(64, dtype=np.int64)
-                raster[ZIGZAG] = tbl
-                qt[tid] = raster.reshape(8, 8)
+            _parse_dqt(seg, qt)
         elif marker == 0xC4:
-            j = 0
-            while j < len(seg):
-                cls, tid = seg[j] >> 4, seg[j] & 0xF
-                bits = list(seg[j + 1:j + 17])
-                n = sum(bits)
-                vals = list(seg[j + 17:j + 17 + n])
-                # tables are positional in the scan stream: snapshot per scan
-                (huff_ac if cls else huff_dc)[tid] = _build_huffman(bits, vals)
-                j += 17 + n
-        elif marker == 0xC2:
+            # tables are positional in the scan stream: snapshot per scan
+            _parse_dht(seg, huff_dc, huff_ac)
+        elif marker in ((0xC2,) if progressive else (0xC0, 0xC1)):
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC0, 0xC1):
-            raise ValueError("sequential frame in progressive path")
+        elif marker in ((0xC0, 0xC1) if progressive else (0xC2,)):
+            raise ValueError("frame type does not match multiscan mode")
         elif marker == 0xDD:
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:
@@ -601,7 +615,7 @@ def _decode_progressive(b: bytes) -> np.ndarray:
             continue
         i += seglen
     if frame is None or not scans:
-        raise ValueError("no progressive frame/scan found")
+        raise ValueError("no frame/scan found")
 
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     hmax = max(c["h"] for c in comps)
@@ -635,10 +649,14 @@ def _decode_progressive(b: bytes) -> np.ndarray:
                         r.align_restart()
                         pred[sc["id"]] = 0
                         eobrun = 0
-                    eobrun = _decode_block_prog(
-                        r, cf[by, bx], dc_tbl, ac_tbl, ss, se, ah, al,
-                        pred, sc["id"], eobrun,
-                    )
+                    if progressive:
+                        eobrun = _decode_block_prog(
+                            r, cf[by, bx], dc_tbl, ac_tbl, ss, se, ah, al,
+                            pred, sc["id"], eobrun,
+                        )
+                    else:
+                        _decode_block_seq(r, cf[by, bx], dc_tbl, ac_tbl,
+                                          pred, sc["id"])
                     blocks_done += 1
         else:
             for my in range(mcuy):
@@ -653,11 +671,15 @@ def _decode_progressive(b: bytes) -> np.ndarray:
                         cf = coefs[sc["id"]]
                         for vy in range(c["v"]):
                             for vx in range(c["h"]):
-                                eobrun = _decode_block_prog(
-                                    r, cf[my * c["v"] + vy, mx * c["h"] + vx],
-                                    dc_tbl, ac_tbl, ss, se, ah, al,
-                                    pred, sc["id"], eobrun,
-                                )
+                                blk = cf[my * c["v"] + vy, mx * c["h"] + vx]
+                                if progressive:
+                                    eobrun = _decode_block_prog(
+                                        r, blk, dc_tbl, ac_tbl, ss, se, ah,
+                                        al, pred, sc["id"], eobrun,
+                                    )
+                                else:
+                                    _decode_block_seq(r, blk, dc_tbl, ac_tbl,
+                                                      pred, sc["id"])
                     blocks_done += 1
 
     planes = {}
@@ -684,6 +706,28 @@ def _decode_progressive(b: bytes) -> np.ndarray:
     G = Y - 0.344136 * (Cb - 128) - 0.714136 * (Cr - 128)
     B = Y + 1.772 * (Cb - 128)
     return np.clip(np.stack([R, G, B], axis=2).round(), 0, 255).astype(np.uint8)
+
+
+def _decode_block_seq(r, coef, dc_tbl, ac_tbl, pred, cid):
+    """One full baseline block (DC diff + AC run-length to 63) into the
+    block's zigzag coefficient vector."""
+    t = r.decode_huff(dc_tbl)
+    pred[cid] += _extend(r.read_bits(t), t)
+    coef[0] = pred[cid]
+    k = 1
+    while k < 64:
+        rs = r.decode_huff(ac_tbl)
+        run, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if run == 15:
+                k += 16
+                continue
+            break
+        k += run
+        if k > 63:
+            raise ValueError("AC index overflow")
+        coef[k] = _extend(r.read_bits(size), size)
+        k += 1
 
 
 def _decode_block_prog(r, coef, dc_tbl, ac_tbl, ss, se, ah, al, pred, cid, eobrun):

@@ -223,7 +223,10 @@ def decode_image_batch(payloads: pd.Series, deterministic_fake: bool = False) ->
             try:
                 out.append(decode_jpeg(b))
                 continue
-            except NotImplementedError:
+            except Exception:
+                # unsupported variant OR corrupt/truncated stream: with
+                # deterministic_fake the plumbing must keep running on a
+                # content-derived stand-in instead of failing the batch
                 if not deterministic_fake:
                     raise
         if not deterministic_fake:

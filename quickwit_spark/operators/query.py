@@ -248,7 +248,9 @@ class QueryCompiler:
         return preds[0]
 
     @classmethod
-    def from_doc_mapping(cls, mapping, default_fields: tuple[str, ...] = ()) -> "QueryCompiler":
+    def from_doc_mapping(
+        cls, mapping, default_fields: tuple[str, ...] | None = None
+    ) -> "QueryCompiler":
         """Build the compiler from a docmapper ``DocMapping`` — the same type
         table drives ingest coercion AND query compilation (doc_mapper is the
         single source of field truth in the reference too). Text fields with
@@ -275,6 +277,12 @@ class QueryCompiler:
 
         walk(mapping.field_mappings)
         dyn = "_dynamic" if getattr(mapping, "mode", "dynamic") == "dynamic" else None
+        if default_fields is None:
+            # the index's own search_settings.default_search_fields apply
+            # unless the caller overrides (create_index stores them on the
+            # mapping) — without this, a configured index still rejected
+            # bare terms
+            default_fields = tuple(getattr(mapping, "default_search_fields", ()) or ())
         return cls(types, default_fields=default_fields, dynamic_col=dyn)
 
     def info(self, field: str) -> FieldInfo:
@@ -630,7 +638,9 @@ def _wildcard_literal_prefix(pattern: str) -> str:
         ch = pattern[i]
         if ch in "*?":
             break
-        if ch == "\\" and i + 1 < len(pattern):
+        if ch == "\\":
+            if i + 1 >= len(pattern):
+                break  # trailing escape dropped, like _wildcard_to_regex
             out.append(pattern[i + 1])
             i += 2
             continue
@@ -693,14 +703,27 @@ def _regex_literal_prefix(pattern: str) -> str:
 
 
 def _wildcard_to_regex(pattern: str) -> str:
+    """Reference escape semantics (wildcard_query.rs:44-71): ``\\x`` is the
+    literal x (so ``\\*`` matches a star), a trailing lone backslash is
+    dropped. MUST stay in lockstep with :func:`_wildcard_literal_prefix` —
+    the StartsWith pruning guard is derived from the same grammar."""
     out = ["^"]
-    for ch in pattern:
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
         if ch == "*":
             out.append(".*")
         elif ch == "?":
             out.append(".")
+        elif ch == "\\":
+            if i + 1 >= len(pattern):
+                break  # escaping at the end: as if the escape wasn't present
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
         else:
             out.append(re.escape(ch))
+        i += 1
     out.append("$")
     return "".join(out)
 

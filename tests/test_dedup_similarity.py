@@ -646,3 +646,134 @@ def test_progressive_jpeg_exact_vs_baseline():
         out = decode_jpeg(open(real, "rb").read())
         assert out.shape == (280, 900, 3)
         assert 10 < out.mean() < 120  # plausible dark dashboard, not garbage
+
+
+def _encode_gray_with_dri(img, quality=85, dri=1):
+    """Test-only baseline grayscale emitter with restart markers every
+    ``dri`` MCUs — our encoder never emits DRI, so this exercises the
+    decoder's restart path (byte-align + RSTn + predictor reset)."""
+    import struct
+
+    import numpy as np
+
+    from quickwit_spark.operators import jpeg as J
+
+    ql = J._scaled_quant(J.QUANT_LUMA, quality)
+    dc_bits, dc_codes, ac_bits, ac_codes = J._fixed_tables()
+    P, nby, nbx = J._blocks_of(img.astype(np.float64))
+    h, w = img.shape
+    out = bytearray(b"\xff\xd8")
+    z = ql.reshape(64)[J.ZIGZAG].astype(np.uint8)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + z.tobytes()
+    out += b"\xff\xdd" + struct.pack(">HH", 4, dri)  # DRI
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = bytes([0x00]) + bytes(dc_bits) + bytes(J._DC_SYMS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    dht = bytes([0x10]) + bytes(ac_bits) + bytes(J._AC_SYMS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    blocks = [P[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+              for by in range(nby) for bx in range(nbx)]
+    pred = 0
+    rst = 0
+    bw = J._BitWriter()
+    for i, blk in enumerate(blocks):
+        if i and i % dri == 0:
+            bw.flush()
+            out += bw.out  # byte-align the interval, then the marker
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            pred = 0
+            bw = J._BitWriter()
+        pred = J._encode_component(bw, [blk], ql, pred, dc_codes, ac_codes)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_restart_markers_exact():
+    """Restart intervals must decode identically to the no-DRI stream for
+    EVERY interval length — including lengths that land exactly on the bit
+    reader's 4-byte fill boundary (the case where the RST marker is not yet
+    buffered when the decoder realigns)."""
+    import numpy as np
+
+    from quickwit_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    for trial in range(12):
+        img = rng.integers(0, 256, (16, 32), dtype=np.uint8)
+        want = decode_jpeg(encode_jpeg(img, quality=85))
+        for dri in (1, 2, 3):
+            got = decode_jpeg(_encode_gray_with_dri(img, quality=85, dri=dri))
+            assert (got == want).all(), f"trial {trial} dri {dri}"
+
+
+def test_jpeg_noninterleaved_baseline_scans():
+    """Spec-legal baseline with one scan per component (SOF0 + three SOS)
+    must decode like the interleaved stream — exercised by transcoding our
+    interleaved 4:4:4 encoder output into per-component scans."""
+    import struct
+
+    import numpy as np
+
+    from quickwit_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    want = J.decode_jpeg(J.encode_jpeg(img, quality=85, subsampling="444"))
+
+    # rebuild the same stream with three non-interleaved scans
+    ql = J._scaled_quant(J.QUANT_LUMA, 85)
+    qc = J._scaled_quant(J.QUANT_CHROMA, 85)
+    dc_bits, dc_codes, ac_bits, ac_codes = J._fixed_tables()
+    R, G, B = (img[..., c].astype(np.float64) for c in range(3))
+    Y = 0.299 * R + 0.587 * G + 0.114 * B
+    Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128
+    Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128
+    out = bytearray(b"\xff\xd8")
+    for tid, q in ((0, ql), (1, qc)):
+        z = q.reshape(64)[J.ZIGZAG].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + z.tobytes()
+    sof = struct.pack(">BHHB", 8, 16, 16, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, tq])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for cls, tid in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        syms = J._DC_SYMS if cls == 0 else J._AC_SYMS
+        bits = dc_bits if cls == 0 else ac_bits
+        dht = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(syms)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    for cid, plane, q in ((1, Y, ql), (2, Cb, qc), (3, Cr, qc)):
+        out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, cid, 0x00, 0, 63, 0])
+        P, nby, nbx = J._blocks_of(plane)
+        bw = J._BitWriter()
+        pred = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                pred = J._encode_component(
+                    bw, [P[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]], q, pred,
+                    dc_codes, ac_codes,
+                )
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    got = J.decode_jpeg(bytes(out))
+    assert (got == want).all()
+
+
+def test_jpeg_malformed_payload_fake_fallback():
+    import numpy as np
+    import pandas as pd
+
+    from quickwit_spark.operators.multimodal import decode_image_batch
+
+    truncated = b"\xff\xd8\xff\xe0" + b"\x00" * 8  # JPEG magic, cut off
+    out = decode_image_batch(pd.Series([truncated]), deterministic_fake=True)
+    assert out[0].shape == (16, 16, 3)  # seeded stand-in, batch survives
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        decode_image_batch(pd.Series([truncated]))

@@ -198,3 +198,15 @@ def test_object_subfield_resolves_as_default(spark):
         },
     )
     assert registry["objok"].default_search_fields == ("obj.inner",)
+
+
+def test_compiler_picks_up_mapping_defaults(dsf_index, spark):
+    """QueryCompiler.from_doc_mapping uses the mapping's own stored
+    default_search_fields when the caller passes none — a configured index
+    answers bare terms without re-plumbing."""
+    registry: dict = {}
+    create_index(registry, {**INDEX_CONFIG, "index_id": "dsf2"})
+    df, _ = dsf_index
+    compiler = QueryCompiler.from_doc_mapping(registry["dsf2"])
+    res = es_search(df, {"q": "hello"}, compiler=compiler)
+    assert res["hits"]["total"]["value"] == 1

@@ -376,3 +376,26 @@ def test_extract_tag_filter_reference_vectors():
         s(Bool(must=[TermSet("lang", ("fr", "en"))]))
         == "((¬lang! ∨ lang:fr) ∨ (¬lang! ∨ lang:en))"
     )
+
+
+def test_wildcard_escape_semantics(spark):
+    """wildcard_query.rs:44-71 escapes: `\\*` is a literal star, `\\x` is x,
+    a trailing lone backslash is dropped — and the StartsWith pruning guard
+    must agree with the matcher on all of them."""
+    from quickwit_spark.operators.query import QueryCompiler
+
+    df = spark.createDataFrame(
+        [("a*b",), ("aXb",), ("a\\bXYZ",), ("ab",)], "f string"
+    )
+    qc = QueryCompiler({"f": "raw"})
+    from quickwit_spark.operators.query import Wildcard
+
+    def hits(pattern):
+        return sorted(
+            r["f"] for r in df.filter(qc.compile(Wildcard("f", pattern))).collect()
+        )
+
+    assert hits(r"a\*b") == ["a*b"]          # escaped star = literal
+    assert hits("a?b") == ["a*b", "aXb"]     # ? = any one char
+    assert hits(r"a\\b*") == ["a\\bXYZ"]     # escaped backslash
+    assert hits("ab" + chr(92)) == ["ab"]    # trailing lone escape dropped
