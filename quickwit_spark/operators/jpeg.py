@@ -37,6 +37,10 @@ ZIGZAG = np.array([
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 ])
 
+# corrupt-payload guard: a malformed SOF can declare 65535x65535 (34 GB of
+# planes); decoding is for data-pipeline payloads, so cap the allocation
+MAX_PIXELS = 64_000_000
+
 # Annex K example quantization tables (public spec constants)
 QUANT_LUMA = np.array([
     16, 11, 10, 16, 24, 40, 51, 61,
@@ -225,6 +229,8 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         if marker == 0xD9:  # EOI
             break
         seglen = struct.unpack(">H", b[i:i + 2])[0]
+        if seglen < 2:
+            raise ValueError("corrupt JPEG: zero-length marker segment")
         seg = b[i + 2:i + seglen]
         if marker == 0xDB:  # DQT
             _parse_dqt(seg, qt)
@@ -236,6 +242,8 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            if h * w > MAX_PIXELS or h == 0 or w == 0:
+                raise ValueError(f"unreasonable JPEG dimensions {w}x{h}")
             frame = {"h": h, "w": w, "comps": comps}
         elif marker == 0xC2:  # progressive DCT → Annex-G path
             return _decode_progressive(b)
@@ -246,6 +254,8 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("corrupt JPEG: SOS before SOF")
             ns = seg[0]
             if ns < len(frame["comps"]):
                 # spec-legal non-interleaved baseline (one scan per
@@ -290,6 +300,8 @@ def _decode_scan(b, start, frame, scan, qt, huff_dc, huff_ac, restart_interval):
                     for vx in range(c["h"]):
                         coef = np.zeros(64, dtype=np.int64)
                         t = r.decode_huff(c["dc_tbl"])
+                        if t > 16:
+                            raise ValueError("corrupt JPEG: DC category > 16")
                         diff = _extend(r.read_bits(t), t)
                         pred[c["id"]] += diff
                         coef[0] = pred[c["id"]]
@@ -578,6 +590,8 @@ def _decode_multiscan(b: bytes, progressive: bool) -> np.ndarray:
         if marker == 0xD9:
             break
         seglen = struct.unpack(">H", b[i:i + 2])[0]
+        if seglen < 2:
+            raise ValueError("corrupt JPEG: zero-length marker segment")
         seg = b[i + 2:i + seglen]
         if marker == 0xDB:
             _parse_dqt(seg, qt)
@@ -590,6 +604,8 @@ def _decode_multiscan(b: bytes, progressive: bool) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            if h * w > MAX_PIXELS or h == 0 or w == 0:
+                raise ValueError(f"unreasonable JPEG dimensions {w}x{h}")
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in ((0xC0, 0xC1) if progressive else (0xC2,)):
             raise ValueError("frame type does not match multiscan mode")
@@ -712,6 +728,8 @@ def _decode_block_seq(r, coef, dc_tbl, ac_tbl, pred, cid):
     """One full baseline block (DC diff + AC run-length to 63) into the
     block's zigzag coefficient vector."""
     t = r.decode_huff(dc_tbl)
+    if t > 16:
+        raise ValueError("corrupt JPEG: DC category > 16")
     pred[cid] += _extend(r.read_bits(t), t)
     coef[0] = pred[cid]
     k = 1
@@ -736,6 +754,8 @@ def _decode_block_prog(r, coef, dc_tbl, ac_tbl, ss, se, ah, al, pred, cid, eobru
     if ss == 0:
         if ah == 0:  # DC first
             t = r.decode_huff(dc_tbl)
+            if t > 16:
+                raise ValueError("corrupt JPEG: DC category > 16")
             diff = _extend(r.read_bits(t), t)
             pred[cid] += diff
             coef[0] = pred[cid] << al

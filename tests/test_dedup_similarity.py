@@ -777,3 +777,27 @@ def test_jpeg_malformed_payload_fake_fallback():
 
     with _pytest.raises(Exception):
         decode_image_batch(pd.Series([truncated]))
+
+
+def test_jpeg_fuzz_mutations_never_hang_or_crash_unbounded():
+    """Byte-mutation fuzz over a valid stream: every mutation either decodes
+    or raises a normal exception quickly — no infinite marker-walk loops
+    (zero-length segments), no unbounded allocations (corrupt SOF dims)."""
+    import numpy as np
+
+    from quickwit_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(21)
+    base = bytearray(encode_jpeg(
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8), quality=85))
+    for _ in range(300):
+        b = bytearray(base)
+        for _ in range(rng.integers(1, 4)):
+            b[rng.integers(2, len(b))] = rng.integers(0, 256)
+        try:
+            out = decode_jpeg(bytes(b))
+            assert out.nbytes < 16 << 20
+        except (ValueError, NotImplementedError, IndexError, KeyError) as _:
+            pass
+        except Exception as e:  # struct.error etc. — fine, just typed
+            assert type(e).__name__ in ("error",), e
