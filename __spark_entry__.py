@@ -586,6 +586,13 @@ def _q_mixture_plan(spark, sf_dir):
     )
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing: deterministic LCG shard + order,
+    running token offsets, 256-token context windows."""
+    docs = _t(spark, sf_dir, "documents")
+    return CP.pack_sequences(docs, context_len=256, num_shards=4)
+
+
 def _q_text_repetition(spark, sf_dir):
     """Gopher-style repetition filters: dup-word / top-word / top-bigram
     fractions — pure Column ops (single narrow map, no shuffle)."""
@@ -881,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "bigram_lm": _q_bigram_lm,
         "mixture_plan": _q_mixture_plan,
+        "pack_sequences": _q_pack_sequences,
         "text_pii": _q_text_pii,
         "text_url_domains": _q_text_url_domains,
         "agg_date_histogram_gapfill": _q_agg_date_histogram_gapfill,
@@ -1284,6 +1292,24 @@ def oracle_sql() -> dict[str, str]:
                        AND round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.95
                    ) AS kept
             FROM a
+        """,
+        "pack_sequences": r"""
+            WITH b AS (
+              SELECT doc_id,
+                     ((doc_id * 40503 + 2531011) % 65536) % 4 AS shard,
+                     (doc_id * 40503 + 2531011) % 65536 AS _mix,
+                     len(str_split_regex(trim(text), '\s+')) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, shard, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY shard ORDER BY _mix, doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM b
+            )
+            SELECT doc_id, shard, n_tokens, cum - n_tokens AS offset,
+                   CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS chunk_start,
+                   CAST(floor((cum - 1) / 256.0) AS BIGINT) AS chunk_end
+            FROM c
         """,
         "bigram_lm": r"""
             WITH d AS (

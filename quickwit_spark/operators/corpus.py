@@ -168,3 +168,46 @@ def mixture_plan(
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    context_len: int = 2048,
+    num_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LM training layout:
+    docs are deterministically pseudo-shuffled into ``num_shards`` shards,
+    concatenated in shard order, and cut into fixed ``context_len``-token
+    windows. Returns per-doc
+    (id, shard, n_tokens, offset, chunk_start, chunk_end): the chunk range
+    each document's tokens land in.
+
+    Determinism: shard and intra-shard order come from an LCG mix of the id
+    (reproducible across runs, partitionings and engines — same rationale
+    as mixture_plan's realization rule). Scale shape: ONE shuffle
+    (hash-partition by shard) and a running-sum window per shard; shards
+    are the packing parallelism unit, exactly how a real tokenizer-packer
+    fans out at 10^12 docs.
+    """
+    from pyspark.sql import Window
+
+    mix = (F.col(id_col) * 40503 + 2531011) % 65536
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = df.select(
+        F.col(id_col),
+        (mix % num_shards).alias("shard"),
+        mix.alias("_mix"),
+        toks.alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("_mix", id_col)
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("offset"),
+        F.floor((cum - F.col("n_tokens")) / context_len).alias("chunk_start"),
+        F.floor((cum - 1) / context_len).alias("chunk_end"),
+    )

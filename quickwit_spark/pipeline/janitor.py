@@ -753,3 +753,36 @@ def prune_splits(
         cond = cond & _tag_filter_col(tag_filter, lineage)
     rows = lineage.filter(cond).select("commit_id").distinct().collect()
     return [r["commit_id"] for r in rows]
+
+
+def janitor_cycle(
+    spark: SparkSession,
+    out_dir: str,
+    retention_cutoff=None,
+    merge_factor: int = 10,
+    max_merge_factor: int = 12,
+    split_num_docs_target: int = 10_000_000,
+    gc_grace_seconds: float = 0.0,
+    tag_fields: tuple[str, ...] = (),
+) -> dict:
+    """One janitor service cycle — the reference janitor's periodic loops
+    composed in their order (quickwit-janitor: delete-task execution is
+    already synchronous here; then retention policy, merge policy/executor,
+    garbage collection). Idempotent: each stage repairs its own interrupted
+    state before acting, so running a cycle after a crash converges.
+
+    Returns a per-stage summary (docs dropped by retention, commits merged,
+    dangling paths removed).
+    """
+    summary: dict = {}
+    if retention_cutoff is not None:
+        summary["retention"] = apply_retention(spark, out_dir, retention_cutoff)
+    summary["merge"] = merge_splits(
+        spark, out_dir,
+        merge_factor=merge_factor,
+        max_merge_factor=max_merge_factor,
+        split_num_docs_target=split_num_docs_target,
+        tag_fields=tag_fields,
+    )
+    summary["gc"] = garbage_collect(out_dir, grace_seconds=gc_grace_seconds)
+    return summary

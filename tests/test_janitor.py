@@ -635,3 +635,25 @@ def test_sql_over_index(spark, tiny_dir, index_dir):
 
     with _pytest.raises(ValueError, match="invalid index id"):
         register_sql_views(spark, {"BAD NAME": index_dir})
+
+
+def test_janitor_cycle_composition(spark, tiny_dir, index_dir):
+    """One cycle = retention → merge → GC, idempotent: second run is a
+    no-op and row sets survive exactly."""
+    from quickwit_spark.pipeline.janitor import janitor_cycle
+
+    before = (
+        read_index(spark, index_dir)
+        .filter(F.col("ts") >= "2024-01-03 00:00:00")
+        .count()
+    )
+    s1 = janitor_cycle(
+        spark, index_dir,
+        retention_cutoff="2024-01-03 00:00:00",
+        split_num_docs_target=10_000,
+    )
+    assert read_index_count_or_zero(spark, index_dir) == before
+    s2 = janitor_cycle(spark, index_dir, split_num_docs_target=10_000)
+    assert read_index_count_or_zero(spark, index_dir) == before
+    assert s2["gc"]["dangling_commits_removed"] == []
+    assert s2["merge"].get("merged_groups", s2["merge"]) is not None and s1 is not None

@@ -387,3 +387,30 @@ def test_bigram_lm_unseen_backoff(spark):
     assert rows[1]["cross_entropy"] is not None
     assert rows[1]["perplexity"] > 0
     assert rows[0]["n_bigrams"] == 3 and math.isfinite(rows[0]["cross_entropy"])
+
+
+def test_pack_sequences_contract(spark):
+    """Chunks tile each shard contiguously: offsets are a permutation-free
+    running sum per shard, chunk ranges cover exactly [offset,
+    offset+n_tokens), and a repartitioned input packs identically."""
+    from quickwit_spark.operators.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (3 + i % 7))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    a = pack_sequences(docs, context_len=10, num_shards=3).toPandas()
+    b = pack_sequences(docs.repartition(5), context_len=10, num_shards=3).toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)  # partitioning-independent
+    for _, shard_df in a.groupby("shard"):
+        total = shard_df.n_tokens.sum()
+        assert shard_df.offset.min() == 0
+        assert (shard_df.offset + shard_df.n_tokens).max() == total
+        # offsets are disjoint and contiguous: sorted offsets + lengths chain
+        srt = shard_df.sort_values("offset")
+        assert (srt.offset.values[1:] ==
+                (srt.offset + srt.n_tokens).values[:-1]).all()
+        assert (a.chunk_start == a.offset // 10).all()
+        assert (a.chunk_end == (a.offset + a.n_tokens - 1) // 10).all()
