@@ -1371,6 +1371,19 @@ def list_terms_index(
 # ---------------------------------------------------------------------------
 
 
+def _ast_fields(ast) -> set[str]:
+    """Every concrete field name a compiled query AST touches."""
+    from quickwit_spark.operators.query import Bool
+
+    out: set[str] = set()
+    if isinstance(ast, Bool):
+        for clause in (*ast.must, *ast.should, *ast.must_not, *ast.filter):
+            out |= _ast_fields(clause)
+    elif hasattr(ast, "field"):
+        out.add(ast.field)
+    return out
+
+
 def create_delete_task(
     spark,
     out_dir: str,
@@ -1397,13 +1410,33 @@ def create_delete_task(
     unknown = set(request) - allowed
     if unknown:
         raise ValueError(f"unknown field `{sorted(unknown)[0]}` in delete query request")
-    query = request.get("query") or ""
-    fields = tuple(request.get("search_field") or default_fields)
+    query = request.get("query")
+    if query is None or not str(query).strip():
+        # `query` is a REQUIRED field of the deny_unknown_fields request —
+        # an absent/empty query must 400, never silently delete everything
+        # (an explicit "*" remains a legitimate delete-all)
+        raise ValueError("invalid delete query request: `query` is required")
+    query = str(query)
+    search_field = request.get("search_field")
+    if isinstance(search_field, str):
+        raise ValueError(
+            "invalid delete query request: `search_field` must be an array"
+        )
+    fields = tuple(search_field or default_fields)
     compiler = QueryCompiler(field_types, default_fields=fields)
     try:
-        compiler.parse(query)
+        ast = compiler.parse(query)
     except ValueError as err:
         raise ValueError(f"invalid delete query: {err}") from err
+    if field_types is not None and compiler.dynamic_col is None:
+        # semantic validation against the mapping (the reference parses the
+        # query against the doc mapper at task-creation time): unknown
+        # fields are a request error, not a later executor crash
+        for fld in _ast_fields(ast):
+            if fld not in field_types:
+                raise ValueError(
+                    f"invalid delete query: unknown field `{fld}`"
+                )
     start = request.get("start_timestamp")
     end = request.get("end_timestamp")
     effective = f"({query})" if query.strip() not in ("", "*") else "*"
@@ -1466,14 +1499,25 @@ def register_sql_views(spark, indexes: dict[str, str]) -> list[str]:
     ``spark.sql`` runs against it — the analog of the fork's DataFusion SQL
     endpoint (quickwit-serve/src/datafusion_api: mounts a SQL session over
     the parquet engine). Partition pruning on ``commit``/``sink`` and
-    parquet filter pushdown apply to any SQL the user writes; view names
-    are validated against the index-id rule."""
+    parquet filter pushdown apply to any SQL the user writes. Index ids
+    validate against the index-id rule, then map to LEGAL Spark view
+    identifiers (`-`/`.` are valid in Quickwit ids but not in temp view
+    names): non-identifier characters become `_`. Returns the actual view
+    names in input order; a sanitization collision is an error."""
+    import re as _re2
+
     from quickwit_spark.pipeline.janitor import read_index
 
     names = []
     for name, out_dir in indexes.items():
         if not _INDEX_ID_RE.match(name):
             raise ValueError(f"invalid index id [{name}]")
-        read_index(spark, out_dir).createOrReplaceTempView(name)
-        names.append(name)
+        view = _re2.sub(r"[^0-9A-Za-z_]", "_", name)
+        if view in names:
+            raise ValueError(
+                f"index id [{name}] collides with another registered view "
+                f"after identifier sanitization ([{view}])"
+            )
+        read_index(spark, out_dir).createOrReplaceTempView(view)
+        names.append(view)
     return names

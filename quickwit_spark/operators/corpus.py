@@ -21,6 +21,7 @@ def bigram_lm_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 0.1,
+    score_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc cross-entropy + perplexity under an add-α-smoothed bigram LM
     trained on the corpus itself — the perplexity-filter quality signal
@@ -30,6 +31,12 @@ def bigram_lm_scores(
 
     P(w2|w1) = (c(w1,w2) + α) / (c(w1) + α·V), V = unigram vocab size.
 
+    ``score_df`` scores a DIFFERENT frame under the LM trained on ``df``
+    (the real filtering setup: LM trained in-domain, applied to the crawl);
+    its unseen bigrams take the backoff floor log(α/(c1+αV)). Scoring the
+    training corpus itself (score_df=None) skips the backoff join — every
+    bigram is seen by construction.
+
     Scale shape: training is two hash aggregations (unigram + bigram counts
     — partial aggregation map-side, one shuffle each); scoring joins each
     doc bigram against the model. The model for a natural-language corpus
@@ -37,23 +44,25 @@ def bigram_lm_scores(
     gracefully to a sort-merge join keyed by the bigram — both stay one
     shuffle over the exploded corpus. No Python in either pass.
     """
-    toks = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("t"))
-    bigrams = toks.select(
-        F.col(id_col),
-        F.posexplode(
-            F.when(
-                F.size("t") >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - 2),
-                    lambda i: F.struct(
-                        F.element_at("t", i + 1).alias("w1"),
-                        F.element_at("t", i + 2).alias("w2"),
+    def explode_bigrams(frame):
+        toks = frame.select(F.col(id_col), _tokens(F.col(text_col)).alias("t"))
+        return toks, toks.select(
+            F.col(id_col),
+            F.posexplode(
+                F.when(
+                    F.size("t") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("t") - 2),
+                        lambda i: F.struct(
+                            F.element_at("t", i + 1).alias("w1"),
+                            F.element_at("t", i + 2).alias("w2"),
+                        ),
                     ),
-                ),
-            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-        ).alias("pos", "bg"),
-    ).select(F.col(id_col), "pos", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("pos", "bg"),
+        ).select(F.col(id_col), "pos", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
+    toks, bigrams = explode_bigrams(df)
     uni = (
         toks.select(F.explode("t").alias("w1"))
         .groupBy("w1")
@@ -70,24 +79,28 @@ def bigram_lm_scores(
             ).alias("logp"),
         )
     )
-    # unseen bigrams (possible when scoring a different frame than the
-    # training corpus) back off to the unseen-mass floor log(α / (c1 + αV))
-    # — c1 = 0 for an unseen history word, giving log(1/V). Over the
-    # training corpus itself every bigram is seen and the floor never fires.
-    scored = (
-        bigrams.join(F.broadcast(uni), "w1", "left")
-        .join(model, ["w1", "w2"], "left")
-        .withColumn(
-            "logp",
-            F.coalesce(
-                F.col("logp"),
-                F.log(
-                    F.lit(alpha)
-                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha * vocab))
+    if score_df is None:
+        # scoring the training corpus: every bigram is in the model by
+        # construction — no backoff join on the hot path
+        scored = bigrams.join(model, ["w1", "w2"])
+    else:
+        # external frame: unseen bigrams back off to the floor
+        # log(α / (c1 + αV)); c1 = 0 for an unseen history word → log(1/V)
+        _, target = explode_bigrams(score_df)
+        scored = (
+            target.join(F.broadcast(uni), "w1", "left")
+            .join(model, ["w1", "w2"], "left")
+            .withColumn(
+                "logp",
+                F.coalesce(
+                    F.col("logp"),
+                    F.log(
+                        F.lit(alpha)
+                        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha * vocab))
+                    ),
                 ),
-            ),
+            )
         )
-    )
     return (
         scored.groupBy(id_col)
         .agg(

@@ -203,6 +203,29 @@ def _parse_dht(seg: bytes, huff_dc: dict, huff_ac: dict) -> None:
         j += 17 + n
 
 
+def _check_sampling(comps: list[dict]) -> None:
+    """T.81 limits sampling factors to 1..4; 0 would divide by zero in the
+    MCU geometry (corrupt-payload guard, same tier as MAX_PIXELS)."""
+    for c in comps:
+        if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
+            raise ValueError(
+                f"corrupt JPEG: sampling factors {c['h']}x{c['v']}"
+            )
+
+
+def _planes_to_rgb(out: list) -> np.ndarray:
+    """Shared reconstruction tail: 1 plane → replicated gray, 3 planes →
+    JFIF YCbCr→RGB, clipped uint8."""
+    if len(out) == 1:
+        g = np.clip(out[0], 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    Y, Cb, Cr = out
+    R = Y + 1.402 * (Cr - 128)
+    G = Y - 0.344136 * (Cb - 128) - 0.714136 * (Cr - 128)
+    B = Y + 1.772 * (Cb - 128)
+    return np.clip(np.stack([R, G, B], axis=2).round(), 0, 255).astype(np.uint8)
+
+
 # ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
@@ -244,6 +267,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             if h * w > MAX_PIXELS or h == 0 or w == 0:
                 raise ValueError(f"unreasonable JPEG dimensions {w}x{h}")
+            _check_sampling(comps)
             frame = {"h": h, "w": w, "comps": comps}
         elif marker == 0xC2:  # progressive DCT → Annex-G path
             return _decode_progressive(b)
@@ -331,14 +355,7 @@ def _decode_scan(b, start, frame, scan, qt, huff_dc, huff_ac, restart_interval):
         p = planes[c["id"]]
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         out.append(p[:h, :w])
-    if len(out) == 1:
-        g = np.clip(out[0], 0, 255).astype(np.uint8)
-        return np.stack([g, g, g], axis=2)
-    Y, Cb, Cr = out
-    R = Y + 1.402 * (Cr - 128)
-    G = Y - 0.344136 * (Cb - 128) - 0.714136 * (Cr - 128)
-    B = Y + 1.772 * (Cb - 128)
-    return np.clip(np.stack([R, G, B], axis=2).round(), 0, 255).astype(np.uint8)
+    return _planes_to_rgb(out)
 
 
 # ---------------------------------------------------------------------------
@@ -606,6 +623,7 @@ def _decode_multiscan(b: bytes, progressive: bool) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             if h * w > MAX_PIXELS or h == 0 or w == 0:
                 raise ValueError(f"unreasonable JPEG dimensions {w}x{h}")
+            _check_sampling(comps)
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in ((0xC0, 0xC1) if progressive else (0xC2,)):
             raise ValueError("frame type does not match multiscan mode")
@@ -714,14 +732,7 @@ def _decode_multiscan(b: bytes, progressive: bool) -> np.ndarray:
                           hmax // c["h"], axis=1)
         planes[c["id"]] = plane[:h, :w]
     out = [planes[c["id"]] for c in comps]
-    if len(out) == 1:
-        g = np.clip(out[0], 0, 255).astype(np.uint8)
-        return np.stack([g, g, g], axis=2)
-    Y, Cb, Cr = out
-    R = Y + 1.402 * (Cr - 128)
-    G = Y - 0.344136 * (Cb - 128) - 0.714136 * (Cr - 128)
-    B = Y + 1.772 * (Cb - 128)
-    return np.clip(np.stack([R, G, B], axis=2).round(), 0, 255).astype(np.uint8)
+    return _planes_to_rgb(out)
 
 
 def _decode_block_seq(r, coef, dc_tbl, ac_tbl, pred, cid):

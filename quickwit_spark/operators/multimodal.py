@@ -15,6 +15,7 @@ batch shape — still runs end-to-end.
 from __future__ import annotations
 
 import hashlib
+import struct as _struct
 from typing import Iterator
 
 import numpy as np
@@ -223,10 +224,13 @@ def decode_image_batch(payloads: pd.Series, deterministic_fake: bool = False) ->
             try:
                 out.append(decode_jpeg(b))
                 continue
-            except Exception:
+            except (NotImplementedError, ValueError, IndexError, KeyError,
+                    _struct.error):
                 # unsupported variant OR corrupt/truncated stream: with
                 # deterministic_fake the plumbing must keep running on a
-                # content-derived stand-in instead of failing the batch
+                # content-derived stand-in instead of failing the batch.
+                # Deliberately NOT a blanket Exception — a programming error
+                # in the codec must surface, not silently become fakes.
                 if not deterministic_fake:
                     raise
         if not deterministic_fake:

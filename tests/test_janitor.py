@@ -657,3 +657,31 @@ def test_janitor_cycle_composition(spark, tiny_dir, index_dir):
     assert read_index_count_or_zero(spark, index_dir) == before
     assert s2["gc"]["dangling_commits_removed"] == []
     assert s2["merge"].get("merged_groups", s2["merge"]) is not None and s1 is not None
+
+
+def test_delete_task_request_validation(spark, index_dir):
+    """Review regressions: an absent/empty query must 400 (never delete-all),
+    a string search_field must 400 (not explode per-character), an unknown
+    field in the query is a request error, and the sanitized SQL view name
+    for a dashed index id is legal."""
+    from quickwit_spark.api import create_delete_task, register_sql_views
+
+    ft = {"event_type": "raw", "value": "numeric", "ts": "datetime"}
+    before = read_index(spark, index_dir).count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="`query` is required"):
+        create_delete_task(spark, index_dir, {}, ft)
+    with _pytest.raises(ValueError, match="`query` is required"):
+        create_delete_task(spark, index_dir, {"query": "  "}, ft)
+    with _pytest.raises(ValueError, match="`search_field` must be an array"):
+        create_delete_task(
+            spark, index_dir, {"query": "hello", "search_field": "body"}, ft
+        )
+    with _pytest.raises(ValueError, match="unknown field `no_such_field`"):
+        create_delete_task(spark, index_dir, {"query": "no_such_field:3"}, ft)
+    assert read_index(spark, index_dir).count() == before  # nothing deleted
+
+    views = register_sql_views(spark, {"otel-logs-v0.7": index_dir})
+    assert views == ["otel_logs_v0_7"]
+    assert spark.sql("SELECT count(*) FROM otel_logs_v0_7").collect()[0][0] == before

@@ -364,30 +364,26 @@ def test_bpe_stats_deterministic_and_compressive(spark, sf_dir):
 
 
 def test_bigram_lm_unseen_backoff(spark):
-    """Scoring a frame other than the training corpus: unseen bigrams get
-    the floor log(α/(c1+αV)) instead of being silently dropped; fully
-    unseen docs get the log(1/V) floor, not NULL."""
+    """External-frame scoring: bigrams absent from the training corpus take
+    the backoff floor log(α/(c1+αV)); a fully-unseen doc gets the log(1/V)
+    floor instead of NULL."""
     import math
 
     from quickwit_spark.operators.corpus import bigram_lm_scores
 
-    # train+score frame where doc 1 contains bigrams absent from doc 0's
-    # half of the vocabulary — per-function the corpus IS the training set,
-    # so emulate "unseen" via a scoring-only doc with a disjoint alphabet:
-    # every bigram of doc 1 except ("x","x") appears once; ("q","q") never.
-    docs = spark.createDataFrame(
-        [(0, "a b a b"), (1, "q q")], "doc_id long, text string"
+    train = spark.createDataFrame([(0, "a b a b")], "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(10, "a b"), (11, "a q"), (12, "z z")], "doc_id long, text string"
     )
-    rows = {r["doc_id"]: r for r in bigram_lm_scores(docs, alpha=0.1).collect()}
-    # ("q","q") IS in this corpus (doc 1 trains too) — so instead check the
-    # floor algebra directly on a crafted model: V=3 (a,b,q), c(q)=2,
-    # c(q,q)=1 → seen; the floor path needs a truly external scorer, which
-    # the function does not expose — assert no NULLs and finite values as
-    # the guard that avg() never silently dropped rows.
-    assert rows[1]["cross_entropy"] is not None
-    assert rows[1]["perplexity"] > 0
-    assert rows[0]["n_bigrams"] == 3 and math.isfinite(rows[0]["cross_entropy"])
-
+    rows = {r["doc_id"]: r for r in
+            bigram_lm_scores(train, alpha=0.1, score_df=target).collect()}
+    V = 2  # vocab of the training corpus: a, b
+    p_ab = (2 + 0.1) / (2 + 0.1 * V)      # c(a,b)=2, c(a)=2
+    floor_a = 0.1 / (2 + 0.1 * V)         # unseen bigram, seen history a
+    floor_z = 0.1 / (0 + 0.1 * V)         # unseen history z → 1/V
+    assert abs(rows[10]["cross_entropy"] - round(-math.log(p_ab), 6)) < 1e-9
+    assert abs(rows[11]["cross_entropy"] - round(-math.log(floor_a), 6)) < 1e-9
+    assert abs(rows[12]["cross_entropy"] - round(-math.log(floor_z), 6)) < 1e-9
 
 def test_pack_sequences_contract(spark):
     """Chunks tile each shard contiguously: offsets are a permutation-free
