@@ -45,6 +45,9 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "dedup_clusters",
+    "dedup_substrings",
+    "semantic_dedup",
+    "bigram_lm",
     "ann_topk",
     "text_quality",
     "text_langid",
