@@ -2,8 +2,8 @@
 with typed metadata; decode / feature-extract / resize / frame-sample as
 Arrow-batched ``mapInPandas`` operators.
 
-Decode kernels: BMP, PNG, JPEG (baseline + progressive; operators/jpeg.py)
-and WAV/PCM decode for REAL with pure numpy/stdlib — no imaging/audio
+Decode kernels: BMP, PNG, GIF, JPEG (baseline + progressive;
+operators/jpeg.py) and WAV/PCM decode for REAL with pure numpy/stdlib — no imaging/audio
 library needed — with matching encoders for fixtures and oracles. The
 remaining formats (WebP, mp3/ogg) would need
 Pillow/soundfile (not in this container): those raise unless
@@ -198,9 +198,10 @@ def encode_png(img: np.ndarray) -> bytes:
 def decode_image_batch(payloads: pd.Series, deterministic_fake: bool = False) -> list[np.ndarray]:
     """Decode a batch of encoded image bytes → HxWx3 uint8 arrays.
 
-    BMP (magic ``BM``), PNG (8-bit non-interlaced) and JPEG (baseline
-    SOF0/1 + progressive SOF2 — operators/jpeg.py) payloads decode for
-    REAL via the pure-Python parsers — no imaging library needed.
+    BMP (magic ``BM``), PNG (8-bit non-interlaced), GIF (LZW, first
+    frame) and JPEG (baseline SOF0/1 + progressive SOF2 —
+    operators/jpeg.py) payloads decode for REAL via the pure-Python
+    parsers — no imaging library needed.
     Remaining formats (WebP, arithmetic-coded JPEG) would need Pillow:
     with ``deterministic_fake=True`` a seeded, content-derived fake is
     produced so the plumbing still exercises end-to-end; otherwise they
@@ -217,6 +218,9 @@ def decode_image_batch(payloads: pd.Series, deterministic_fake: bool = False) ->
             continue
         if b[:8] == b"\x89PNG\r\n\x1a\n":
             out.append(_decode_png(b))
+            continue
+        if b[:4] == b"GIF8":
+            out.append(_decode_gif(b))
             continue
         if b[:3] == b"\xff\xd8\xff":
             from quickwit_spark.operators.jpeg import decode_jpeg
@@ -461,3 +465,156 @@ def extract_text(media: DataFrame, min_run: int = 4) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(run, schema=TEXT_EXTRACT_SCHEMA)
+
+
+def _decode_gif(b: bytes) -> np.ndarray:
+    """Pure-Python GIF decode (GIF87a/89a, first frame): logical screen +
+    global/local color tables, variable-width LZW with clear/EOI codes,
+    interlace reordering → HxWx3 uint8 RGB. Animation beyond frame one and
+    transparency compositing are out of scope (first frame only)."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF signature")
+    sw = int.from_bytes(b[6:8], "little")
+    sh = int.from_bytes(b[8:10], "little")
+    flags = b[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif blk == 0x2C:  # image descriptor
+            ix = int.from_bytes(b[pos + 1:pos + 3], "little")
+            iy = int.from_bytes(b[pos + 3:pos + 5], "little")
+            iw = int.from_bytes(b[pos + 5:pos + 7], "little")
+            ih = int.from_bytes(b[pos + 7:pos + 9], "little")
+            iflags = b[pos + 9]
+            pos += 10
+            table = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                table = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if table is None:
+                raise ValueError("corrupt GIF: no color table")
+            min_code = b[pos]
+            pos += 1
+            data = bytearray()
+            while b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(data), min_code, iw * ih)
+            px = np.zeros((ih, iw), dtype=np.uint8)
+            flat = np.array(idx[: iw * ih], dtype=np.uint8).reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: 4-pass row order
+                order = (list(range(0, ih, 8)) + list(range(4, ih, 8))
+                         + list(range(2, ih, 4)) + list(range(1, ih, 2)))
+                px[order] = flat
+            else:
+                px = flat
+            img = table[np.minimum(px, len(table) - 1)]
+            # paint onto the logical screen (common case: full-screen frame)
+            if (ix, iy, iw, ih) == (0, 0, sw, sh):
+                return img
+            canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+            canvas[iy:iy + ih, ix:ix + iw] = img
+            return canvas
+        elif blk == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"corrupt GIF: unknown block 0x{blk:02x}")
+    raise ValueError("no image data in GIF")
+
+
+def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> list[int]:
+    """GIF variable-width LZW (up to 12-bit codes, clear/EOI handling)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    dictionary: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    bitpos = 0
+    prev: list[int] | None = None
+    total_bits = len(data) * 8
+    while bitpos + width <= total_bits and len(out) < max_pixels:
+        byte = bitpos // 8
+        code = int.from_bytes(data[byte:byte + 3], "little")
+        code = (code >> (bitpos % 8)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            dictionary = [[i] for i in range(clear)] + [[], []]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(dictionary) and dictionary[code]:
+            entry = dictionary[code]
+        elif code == len(dictionary) and prev is not None:
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError("corrupt GIF: invalid LZW code")
+        out.extend(entry)
+        if prev is not None:
+            dictionary.append(prev + [entry[0]])
+            if len(dictionary) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """Minimal GIF89a encoder for fixtures: 256-entry global palette built
+    from the image's distinct colors (≤256 required), LZW emitted as plain
+    literal codes with a clear code before every pixel — valid, never grows
+    the code width, round-trips through :func:`_decode_gif`."""
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif fixture supports <= 256 distinct colors")
+    palette = np.zeros((256, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries
+    out += palette.tobytes()
+    out += b"\x2c" + b"\x00\x00\x00\x00" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    min_code = 8
+    clear = 1 << min_code
+    out += bytes([min_code])
+    # bitstream: CLEAR before every literal keeps the dictionary empty so
+    # the code width stays at 9 bits forever
+    bits = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    for v in inverse:
+        emit(clear)
+        emit(int(v))
+    emit(clear + 1)  # EOI
+    if nbits:
+        bits.append(acc & 0xFF)
+    for i in range(0, len(bits), 255):
+        chunk = bits[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -801,3 +801,32 @@ def test_jpeg_fuzz_mutations_never_hang_or_crash_unbounded():
             pass
         except Exception as e:  # struct.error etc. — fine, just typed
             assert type(e).__name__ in ("error",), e
+
+
+def test_gif_codec_roundtrip_and_real_files():
+    """GIF LZW decode: exact round-trip via the fixture encoder (clear-code
+    literal stream) AND real-world files with genuine variable-width LZW
+    (CPython test icons incl. an interlace-free multi-block stream)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from quickwit_spark.operators.multimodal import (
+        _decode_gif,
+        decode_image_batch,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 4, (20, 30, 3), dtype=np.uint8) * 80
+    assert (_decode_gif(encode_gif(img)) == img).all()
+
+    real = "/root/.pyenv/versions/3.13.0/lib/python3.13/test/test_email/data/python.gif"
+    if os.path.exists(real):
+        out = _decode_gif(open(real, "rb").read())
+        assert out.shape == (16, 16, 3)
+
+    # dispatch through the batch decoder
+    got = decode_image_batch(pd.Series([encode_gif(img)]))
+    assert (got[0] == img).all()
