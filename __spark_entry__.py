@@ -715,9 +715,14 @@ def _q_multimodal_image_features(spark, sf_dir):
     media = docs.select(F.col("doc_id").alias("media_id"),
                         bmp_payload(F.col("doc_id")).alias("payload"))
     feats = image_features(media, target=(8, 8))
+    # Flattened to one row per feature value: the driver's canonicalizer
+    # sorts result frames with pandas and cannot sort list-valued columns,
+    # so posexplode the feat array into (feat_idx, feat_value) rows.
     return feats.select(
         "media_id",
-        F.transform("feat", lambda x: F.round(x.cast("double"), 3)).alias("feat"),
+        F.posexplode(
+            F.transform("feat", lambda x: F.round(x.cast("double"), 3))
+        ).alias("feat_idx", "feat_value"),
         "out_width", "out_height",
     )
 
@@ -1215,9 +1220,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_image_features": """
             SELECT doc_id AS media_id,
-                   list_transform(range(64),
-                       i -> round(((doc_id % 256) + (doc_id * 7 % 256)
-                                   + (doc_id * 13 % 256)) / 765.0, 3)) AS feat,
+                   CAST(unnest(range(64)) AS INTEGER) AS feat_idx,
+                   round(((doc_id % 256) + (doc_id * 7 % 256)
+                          + (doc_id * 13 % 256)) / 765.0, 3) AS feat_value,
                    CAST(8 AS INTEGER) AS out_width,
                    CAST(8 AS INTEGER) AS out_height
             FROM documents WHERE doc_id % 3 = 0
@@ -1307,7 +1312,8 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) AS cum
               FROM b
             )
-            SELECT doc_id, shard, n_tokens, cum - n_tokens AS offset,
+            SELECT doc_id, shard, n_tokens,
+                   CAST(cum - n_tokens AS BIGINT) AS offset,
                    CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS chunk_start,
                    CAST(floor((cum - 1) / 256.0) AS BIGINT) AS chunk_end
             FROM c
