@@ -49,6 +49,7 @@ def build_lineage(
     text_col: str = "text",
     delete_opstamp: int = 0,
     extra_keys: tuple[str, ...] = (),
+    num_merge_ops: int = 0,
 ) -> DataFrame:
     """Per-(sink, partition_bucket) split metadata (SplitMetadata analog).
 
@@ -76,6 +77,7 @@ def build_lineage(
         .withColumn("source_id", F.lit(source_id))
         .withColumn("create_timestamp", F.current_timestamp())
         .withColumn("delete_opstamp", F.lit(delete_opstamp))
+        .withColumn("num_merge_ops", F.lit(num_merge_ops))
     )
 
 
@@ -400,6 +402,7 @@ def build_time_partitioned_index(
         .withColumn("source_id", F.lit(source_id))
         .withColumn("create_timestamp", F.current_timestamp())
         .withColumn("delete_opstamp", F.lit(0))
+        .withColumn("num_merge_ops", F.lit(0))
         .write.mode("overwrite")
         .partitionBy("commit_id")
         .parquet(os.path.join(out_dir, "_lineage"))
@@ -422,30 +425,67 @@ def plan_merges(
     merge_factor: int = 10,
     max_merge_factor: int = 12,
     split_num_docs_target: int = 10_000_000,
+    policy=None,
 ) -> list[list[str]]:
-    """StableLogMergePolicy-style planning over per-commit doc counts
-    (stable_log_merge_policy.rs:59-70 behavior, simplified to the semantics
-    that matter here): commits whose docs < target are merge candidates; they
-    group GLOBALLY (a commit spans all its sinks; the rewrite preserves the
-    per-sink fan-out) in lexicographic commit-id order — oldest-first when ids
-    are time-ordered like the day-partitioned ``d2024-01-01`` ids, arbitrary
-    but deterministic for uuid ids — into batches of
-    ``merge_factor..max_merge_factor``; a commit at/above the docs target is
-    MATURE and never merged. Returns lists of commit ids to merge together.
+    """Merge planning over per-commit lineage rows using a real merge policy
+    (default: level-by-doc-count StableLogMergePolicy,
+    stable_log_merge_policy.rs:181-297 — splits only merge WITHIN a log-scale
+    doc-count level, so a 9M-doc split is never rewritten alongside 100-doc
+    splits; that level isolation is what bounds write amplification at scale).
+    A commit spans all its sinks; the rewrite preserves the per-sink fan-out.
+
+    ``policy.operations`` is looped to a fixpoint, mirroring the reference
+    MergePlanner's repeated wake-ups draining in-flight merge candidates
+    (merge_planner.rs send_merge_ops). Rows may carry optional
+    ``time_range_end`` (epoch secs or timestamp), ``create_timestamp`` and
+    ``num_merge_ops`` columns; absent ones fall back to the policy's
+    deterministic tiebreaks. Returns lists of commit ids to merge together.
     """
-    immature = sorted(
-        (r for r in lineage_rows if r["num_docs"] < split_num_docs_target),
-        key=lambda r: str(r["commit_id"]),
-    )
+    from quickwit_spark.pipeline.merge_policy import SplitMeta, StableLogMergePolicy
+
+    if policy is None:
+        policy = StableLogMergePolicy(
+            merge_factor=merge_factor,
+            max_merge_factor=max_merge_factor,
+            split_num_docs_target=split_num_docs_target,
+        )
+
+    def _epoch(v):
+        if v is None:
+            return None
+        if hasattr(v, "timestamp"):
+            return int(v.timestamp())
+        return int(v)
+
+    def get(r, key, default=None):
+        try:
+            return r[key] if key in r else default
+        except TypeError:  # Row supports `in`; plain objects may not
+            return getattr(r, key, default)
+
+    now_secs = time.time()
+    splits = []
+    for r in lineage_rows:
+        num_docs = int(r["num_docs"])
+        num_merge_ops = int(get(r, "num_merge_ops", 0) or 0)
+        created = _epoch(get(r, "create_timestamp"))
+        splits.append(
+            SplitMeta(
+                split_id=str(r["commit_id"]),
+                num_docs=num_docs,
+                time_range_end=_epoch(get(r, "time_range_end")),
+                # absent create_timestamp = freshly observed split
+                create_timestamp=now_secs if created is None else created,
+                num_merge_ops=num_merge_ops,
+                maturation_period_secs=policy.split_maturity(num_docs, num_merge_ops),
+            )
+        )
     out: list[list[str]] = []
-    batch: list[str] = []
-    for r in immature:
-        batch.append(r["commit_id"])
-        if len(batch) >= max_merge_factor:
-            out.append(batch)
-            batch = []
-    if len(batch) >= merge_factor:
-        out.append(batch)
+    while True:
+        ops = policy.operations(splits, now_secs=now_secs)
+        if not ops:
+            break
+        out.extend([s.split_id for s in op] for op in ops)
     return out
 
 
@@ -457,6 +497,7 @@ def merge_splits(
     split_num_docs_target: int = 10_000_000,
     tag_fields: tuple[str, ...] = (),
     source_id: str = "",
+    policy=None,
 ) -> dict:
     """Merge executor (merge_executor.rs:191-219,273,344 behavior): each
     planned group of small commits is rewritten into ONE merged commit whose
@@ -468,12 +509,23 @@ def merge_splits(
     invisible to resume, like the reference's merge pipeline.
     """
     lineage = read_lineage(spark, out_dir)
-    per_commit = (
-        lineage.groupBy("commit_id").agg(F.sum("num_docs").alias("num_docs")).collect()
-    )
+    lcols = set(lineage.columns)
+    per_commit_aggs = [F.sum("num_docs").alias("num_docs")]
+    if "time_range_end" in lcols:
+        per_commit_aggs.append(F.max("time_range_end").alias("time_range_end"))
+    if "create_timestamp" in lcols:
+        per_commit_aggs.append(F.min("create_timestamp").alias("create_timestamp"))
+    if "num_merge_ops" in lcols:
+        per_commit_aggs.append(F.max("num_merge_ops").alias("num_merge_ops"))
+    per_commit = lineage.groupBy("commit_id").agg(*per_commit_aggs).collect()
     groups = plan_merges(
-        per_commit, merge_factor, max_merge_factor, split_num_docs_target
+        per_commit, merge_factor, max_merge_factor, split_num_docs_target,
+        policy=policy,
     )
+    ops_by_commit = {
+        str(r["commit_id"]): int(r["num_merge_ops"]) if "num_merge_ops" in lcols else 0
+        for r in per_commit
+    }
     sinks = _sinks_dir(out_dir)
     staging_root = os.path.join(out_dir, ".staging")
     trash_root = os.path.join(out_dir, ".trash")
@@ -489,8 +541,13 @@ def merge_splits(
         )
         src.drop("commit").write.mode("overwrite").partitionBy("sink").parquet(staged)
         merged = spark.read.option("basePath", staged).parquet(staged)
+        # const_write_amplification.rs split_num_merge_ops: the merged split
+        # records one more merge op than the deepest input, so limit_merge
+        # maturity (max_merge_ops) is enforceable across janitor cycles
+        merged_ops = max((ops_by_commit.get(c, 0) for c in group), default=0) + 1
         build_lineage(
-            merged, source_id=source_id, tag_fields=tag_fields
+            merged, source_id=source_id, tag_fields=tag_fields,
+            num_merge_ops=merged_ops,
         ).write.mode("overwrite").parquet(
             os.path.join(staging_root, f"merge-{gi}-lineage")
         )
