@@ -163,7 +163,9 @@ def _filter_for_body(df: DataFrame, body: dict[str, Any], compiler) -> DataFrame
         filtered = df.filter(compiler.compile(compiler.parse(str(body["q"]))))
     elif body.get("query"):
         query = _prune_unmapped_multi_match(df, body["query"])
-        filtered = df.filter(compiler.compile(es_dsl_to_ast(query)))
+        filtered = df.filter(
+            compiler.compile(es_dsl_to_ast(query, compiler.default_fields))
+        )
     extra = body.get("extra_filters")
     if extra:
         parts = extra.split(",") if isinstance(extra, str) else list(extra)
@@ -693,7 +695,7 @@ def _required_query_ast(body: dict[str, Any], compiler: QueryCompiler):
     if body.get("q"):
         asts.append(compiler.parse(str(body["q"])))
     elif body.get("query"):
-        asts.append(es_dsl_to_ast(body["query"]))
+        asts.append(es_dsl_to_ast(body["query"], compiler.default_fields))
     extra = body.get("extra_filters")
     if extra:
         parts = extra.split(",") if isinstance(extra, str) else list(extra)
@@ -994,6 +996,7 @@ def delete_indexes(
 # ES `_bulk` ingest surface (bulk_v2.rs semantics; es_compatibility/bulk/*)
 # ---------------------------------------------------------------------------
 
+import os as _os
 import re as _re
 
 _INDEX_ID_RE = _re.compile(r"^[a-zA-Z][a-zA-Z0-9\-_\.]{2,254}$")
@@ -1231,12 +1234,279 @@ def create_index(
     dsf = tuple(search_settings.get("default_search_fields") or ())
     validate_default_search_fields(mapping, dsf)
     mapping.default_search_fields = dsf
+    mapping.retention_policy = _validate_index_settings(config, mapping)
+    mapping.sources = {}
+    mapping.source_checkpoints = {}
     indexes[index_id] = mapping
     return {
         "index_id": index_id,
         "index_uri": config.get("index_uri", f"ram:///{index_id}"),
         "doc_mapping_fields": [f.name for f in mapping.field_mappings],
     }
+
+
+_RETENTION_SCHEDULES = ("hourly", "daily", "weekly", "monthly")
+
+
+def _validate_index_settings(config: dict[str, Any], mapping) -> dict | None:
+    """The settings-level checks of validate_index_config
+    (index_config/mod.rs:644-667): merge policy config must parse + satisfy
+    max_merge_factor >= merge_factor; a retention policy requires a parseable
+    period, a valid schedule, and a declared timestamp field. Returns the
+    normalized retention policy (or None)."""
+    from quickwit_spark.pipeline.merge_policy import (
+        merge_policy_from_config,
+        parse_human_duration_secs,
+    )
+
+    indexing = config.get("indexing_settings") or {}
+    merge_policy_from_config(indexing.get("merge_policy"))  # raises ValueError
+
+    retention = config.get("retention")
+    if retention is None:
+        return None
+    period = retention.get("period")
+    if not period:
+        raise ValueError("retention policy requires a `period`")
+    parse_human_duration_secs(period)  # raises ValueError on garbage
+    schedule = retention.get("schedule", "hourly")
+    if schedule not in _RETENTION_SCHEDULES and not _re.match(
+        r"^@?(\S+\s+){4,6}\S*$|^@(hourly|daily|weekly|monthly|yearly)$",
+        str(schedule).strip(),
+    ):
+        raise ValueError(
+            f"failed to parse retention evaluation schedule `{schedule}`"
+        )
+    if mapping.timestamp_field is None:
+        raise ValueError(
+            "retention policy requires a timestamp field, but doc mapping "
+            "does not declare one"
+        )
+    return {"period": period, "schedule": schedule}
+
+
+def update_index(indexes: dict[str, Any], config: dict[str, Any]) -> dict[str, Any]:
+    """``PUT /api/v1/indexes/{index_id}`` analog
+    (quickwit-index-management/src/index.rs:177-195 update_index →
+    index_metadata/mod.rs:102-137 update_index_config): re-validates the full
+    index config, applies the doc-mapping update-compat rules of
+    prepare_doc_mapping_update (index_config/mod.rs:669-724), and swaps the
+    registered mapping in place. The compat rejections (each a ValueError —
+    the reference's 400):
+
+    - the timestamp field must remain the same;
+    - custom tokenizers may only be ADDED (new set must be a superset);
+    - search_settings.default_search_fields must resolve against the NEW
+      mapping; retention still requires a timestamp field.
+
+    An update whose doc mapping is semantically identical keeps the current
+    doc_mapping_uid (``mutation_occurred`` reports whether anything —
+    mapping, search settings or retention — actually changed); a real
+    mapping change bumps the uid, the signal downstream consumers use to
+    know old splits predate the mapping."""
+    import dataclasses as _dc
+
+    from quickwit_spark.operators.docmapper import (
+        DocMapping,
+        validate_default_search_fields,
+        validate_tag_fields,
+    )
+
+    index_id = config.get("index_id")
+    if index_id not in indexes:
+        raise IndexNotFoundError(f"index [{index_id}] not found")
+    current = indexes[index_id]
+    new_mapping = DocMapping.from_config(config.get("doc_mapping", {}))
+    validate_tag_fields(new_mapping)
+    search_settings = config.get("search_settings") or {}
+    dsf = tuple(search_settings.get("default_search_fields") or ())
+    validate_default_search_fields(new_mapping, dsf)
+    retention = _validate_index_settings(config, new_mapping)
+
+    # uid-insensitive no-op check (index_config/mod.rs:686-696): compare the
+    # parsed mappings with per-index runtime state normalized away
+    def _cmp(m):
+        return _dc.replace(m, default_search_fields=(), doc_mapping_uid=0)
+
+    mapping_changed = _cmp(new_mapping) != _cmp(current)
+    if mapping_changed:
+        if new_mapping.timestamp_field != current.timestamp_field:
+            raise ValueError(
+                "updating timestamp field is not allowed, current timestamp "
+                f"field `{current.timestamp_field or 'none'}`, new timestamp "
+                f"field `{new_mapping.timestamp_field or 'none'}`"
+            )
+        if not set(current.tokenizers) <= set(new_mapping.tokenizers):
+            raise ValueError(
+                "updating tokenizers is allowed only if adding new tokenizers"
+            )
+
+    mutation_occurred = (
+        mapping_changed
+        or dsf != current.default_search_fields
+        or retention != getattr(current, "retention_policy", None)
+    )
+    new_mapping.doc_mapping_uid = current.doc_mapping_uid + (1 if mapping_changed else 0)
+    new_mapping.default_search_fields = dsf
+    new_mapping.retention_policy = retention
+    # sources + their checkpoints survive a config update untouched
+    new_mapping.sources = getattr(current, "sources", {})
+    new_mapping.source_checkpoints = getattr(current, "source_checkpoints", {})
+    indexes[index_id] = new_mapping
+    return {
+        "index_id": index_id,
+        "mutation_occurred": mutation_occurred,
+        "doc_mapping_uid": new_mapping.doc_mapping_uid,
+        "doc_mapping_fields": [f.name for f in new_mapping.field_mappings],
+    }
+
+
+def clear_index(
+    spark, indexes: dict[str, Any], index_id: str, out_dir: str | None = None
+) -> dict[str, Any]:
+    """``PUT /api/v1/indexes/{index_id}/clear`` analog
+    (quickwit-index-management/src/index.rs:459-510): delete every split's
+    data (mark → GC with zero grace), wipe the metadata planes, and reset
+    every source checkpoint — the index itself stays registered with its
+    config intact."""
+    import shutil as _shutil
+
+    if index_id not in indexes:
+        raise IndexNotFoundError(f"index [{index_id}] not found")
+    mapping = indexes[index_id]
+    splits_deleted = 0
+    if out_dir is not None:
+        import glob as _glob
+
+        for sub in ("sinks", "_lineage", "_checkpoints", "_deletes",
+                    "_merges", ".staging", ".trash"):
+            p = _os.path.join(out_dir, sub)
+            if sub == "sinks":
+                splits_deleted = len(_glob.glob(_os.path.join(p, "commit=*")))
+            _shutil.rmtree(p, ignore_errors=True)
+    # ResetSourceCheckpointRequest per source (index.rs:500-508)
+    for source_id in getattr(mapping, "source_checkpoints", {}):
+        mapping.source_checkpoints[source_id] = {}
+    return {"index_id": index_id, "splits_deleted": splits_deleted,
+            "sources_reset": sorted(getattr(mapping, "source_checkpoints", {}))}
+
+
+# ---------------------------------------------------------------------------
+# source CRUD: POST/PUT/DELETE /api/v1/indexes/{index}/sources
+# ---------------------------------------------------------------------------
+
+
+# source_config/mod.rs:40-50
+RESERVED_SOURCE_IDS = ("_ingest-cli-source", "_ingest-api-source", "_ingest-source")
+
+_KNOWN_SOURCE_TYPES = ("file", "kafka", "vec", "void", "stdin")
+
+
+def _validate_source_config(source_config: dict[str, Any]) -> None:
+    """Source-config validation (source_config/mod.rs SourceConfig::validate
+    + check_source_connectivity in index.rs:552-560): identifier rule,
+    known source type, per-type required params, reachable file path."""
+    source_id = source_config.get("source_id")
+    if source_id in RESERVED_SOURCE_IDS:
+        raise ValueError(f"source id [{source_id}] is reserved")
+    if not source_id or not _INDEX_ID_RE.match(source_id):
+        raise ValueError(f"invalid source id [{source_id}]")
+    stype = source_config.get("source_type")
+    if stype not in _KNOWN_SOURCE_TYPES:
+        raise ValueError(f"unknown source type [{stype}]")
+    params = source_config.get("source_params") or source_config.get("params") or {}
+    if stype == "file":
+        filepath = params.get("filepath")
+        if not filepath:
+            raise ValueError("file source requires `filepath`")
+        if not _os.path.exists(filepath):
+            # check_source_connectivity: an unreachable file is a config
+            # error at create/update time, not an indexing-time surprise
+            raise ValueError(f"file source `{filepath}` not found")
+    elif stype == "kafka":
+        if not params.get("topic"):
+            raise ValueError("kafka source requires `topic`")
+
+
+def create_source(
+    indexes: dict[str, Any], index_id: str, source_config: dict[str, Any]
+) -> dict[str, Any]:
+    """``POST .../sources`` analog (index_metadata/mod.rs:139-153 add_source:
+    duplicate id → AlreadyExists; a fresh checkpoint is registered)."""
+    if index_id not in indexes:
+        raise IndexNotFoundError(f"index [{index_id}] not found")
+    mapping = indexes[index_id]
+    _validate_source_config(source_config)
+    sources = getattr(mapping, "sources", None)
+    if sources is None:
+        sources = mapping.sources = {}
+        mapping.source_checkpoints = {}
+    source_id = source_config["source_id"]
+    if source_id in sources:
+        raise ValueError(f"source [{source_id}] already exists in index [{index_id}]")
+    sources[source_id] = dict(source_config)
+    sources[source_id].setdefault("enabled", True)
+    mapping.source_checkpoints[source_id] = {}
+    return dict(sources[source_id])
+
+
+def update_source(
+    indexes: dict[str, Any], index_id: str, source_config: dict[str, Any]
+) -> dict[str, Any]:
+    """``PUT .../sources/{source_id}`` analog
+    (quickwit-index-management/src/index.rs:552-583 update_source →
+    index_metadata/mod.rs:155-171: re-validates config + connectivity;
+    updating a source that doesn't exist is NotFound; the checkpoint is
+    PRESERVED — an update must not replay the source)."""
+    if index_id not in indexes:
+        raise IndexNotFoundError(f"index [{index_id}] not found")
+    mapping = indexes[index_id]
+    _validate_source_config(source_config)
+    sources = getattr(mapping, "sources", {})
+    source_id = source_config["source_id"]
+    if source_id not in sources:
+        raise IndexNotFoundError(
+            f"source [{source_id}] not found in index [{index_id}]"
+        )
+    previous = sources[source_id]
+    updated = dict(source_config)
+    updated.setdefault("enabled", previous.get("enabled", True))
+    mutation_occurred = updated != previous
+    sources[source_id] = updated
+    return {"source": dict(updated), "mutation_occurred": mutation_occurred}
+
+
+def toggle_source(
+    indexes: dict[str, Any], index_id: str, source_id: str, enable: bool
+) -> bool:
+    """``PUT .../sources/{source_id}/toggle`` analog
+    (index_metadata/mod.rs:173-184)."""
+    if index_id not in indexes:
+        raise IndexNotFoundError(f"index [{index_id}] not found")
+    sources = getattr(indexes[index_id], "sources", {})
+    if source_id not in sources:
+        raise IndexNotFoundError(
+            f"source [{source_id}] not found in index [{index_id}]"
+        )
+    mutation_occurred = sources[source_id].get("enabled", True) != enable
+    sources[source_id]["enabled"] = enable
+    return mutation_occurred
+
+
+def delete_source(indexes: dict[str, Any], index_id: str, source_id: str) -> None:
+    """``DELETE .../sources/{source_id}`` analog (index_metadata/mod.rs:
+    186-195 delete_source: NotFound if absent; the source checkpoint is
+    removed with it, so re-adding the id starts from scratch)."""
+    if index_id not in indexes:
+        raise IndexNotFoundError(f"index [{index_id}] not found")
+    mapping = indexes[index_id]
+    sources = getattr(mapping, "sources", {})
+    if source_id not in sources:
+        raise IndexNotFoundError(
+            f"source [{source_id}] not found in index [{index_id}]"
+        )
+    del sources[source_id]
+    getattr(mapping, "source_checkpoints", {}).pop(source_id, None)
 
 
 def analyze_text(
@@ -1334,10 +1604,37 @@ def list_terms(
     else:
         terms = df.select(F.col(field).alias("term"))
     terms = terms.filter(F.col("term").isNotNull())
+
+    def _range_key(key, label):
+        # the reference's term dictionary is byte-ordered; here range keys
+        # compare in the column's NATIVE type order (documented divergence
+        # for numeric/datetime fields: -5 < 10 here, but "10" < "-5" in
+        # byte order). An unconvertible key is an invalid-query error, not
+        # a silent null filter returning an empty listing.
+        import datetime as _dt
+
+        dt = terms.schema["term"].dataType.simpleString()
+        if dt == "string":
+            return F.lit(key)
+        try:
+            if dt in ("bigint", "int", "smallint", "tinyint"):
+                return F.lit(int(key))
+            if dt in ("double", "float"):
+                return F.lit(float(key))
+            if dt.startswith("timestamp") or dt == "date":
+                return F.lit(_dt.datetime.fromisoformat(str(key)))
+        except (TypeError, ValueError) as err:
+            raise ValueError(
+                f"invalid `{label}` {key!r} for field `{field}` of type {dt}"
+            ) from err
+        raise ValueError(
+            f"range keys are not supported on field `{field}` of type {dt}"
+        )
+
     if start_key is not None:
-        terms = terms.filter(F.col("term") >= F.lit(start_key))
+        terms = terms.filter(F.col("term") >= _range_key(start_key, "start_key"))
     if end_key is not None:
-        terms = terms.filter(F.col("term") < F.lit(end_key))
+        terms = terms.filter(F.col("term") < _range_key(end_key, "end_key"))
     distinct = terms.distinct().orderBy(F.col("term").asc())
     if max_hits is not None:
         distinct = distinct.limit(int(max_hits))
@@ -1439,10 +1736,25 @@ def create_delete_task(
                 )
     start = request.get("start_timestamp")
     end = request.get("end_timestamp")
+    # DeleteQueryRequest types these i64 (delete_task_api handler) — a
+    # non-integer must 400 here, not be interpolated into the query string
+    # where stray query syntax would change the delete's semantics
+    for label, val in (("start_timestamp", start), ("end_timestamp", end)):
+        if val is not None and (isinstance(val, bool) or not isinstance(val, int)):
+            raise ValueError(
+                f"invalid delete query request: `{label}` must be an integer"
+            )
     effective = f"({query})" if query.strip() not in ("", "*") else "*"
     if start is not None or end is not None:
-        lo = str(start) if start is not None else "*"
-        hi = str(end) if end is not None else "*"
+        import datetime as _dt
+
+        def _rfc3339(epoch_secs):
+            return _dt.datetime.fromtimestamp(
+                epoch_secs, tz=_dt.timezone.utc
+            ).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+        lo = _rfc3339(start) if start is not None else "*"
+        hi = _rfc3339(end) if end is not None else "*"
         bound = f"{ts_field}:[{lo} TO {hi}}}"
         effective = bound if effective == "*" else f"{effective} AND {bound}"
     result = delete_by_query(spark, out_dir, effective, compiler)

@@ -94,6 +94,13 @@ class DocMapping:
     # search_settings.default_search_fields (index-level, stored on the
     # mapping after create_index validates them)
     default_search_fields: tuple[str, ...] = ()
+    # custom tokenizer entries from doc_mapping.tokenizers, canonicalized to
+    # (name, sorted-json-config) pairs — the update-compat superset rule
+    # (index_config/mod.rs:714-722) compares these sets
+    tokenizers: tuple = ()
+    # bumped by api.update_index whenever the mapping meaningfully changes
+    # (DocMappingUid analog; index_config/mod.rs:698-703)
+    doc_mapping_uid: int = 1
 
     @classmethod
     def from_config(cls, cfg: dict) -> "DocMapping":
@@ -132,8 +139,15 @@ class DocMapping:
                 )
             return FieldMapping(entry["name"], ftype, multi=multi, **kwargs)
 
+        import json as _json
+
         dyn = cfg.get("dynamic_mapping") or {}
+        toks = tuple(
+            (t.get("name", ""), _json.dumps(t, sort_keys=True))
+            for t in cfg.get("tokenizers", ())
+        )
         return cls(
+            tokenizers=toks,
             field_mappings=[field(e) for e in cfg.get("field_mappings", [])],
             mode=cfg.get("mode", "dynamic"),
             timestamp_field=cfg.get("timestamp_field"),

@@ -908,7 +908,12 @@ def parse_query(query: str, default_fields: tuple[str, ...] = ()) -> QueryAst:
 # ---------------------------------------------------------------------------
 
 
-def es_dsl_to_ast(dsl: dict) -> QueryAst:
+def es_dsl_to_ast(dsl: dict, default_fields: tuple[str, ...] = ()) -> QueryAst:
+    """ES DSL dict → QueryAst. ``default_fields`` is the index's
+    search_settings.default_search_fields — a ``query_string`` without its
+    own ``fields``/``default_field`` falls back to them, matching the
+    reference (search_settings_tests.rs: updating default_search_fields
+    changes which fields a bare query_string hits)."""
     (kind, body), = dsl.items()
     if kind == "match_all":
         return MatchAll()
@@ -1003,17 +1008,17 @@ def es_dsl_to_ast(dsl: dict) -> QueryAst:
             return x if isinstance(x, list) else [x] if x else []
 
         return Bool(
-            must=[es_dsl_to_ast(q) for q in as_list(body.get("must"))],
-            should=[es_dsl_to_ast(q) for q in as_list(body.get("should"))],
-            must_not=[es_dsl_to_ast(q) for q in as_list(body.get("must_not"))],
-            filter=[es_dsl_to_ast(q) for q in as_list(body.get("filter"))],
+            must=[es_dsl_to_ast(q, default_fields) for q in as_list(body.get("must"))],
+            should=[es_dsl_to_ast(q, default_fields) for q in as_list(body.get("should"))],
+            must_not=[es_dsl_to_ast(q, default_fields) for q in as_list(body.get("must_not"))],
+            filter=[es_dsl_to_ast(q, default_fields) for q in as_list(body.get("filter"))],
             minimum_should_match=body.get("minimum_should_match"),
         )
     if kind == "query_string":
         # `default_field` (singular) is ES shorthand for fields=[one]
         # (0016-misc-query.yaml)
         flds = body.get("fields") or (
-            [body["default_field"]] if body.get("default_field") else ()
+            [body["default_field"]] if body.get("default_field") else default_fields
         )
         return parse_query(body["query"], tuple(flds))
     raise ValueError(f"unsupported ES DSL query kind `{kind}`")

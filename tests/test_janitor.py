@@ -588,8 +588,10 @@ def test_delete_task_api(spark, tiny_dir, index_dir):
 
     task = create_delete_task(
         spark, index_dir,
+        # i64 epoch seconds, as DeleteQueryRequest types them
+        # (= 2024-01-02T00:00:00Z)
         {"query": "event_type:error",
-         "end_timestamp": "2024-01-02T00:00:00Z"},
+         "end_timestamp": 1704153600},
         ft,
     )
     assert task["opstamp"] >= 1
@@ -610,6 +612,12 @@ def test_delete_task_api(spark, tiny_dir, index_dir):
         create_delete_task(spark, index_dir, {"query": "*", "bogus": 1}, ft)
     with _pytest.raises(ValueError, match="invalid delete query"):
         create_delete_task(spark, index_dir, {"query": "value:"}, ft)
+    # DeleteQueryRequest types timestamps i64: strings are a 400, never
+    # interpolated into the effective query
+    with _pytest.raises(ValueError, match="must be an integer"):
+        create_delete_task(
+            spark, index_dir,
+            {"query": "*", "end_timestamp": "2024-01-02T00:00:00Z"}, ft)
 
 
 def test_sql_over_index(spark, tiny_dir, index_dir):
