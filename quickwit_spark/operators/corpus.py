@@ -22,6 +22,7 @@ def bigram_lm_scores(
     id_col: str = "doc_id",
     alpha: float = 0.1,
     score_df: DataFrame | None = None,
+    max_broadcast_bigrams: int = 5_000_000,
 ) -> DataFrame:
     """Per-doc cross-entropy + perplexity under an add-α-smoothed bigram LM
     trained on the corpus itself — the perplexity-filter quality signal
@@ -39,10 +40,13 @@ def bigram_lm_scores(
 
     Scale shape: training is two hash aggregations (unigram + bigram counts
     — partial aggregation map-side, one shuffle each); scoring joins each
-    doc bigram against the model. The model for a natural-language corpus
-    (≤ ~10⁸ bigrams) broadcasts; beyond that the same plan degrades
-    gracefully to a sort-merge join keyed by the bigram — both stay one
-    shuffle over the exploded corpus. No Python in either pass.
+    doc bigram against the model. The broadcast hint is CONDITIONAL on the
+    measured model size (distinct bigrams ≤ ``max_broadcast_bigrams``,
+    known exactly from the checkpointed model frame): a small in-domain LM
+    broadcasts, a huge one falls back to Spark's own join choice
+    (sort-merge keyed by the bigram) instead of force-broadcasting itself
+    into a driver OOM. Both shapes stay one shuffle over the exploded
+    corpus. No Python in either pass.
     """
     def explode_bigrams(frame):
         toks = frame.select(F.col(id_col), _tokens(F.col(text_col)).alias("t"))
@@ -70,8 +74,19 @@ def bigram_lm_scores(
     )
     vocab = uni.count()
     bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    model = F.broadcast(
-        bi.join(F.broadcast(uni), "w1").select(
+    # checkpoint the model aggregates so the size probe and the scoring
+    # join(s) share one computation, then hint broadcast only when the
+    # measured size says it is safe
+    uni = uni.localCheckpoint(eager=False)
+    bi = bi.localCheckpoint(eager=False)
+    n_model = bi.count()
+    maybe_bc = (
+        (lambda f: F.broadcast(f)) if n_model <= max_broadcast_bigrams
+        else (lambda f: f)
+    )
+    uni_small = vocab <= max_broadcast_bigrams
+    model = maybe_bc(
+        bi.join(F.broadcast(uni) if uni_small else uni, "w1").select(
             "w1",
             "w2",
             (
@@ -88,7 +103,7 @@ def bigram_lm_scores(
         # log(α / (c1 + αV)); c1 = 0 for an unseen history word → log(1/V)
         _, target = explode_bigrams(score_df)
         scored = (
-            target.join(F.broadcast(uni), "w1", "left")
+            target.join(F.broadcast(uni) if uni_small else uni, "w1", "left")
             .join(model, ["w1", "w2"], "left")
             .withColumn(
                 "logp",

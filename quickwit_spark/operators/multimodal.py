@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 import struct as _struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -213,28 +214,29 @@ def decode_image_batch(payloads: pd.Series, deterministic_fake: bool = False) ->
             out.append(None)
             continue
         b = bytes(p)
+        # every codec shares the same corrupt/unsupported-payload contract:
+        # with deterministic_fake the plumbing keeps running on a content-
+        # derived stand-in instead of failing the whole Arrow batch; without
+        # it the error surfaces. Deliberately NOT a blanket Exception — a
+        # programming error in a codec must surface, not become fakes.
+        _decode_errors = (NotImplementedError, ValueError, IndexError,
+                          KeyError, _struct.error, zlib.error)
+        decoder = None
         if b[:2] == b"BM":
-            out.append(_decode_bmp(b))
-            continue
-        if b[:8] == b"\x89PNG\r\n\x1a\n":
-            out.append(_decode_png(b))
-            continue
-        if b[:4] == b"GIF8":
-            out.append(_decode_gif(b))
-            continue
-        if b[:3] == b"\xff\xd8\xff":
+            decoder = _decode_bmp
+        elif b[:8] == b"\x89PNG\r\n\x1a\n":
+            decoder = _decode_png
+        elif b[:4] == b"GIF8":
+            decoder = _decode_gif
+        elif b[:3] == b"\xff\xd8\xff":
             from quickwit_spark.operators.jpeg import decode_jpeg
 
+            decoder = decode_jpeg
+        if decoder is not None:
             try:
-                out.append(decode_jpeg(b))
+                out.append(decoder(b))
                 continue
-            except (NotImplementedError, ValueError, IndexError, KeyError,
-                    _struct.error):
-                # unsupported variant OR corrupt/truncated stream: with
-                # deterministic_fake the plumbing must keep running on a
-                # content-derived stand-in instead of failing the batch.
-                # Deliberately NOT a blanket Exception — a programming error
-                # in the codec must surface, not silently become fakes.
+            except _decode_errors:
                 if not deterministic_fake:
                     raise
         if not deterministic_fake:

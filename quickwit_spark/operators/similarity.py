@@ -227,6 +227,40 @@ def embedding_exact_pairs_blocked(
     )
 
 
+def nearest_cell_udf(centroids: np.ndarray, metric: str = "l2"):
+    """Vectorized nearest-centroid assignment: ONE BLAS matmul per Arrow
+    batch against the broadcast (c×d) codebook, so plan size is O(1) in the
+    number of centroids (a 64k-cell IVF codebook is just a bigger literal
+    in the UDF closure, not a 64k-deep expression tree). Ties break toward
+    the smallest centroid index for both metrics (first argmin/argmax).
+
+    ``metric``: "l2" (squared-distance argmin — the IVF convention) or
+    "cosine" (similarity argmax — the SemDeDup convention)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    if metric == "cosine":
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    elif metric == "l2":
+        c_sq = (C * C).sum(axis=1)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown metric {metric!r}")
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        if metric == "cosine":
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+            best = (Xn @ Cn.T).argmax(axis=1)
+        else:
+            # argmin over ||x-c||² = ||x||² - 2x·c + ||c||²; the ||x||² term
+            # is constant per row and cannot change the argmin
+            best = (c_sq[None, :] - 2.0 * (X @ C.T)).argmin(axis=1)
+        return pd.Series(best.astype("int32"))
+
+    return assign
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -239,23 +273,17 @@ def ivf_topk(
     """IVF-style ANN: vectors pre-assigned to their nearest centroid; the
     query probes the ``n_probe`` nearest centroid cells only. ``centroids``
     would come from a KMeans fit (offline); here any (c, dim) array works.
+
+    Assignment is the matmul UDF (:func:`nearest_cell_udf`), not a per-
+    centroid expression chain — plan depth stays O(1) at real codebook
+    sizes (4k-64k cells); scoring the probed cells stays JVM-side codegen.
     """
     qv = np.asarray(query_vec, dtype=np.float64)
-    dists = ((centroids - qv) ** 2).sum(axis=1)
+    dists = ((np.asarray(centroids, dtype=np.float64) - qv) ** 2).sum(axis=1)
     probe_cells = [int(i) for i in np.argsort(dists)[:n_probe]]
 
-    # assign each row to its nearest centroid, JVM-side
-    best = None
-    for ci, c in enumerate(centroids):
-        cc = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(F.col(vec_col), cc, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        entry = F.struct(d.alias("d"), F.lit(ci).alias("cell"))
-        best = entry if best is None else F.when(entry["d"] < best["d"], entry).otherwise(best)
-    assigned = df.withColumn("_cell", best["cell"])
+    assign = nearest_cell_udf(centroids, metric="l2")
+    assigned = df.withColumn("_cell", assign(F.col(vec_col)))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         assigned.filter(F.col("_cell").isin(probe_cells))
@@ -340,6 +368,7 @@ def semantic_dedup(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_cluster_rows: int = 100_000,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023 shape): cluster the
     corpus against a fixed centroid codebook, then prune within clusters —
@@ -353,24 +382,19 @@ def semantic_dedup(
     Scale shape: centroid assignment is ONE BLAS matmul per Arrow batch
     against the broadcast (k×d) codebook — no shuffle; pruning shuffles
     once on cluster id and does the pairwise matmul per cluster, which is
-    the point of clustering first: O(n²/k) FLOPs instead of O(n²), and each
-    cluster's block fits one task. Skewed (viral) clusters are the known
-    caveat — cap cluster size upstream or split hot clusters by a salt on a
-    second-nearest centroid.
+    the point of clustering first: O(n²/k) FLOPs instead of O(n²).
+
+    Hot-cluster skew: a cluster larger than ``max_cluster_rows`` does NOT
+    become one O(viral²) task. Because "dropped" compares against ALL
+    lower-id members (kept or not), the predicate is tileable exactly like
+    :func:`embedding_exact_pairs_blocked`: viral-cluster rows are hash-
+    split into ~max_cluster_rows blocks, every block pair becomes one
+    bounded matmul task, and a per-id OR-aggregate recovers the identical
+    kept set — same semantics at any skew, per-task memory capped at two
+    blocks. The O(m²) FLOPs of a viral cluster are inherent to the exact
+    rule; the cap distributes them instead of concentrating them.
     """
-    C = np.asarray(centroids, dtype=np.float64)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-
-    @F.pandas_udf(T.IntegerType())
-    def assign(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype="int32")
-        X = np.stack(vecs.to_numpy()).astype(np.float64)
-        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
-        sims = Xn @ Cn.T
-        # ties break toward the smallest centroid index (argmax is first-max)
-        return pd.Series(sims.argmax(axis=1).astype("int32"))
-
+    assign = nearest_cell_udf(centroids, metric="cosine")
     assigned = df.select(
         F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("cluster")
     )
@@ -399,4 +423,88 @@ def semantic_dedup(
             }
         )
 
-    return assigned.groupBy("cluster").applyInPandas(prune, schema=out_schema)
+    # cluster-size census is a tiny aggregate (one row per centroid) — the
+    # hot-cluster list is driver-sized by construction
+    assigned = assigned.localCheckpoint(eager=False)
+    sizes = assigned.groupBy("cluster").count().collect()
+    hot = {int(r["cluster"]): int(r["count"]) for r in sizes
+           if r["count"] > max_cluster_rows}
+    cold = assigned if not hot else assigned.filter(
+        ~F.col("cluster").isin(list(hot))
+    )
+    cold_out = cold.groupBy("cluster").applyInPandas(prune, schema=out_schema)
+    if not hot:
+        return cold_out
+    hot_out = _semantic_dedup_tiled(
+        assigned.filter(F.col("cluster").isin(list(hot))),
+        hot, threshold, vec_col, id_col, max_cluster_rows,
+    )
+    return cold_out.unionByName(hot_out)
+
+
+def _semantic_dedup_tiled(
+    assigned: DataFrame,
+    hot_sizes: dict[int, int],
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+    max_cluster_rows: int,
+) -> DataFrame:
+    """Exact viral-cluster pruning as a bounded tile grid.
+
+    Rows of each hot cluster are hash-assigned to ``nb = ceil(size/cap)``
+    blocks; each row is replicated once per tile it participates in
+    (tiles (lo, hi) with lo = its block or hi = its block), one shuffle on
+    (cluster, lo, hi) runs one bounded matmul per tile, and a final
+    groupBy(id) ORs the per-tile "has an earlier close member" verdicts.
+    Identical output to the single-task path; per-task rows ≤ ~2 blocks."""
+    nb_for = {c: -(-s // max_cluster_rows) for c, s in hot_sizes.items()}
+    nb_col = F.element_at(
+        F.create_map(*[F.lit(x) for kv in nb_for.items() for x in kv]),
+        F.col("cluster"),
+    )
+    blk = F.pmod(F.xxhash64(F.col(id_col)), nb_col).cast("int")
+    tiled = (
+        assigned.withColumn("_blk", blk)
+        .withColumn("_t", F.explode(F.sequence(F.lit(0), nb_col - 1)))
+        .select(
+            id_col, vec_col, "cluster",
+            F.least("_blk", "_t").alias("_lo"),
+            F.greatest("_blk", "_t").alias("_hi"),
+            "_blk",
+        )
+    )
+
+    def tile_verdict(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.reset_index(drop=True)
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        ids = pdf[id_col].to_numpy()
+        lo, hi = int(pdf["_lo"].iloc[0]), int(pdf["_hi"].iloc[0])
+        in_lo = (pdf["_blk"] == lo).to_numpy()
+        sims = np.round(Xn @ Xn.T, 6)
+        close = sims >= threshold
+        earlier = ids[None, :] < ids[:, None]
+        if lo != hi:
+            # cross-block pairs only; within-block pairs belong to tile (b, b)
+            cross = in_lo[None, :] != in_lo[:, None]
+            close = close & cross
+        dropped = (close & earlier).any(axis=1)
+        return pd.DataFrame({
+            id_col: ids,
+            "cluster": pdf["cluster"],
+            "dropped": dropped,
+        })
+
+    verdicts = tiled.groupBy("cluster", "_lo", "_hi").applyInPandas(
+        tile_verdict,
+        schema=f"{id_col} long, cluster int, dropped boolean",
+    )
+    return (
+        verdicts.groupBy(id_col)
+        .agg(
+            F.first("cluster").alias("cluster"),
+            (~F.bool_or("dropped")).alias("kept"),
+        )
+        .select(id_col, "cluster", "kept")
+    )

@@ -142,9 +142,15 @@ def test_semantic_dedup_no_join(spark, sf_dir):
         "vec_id", "embedding"
     )
     cents = np.stack([r["embedding"] for r in emb.limit(4).collect()])
-    p = plan_of(semantic_dedup(emb, cents, threshold=0.95))
+    out = semantic_dedup(emb, cents, threshold=0.95)
+    p = plan_of(out)
     assert "Join" not in p
-    assert "ArrowEvalPython" in p  # codebook matmul
+    # the assigned frame (codebook matmul) is localCheckpointed once by the
+    # cluster-size census, so the output plan reads the checkpoint back
+    # (ExistingRDD) instead of re-running the ArrowEvalPython UDF — the
+    # matmul appears exactly once across census + prune
+    assert "ExistingRDD" in p
+    assert "ArrowEvalPython" not in p  # assignment NOT recomputed
     assert "FlatMapGroupsInPandas" in p  # per-cluster prune
     assert p.count("Exchange") == 1
 
