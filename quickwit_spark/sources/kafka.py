@@ -65,9 +65,104 @@ def delta_to_spark_offsets(
     return json.dumps(starting), json.dumps(ending)
 
 
+class FileKafkaBroker:
+    """File-backed broker double implementing the exact (topic, partition,
+    offset) contract of a Kafka cluster, for end-to-end tests without
+    spark-sql-kafka on the classpath (the reference tests its Kafka source
+    against a dockerized broker, kafka_source.rs test mod; this double
+    plays that role in-sandbox).
+
+    Layout: one NDJSON file per partition (``{topic}-{p:05d}.jsonl``);
+    offset = line index, so ``end_offsets`` is the line count (Kafka's
+    next-offset-to-produce convention) and a batch read of [start, end)
+    returns exactly those lines. Reads run executor-side via mapInPandas —
+    one (partition, start, end) slice per task, like the real batch source.
+    """
+
+    def __init__(self, root: str):
+        import os
+
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, topic: str, partition: int) -> str:
+        import os
+
+        return os.path.join(self.root, f"{topic}-{partition:05d}.jsonl")
+
+    def produce(self, topic: str, partition: int, values: list[str]) -> None:
+        with open(self._path(topic, partition), "a", encoding="utf-8") as fh:
+            for v in values:
+                fh.write(v.rstrip("\n") + "\n")
+
+    def end_offsets(self, topic: str) -> dict[int, int]:
+        import glob
+        import os
+
+        out: dict[int, int] = {}
+        for p in glob.glob(self._path(topic, 0).replace("-00000", "-*")):
+            part = int(os.path.basename(p).rsplit("-", 1)[1].split(".")[0])
+            with open(p, "rb") as fh:
+                out[part] = sum(1 for _ in fh)
+        return out
+
+    def read_batch(
+        self, spark: SparkSession, topic: str, starting: str, ending: str
+    ) -> DataFrame:
+        """Spark offsets JSON → DataFrame in the Kafka source's column shape
+        (value/topic/partition/offset/timestamp), offsets [start, end)."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        start_map = json.loads(starting)[topic]
+        end_map = json.loads(ending)[topic]
+        specs = [
+            (self._path(topic, int(p)), int(p), int(frm), int(end_map[p]))
+            for p, frm in start_map.items()
+        ]
+        spec_df = spark.createDataFrame(
+            specs, "path string, partition int, start long, end long"
+        ).repartition(max(len(specs), 1))
+        schema = T.StructType([
+            T.StructField("value", T.StringType()),
+            T.StructField("topic", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("timestamp", T.TimestampType()),
+        ])
+
+        def read_slices(batches):
+            for pdf in batches:
+                vals, parts, offs = [], [], []
+                for path, part, start, end in zip(
+                    pdf["path"], pdf["partition"], pdf["start"], pdf["end"]
+                ):
+                    with open(path, encoding="utf-8") as fh:
+                        for i, line in enumerate(fh):
+                            if int(start) <= i < int(end):
+                                vals.append(line.rstrip("\n"))
+                                parts.append(int(part))
+                                offs.append(i)
+                yield pd.DataFrame({
+                    "value": vals,
+                    "topic": topic,
+                    "partition": pd.array(parts, dtype="int32"),
+                    "offset": offs,
+                    "timestamp": pd.NaT,
+                })
+
+        return spec_df.mapInPandas(read_slices, schema=schema)
+
+
 class KafkaTailSource:
     """Poll/commit over a Kafka topic with external checkpointed offsets —
-    the same interface as :class:`~quickwit_spark.sources.file_tail.FileTailSource`."""
+    the same interface as :class:`~quickwit_spark.sources.file_tail.FileTailSource`.
+
+    ``broker`` (optional) is any object with ``end_offsets(topic)`` and
+    ``read_batch(spark, topic, starting, ending)`` — production wires the
+    real Spark Kafka batch source; tests inject :class:`FileKafkaBroker`
+    so poll → durable write → commit → crash → resume is exercised
+    end-to-end without a cluster."""
 
     def __init__(
         self,
@@ -76,20 +171,29 @@ class KafkaTailSource:
         topic: str,
         out_dir: str,
         source_id: str = "kafka",
+        broker=None,
     ):
         self.spark = spark
         self.servers = bootstrap_servers
         self.topic = topic
         self.source_id = source_id
         self.store = CheckpointStore(out_dir)
+        self.broker = broker
 
-    def plan(self, latest: dict[int, int]) -> dict[str, tuple[int, int]]:
+    def plan(self, latest: dict[int, int] | None = None) -> dict[str, tuple[int, int]]:
         """``latest`` comes from the broker's endOffsets (injected so the
-        planning math is testable without one)."""
+        planning math is testable without one; with a ``broker`` attached it
+        is fetched automatically)."""
+        if latest is None:
+            if self.broker is None:
+                raise ValueError("plan() needs `latest` offsets or a broker")
+            latest = self.broker.end_offsets(self.topic)
         return offsets_to_delta(self.store.current(self.source_id), latest, self.topic)
 
     def read(self, delta: dict[str, tuple[int, int]]) -> DataFrame:
         starting, ending = delta_to_spark_offsets(delta, self.topic)
+        if self.broker is not None:
+            return self.broker.read_batch(self.spark, self.topic, starting, ending)
         try:
             return (
                 self.spark.read.format("kafka")
@@ -109,6 +213,16 @@ class KafkaTailSource:
                 "package to the classpath); offset planning/commit logic is "
                 "broker-independent and tested"
             ) from e
+
+    def poll(self) -> tuple[DataFrame, dict] | None:
+        """One micro-batch: (rows DataFrame, delta) or None if caught up.
+        Same publish model as FileTailSource.poll: the caller durably
+        writes its outputs, then calls :meth:`commit` with the delta."""
+        delta = self.plan()
+        if not delta:
+            return None
+        self.store.check_compatibility(self.source_id, delta)
+        return self.read(delta), delta
 
     def commit(self, delta: dict, commit_id: str | None = None) -> str:
         self.store.check_compatibility(self.source_id, delta)

@@ -52,3 +52,87 @@ def test_kafka_read_raises_clearly_without_package(spark, tmp_path_factory):
     src = KafkaTailSource(spark, "broker:9092", "logs", out)
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         src.read({partition_key("logs", 0): (0, 10)}).collect()
+
+
+def test_kafka_e2e_kill_and_resume_with_file_broker(spark, tmp_path_factory):
+    """VERDICT r3 item 5: readStream-style wiring end-to-end over the
+    file-backed broker double — poll → durable sink write → commit, with a
+    crash planted between write and commit. Exactly-once: the restarted
+    source replays the same batch into the same idempotent commit dir; the
+    final sink holds every produced message exactly once (no dup, no gap).
+    """
+    import glob
+    import os
+
+    from quickwit_spark.sources.kafka import FileKafkaBroker
+
+    root = tmp_path_factory.mktemp("fake_kafka")
+    broker = FileKafkaBroker(str(root / "broker"))
+    ckpt = str(root / "ckpt")
+    sink = str(root / "sink")
+    topic = "turns"
+
+    produced = []
+
+    def produce(partition, n):
+        msgs = [f"p{partition}-m{len(produced) + i}" for i in range(n)]
+        for m in msgs:
+            produced.append(m)
+        broker.produce(topic, partition, msgs)
+
+    def write_sink(df, commit_id):
+        # idempotent durable write: one dir per commit, overwrite on replay
+        df.write.mode("overwrite").parquet(os.path.join(sink, f"commit={commit_id}"))
+
+    def commit_id_for(delta):
+        # ':' is illegal in Hadoop path segments — keep ids path-safe
+        return "-".join(
+            f"{k.replace(':', '_')}_{a}_{b}" for k, (a, b) in sorted(delta.items())
+        )
+
+    # batch 1: two partitions, clean poll → write → commit
+    produce(0, 5)
+    produce(1, 3)
+    src = KafkaTailSource(spark, "none:0", topic, ckpt, broker=broker)
+    df, delta = src.poll()
+    assert sorted(delta) == ["turns:00000", "turns:00001"]
+    write_sink(df, commit_id_for(delta))
+    src.commit(delta, commit_id=commit_id_for(delta))
+    assert src.poll() is None  # caught up
+
+    # batch 2: new data + a NEW partition appearing mid-stream (rebalance
+    # analog: assignment grows, new partition reads from 0)
+    produce(0, 4)
+    produce(2, 6)
+    df2, delta2 = src.poll()
+    assert delta2["turns:00000"] == (5, 9)
+    assert delta2["turns:00002"] == (0, 6)
+    write_sink(df2, commit_id_for(delta2))
+    # CRASH planted here: sink written, commit never happened.
+
+    # restart: a fresh source over the same checkpoint replays EXACTLY the
+    # lost batch (same delta), writes the same idempotent dir, commits.
+    src2 = KafkaTailSource(spark, "none:0", topic, ckpt, broker=broker)
+    df2b, delta2b = src2.poll()
+    assert delta2b == delta2  # no gap, no skip
+    write_sink(df2b, commit_id_for(delta2b))
+    src2.commit(delta2b, commit_id=commit_id_for(delta2b))
+
+    # replaying the committed delta is now rejected
+    with pytest.raises(IncompatibleCheckpointDelta):
+        src2.commit(delta2b)
+    assert src2.poll() is None
+
+    # final sink == produced set, exactly once
+    got = [
+        r["value"]
+        for r in spark.read.option("basePath", sink)
+        .parquet(*glob.glob(os.path.join(sink, "commit=*")))
+        .collect()
+    ]
+    assert sorted(got) == sorted(produced)
+    assert len(got) == len(set(got)) == 18
+
+    # offsets in the replayed frame carry the broker's line identity
+    offs = {(r["partition"], r["offset"]) for r in df2b.collect()}
+    assert (0, 5) in offs and (2, 0) in offs
