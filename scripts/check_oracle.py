@@ -37,15 +37,18 @@ def rowset(rows, colnames):
     return sorted(tuple(norm(r[i]) for i in order) for r in rows)
 
 
-def main(only: list[str] | None = None):
+def main(only: list[str] | None = None, sf_dir: str | None = None):
+    """Runs every queries() entry against its oracle; returns the failure
+    list (empty = green) so tests/test_oracle_all.py can gate on it."""
     from quickwit_spark.session import get_spark
 
     import __spark_entry__ as entry_mod
 
+    sf_dir = sf_dir or SF_DIR
     spark = get_spark(app_name="oracle_check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
-        p = os.path.join(SF_DIR, f"{t}.parquet")
+        p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
@@ -57,7 +60,7 @@ def main(only: list[str] | None = None):
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, SF_DIR)
+            sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
@@ -97,9 +100,10 @@ def main(only: list[str] | None = None):
         print(f"{len(failures)} FAILURES:")
         for name, msg in failures:
             print(f"  {name}: {msg}")
-        sys.exit(1)
-    print("all queries match their oracles")
+    else:
+        print("all queries match their oracles")
+    return failures
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or None)
+    sys.exit(1 if main(sys.argv[1:] or None) else 0)
