@@ -571,6 +571,18 @@ def _q_bigram_lm(spark, sf_dir):
     return CP.bigram_lm_scores(docs)
 
 
+def _q_score_bm25(spark, sf_dir):
+    # BM25 _score top-k (operators/scoring.py): the documents fixture is
+    # pure-ASCII whitespace-separated words, so tokenize_default ==
+    # whitespace split and DuckDB can restate the full scoring formula
+    from quickwit_spark.operators.scoring import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, "spark merge", "text", k=20, id_col="doc_id").select(
+        "doc_id", "_score"
+    )
+
+
 def _q_mixture_plan(spark, sf_dir):
     """Temperature-based source mixing over a deliberately skewed source
     tiering (60/30/10 by doc_id) so τ=0.7 visibly upweights the small
@@ -830,15 +842,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #
     # Round-4 rotation (VERDICT r3 item 7): promoted INTO the window the
     # semantically distinct agg_date_histogram_gapfill (extended_bounds gap
-    # fill), q_ip_range (ip-as-u128 ordering) and dedup_paragraphs (C4
-    # paragraph rule); displaced to the CI-checked overflow the near-
-    # duplicate coverage agg_terms_topk (terms cap ⊂ agg_terms_event_type +
-    # sort_topk), q_termset (≈ q_term ∪) and janitor_retention_count (same
-    # janitor count shape as the in-window janitor_delete_count).
+    # fill), q_ip_range (ip-as-u128 ordering), dedup_paragraphs (C4
+    # paragraph rule) and q_score_bm25 (the new BM25 _score sort, full
+    # formula restated in DuckDB); displaced to the CI-checked overflow the
+    # near-duplicate coverage agg_terms_topk (terms cap ⊂
+    # agg_terms_event_type + sort_topk), q_termset (≈ q_term ∪),
+    # janitor_retention_count (same janitor count shape as the in-window
+    # janitor_delete_count) and agg_histogram_value (fixed-interval binning
+    # ⊂ agg_date_histogram's calendar binning).
     return {
         # aggregations (SURVEY §2.7)
         "agg_date_histogram": _q_agg_date_histogram,
-        "agg_histogram_value": _q_agg_histogram_value,
         "agg_terms_event_type": _q_agg_terms_event_type,
         "agg_multi_terms": _q_agg_multi_terms,
         "agg_cardinality_exact": _q_agg_cardinality_exact,
@@ -861,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_extract": _q_json_extract,
         "q_ip_term": _q_ip_term,
         "q_ip_range": _q_ip_range,
+        "q_score_bm25": _q_score_bm25,
         # sorts / pagination (SURVEY §2.8)
         "sort_topk": _q_sort_topk,
         "search_after": _q_search_after,
@@ -894,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_features": _q_multimodal_image_features,
         # oracle-backed overflow (see note above; gapfill/range_ts/pii/url
         # semantics are each also covered by in-window entries or pytest)
+        "agg_histogram_value": _q_agg_histogram_value,
         "agg_terms_topk": _q_agg_terms_topk,
         "q_termset": _q_termset,
         "janitor_retention_count": _q_janitor_retention,
@@ -1304,6 +1320,36 @@ def oracle_sql() -> dict[str, str]:
                        AND round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.95
                    ) AS kept
             FROM a
+        """,
+        "q_score_bm25": r"""
+            WITH d AS (
+              SELECT doc_id, str_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), s AS (
+              SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM d
+            ), dfs AS (
+              SELECT
+                sum(CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+                sum(CASE WHEN list_contains(t, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS df2
+              FROM d
+            ), sc AS (
+              SELECT doc_id,
+                     len(list_filter(t, x -> x = 'spark'))::DOUBLE AS f1,
+                     len(list_filter(t, x -> x = 'merge'))::DOUBLE AS f2,
+                     len(t)::DOUBLE AS dl
+              FROM d
+            )
+            SELECT doc_id,
+                   round(
+                     ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+                       * (f1 * 2.2) / (f1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                     + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+                       * (f2 * 2.2) / (f2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                   6) AS _score
+            FROM sc, s, dfs
+            WHERE f1 > 0 OR f2 > 0
+            ORDER BY _score DESC, doc_id ASC
+            LIMIT 20
         """,
         "pack_sequences": r"""
             WITH b AS (

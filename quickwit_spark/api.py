@@ -41,7 +41,9 @@ def _parse_sort(sort_spec) -> list[tuple[str, bool]]:
         sort_spec = [{f: spec} for f, spec in sort_spec.items()]
     for s in sort_spec or []:
         if isinstance(s, str):
-            out.append((s, False))
+            # bare `_score` defaults DESCENDING (ES semantics); every other
+            # bare field defaults ascending
+            out.append((s, s == "_score"))
         else:
             (field, spec), = s.items()
             order = spec.get("order", "asc") if isinstance(spec, dict) else spec
@@ -174,6 +176,50 @@ def _filter_for_body(df: DataFrame, body: dict[str, Any], compiler) -> DataFrame
     return filtered
 
 
+def _bm25_spec(ast) -> tuple[str, list[str], list[list[str]], str]:
+    """Query AST → (field, terms, phrases, gate_mode) for BM25 scoring.
+    Supported shapes (the scoring-relevant subset): Term, TermSet, FullText
+    (or/and), Phrase slop-0, and a Bool wrapping ONE of those. Anything
+    else raises — `_score` sorting on filter-only shapes (ranges, exists,
+    wildcards) is meaningless and the reference treats them as
+    constant-score filters too."""
+    import re as _re3
+
+    from quickwit_spark.operators.query import (
+        Bool,
+        FullText,
+        Phrase,
+        Term,
+        TermSet,
+    )
+
+    def toks(text: str) -> list[str]:
+        # driver-side analog of tokenize_default: split on non-letter/digit,
+        # lowercase, drop >255
+        return [t for t in _re3.findall(r"[^\W_]+", str(text).lower()) if len(t) <= 255]
+
+    if isinstance(ast, Bool):
+        clauses = [*ast.must, *ast.should, *ast.filter]
+        if len(clauses) == 1 and not ast.must_not:
+            return _bm25_spec(clauses[0])
+        raise ValueError(
+            "_score sort supports a single term/match/phrase clause"
+        )
+    if isinstance(ast, Term):
+        return ast.field, toks(ast.value) if ast.analyzed else [ast.value], [], "or"
+    if isinstance(ast, TermSet):
+        return ast.field, [t for v in ast.values for t in toks(v)], [], "or"
+    if isinstance(ast, FullText):
+        return ast.field, toks(ast.text), [], ast.operator
+    if isinstance(ast, Phrase):
+        if ast.slop:
+            raise ValueError("_score sort supports slop-0 phrases only")
+        return ast.field, [], [toks(ast.text)], "and"
+    raise ValueError(
+        f"_score sort not supported for query shape {type(ast).__name__}"
+    )
+
+
 def es_search(
     df: DataFrame,
     body: dict[str, Any],
@@ -194,6 +240,27 @@ def es_search(
     size = body.get("size", 10)
     frm = body.get("from", 0)
     sort_fields = _parse_sort(body.get("sort"))
+
+    if any(f == "_score" for f, _ in sort_fields):
+        # opt-in BM25 `_score` sort (operators/scoring.py): corpus stats
+        # come from the UNFILTERED index frame (ES computes idf/avgdl per
+        # shard, not per query result) and feed one codegen score column
+        from quickwit_spark.functions.tokenizers import tokenize_default
+        from quickwit_spark.operators.scoring import bm25_score_col, corpus_stats
+
+        ast = _required_query_ast(body, compiler)
+        sfield, terms, phrases, _mode = _bm25_spec(ast)
+        all_terms = list(terms) + [t for ph in phrases for t in ph]
+        stats = corpus_stats(df, sfield, all_terms)
+        filtered = filtered.withColumn(
+            "_score",
+            F.round(
+                bm25_score_col(
+                    tokenize_default(F.col(sfield)), terms, stats, phrases=phrases
+                ),
+                6,
+            ),
+        )
 
     total = None
     if body.get("track_total_hits", True):
@@ -252,6 +319,7 @@ def es_search(
         has_stored_source = "_source" in filtered.columns
         for r in rows:
             src = r.asDict(recursive=True)
+            hit_score = src.pop("_score", None)
             for i in range(len(sort_fields)):
                 src.pop(f"__sort_{i}", None)
                 src.pop(f"__dsort_{i}", None)
@@ -279,6 +347,8 @@ def es_search(
             elif includes or excludes:
                 src = filter_source(src, includes, excludes)
             h: dict[str, Any] = {"_source": src}
+            if hit_score is not None:
+                h["_score"] = hit_score
             if sort_fields:
                 h["sort"] = [r[f"__sort_{i}"] for i in range(len(sort_fields))]
             hits.append(h)
@@ -290,6 +360,9 @@ def es_search(
             "hits": hits,
         },
     }
+    scores = [h["_score"] for h in hits if h.get("_score") is not None]
+    if scores:
+        out["hits"]["max_score"] = max(scores)
     aggs = body.get("aggs") or body.get("aggregations")
     if aggs:
         # dynamic-capture fields (mode=dynamic indexes) have no native

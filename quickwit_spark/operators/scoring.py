@@ -1,0 +1,182 @@
+"""BM25 relevance scoring + `_score` sort (opt-in).
+
+The reference scores hits with tantivy's BM25 (quickwit-search collector
+`SortByValue::Score` path; `tantivy_query_ast.rs` builds scoring queries
+unless `ScoringDisabled`). SURVEY §2.6 declared relevance out of scope for
+v1; this module closes that gap with the standard published BM25 the
+reference's engine implements (Robertson/Sparck-Jones as used by
+Lucene/tantivy, public formula):
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tf(t,d) = freq · (k1 + 1) / (freq + k1 · (1 − b + b · |d| / avgdl))
+    score   = Σ_t idf(t) · tf(t,d)        k1 = 1.2, b = 0.75
+
+Known divergence, documented: tantivy quantizes |d| through a one-byte
+fieldnorm code before the norm division (a storage optimization); we use
+the exact token count, so absolute scores differ slightly from tantivy's
+at large |d| while the formula — and in practice the ranking — is the
+same. Exact |d| is strictly *more* accurate and is DuckDB-expressible, so
+the whole scorer is value-checked by the oracle gate.
+
+Scale shape: two metadata-sized stats jobs (corpus N/avgdl aggregate; df
+per query term via a pushed-down `isin` filter over distinct tokens —
+result is #query-terms rows) feeding literal constants into ONE scoring
+scan: per-doc freq/|d| are pure Column ops inside codegen, top-k is
+TakeOrdered. No UDF, no shuffle beyond the two tiny aggs. A real
+deployment caches (N, avgdl, df) per index epoch the way the reference
+reads them from split metadata — pass ``stats`` to skip both jobs.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from quickwit_spark.functions.tokenizers import tokenize_default
+
+K1 = 1.2
+B = 0.75
+
+
+@dataclass(frozen=True)
+class CorpusStats:
+    """The per-(index, field) statistics BM25 needs; the analog of what
+    tantivy reads from its inverted index + fieldnorm readers."""
+
+    num_docs: int
+    avg_dl: float
+    doc_freq: dict[str, int]  # term → number of docs containing it
+
+
+def _tokens(field_col: Column) -> Column:
+    return tokenize_default(field_col)
+
+
+def corpus_stats(
+    df: DataFrame, field: str, terms: list[str]
+) -> CorpusStats:
+    """Gather (N, avgdl, df[t]) for the query's terms.
+
+    Two driver-sized jobs: one corpus aggregate, one distinct-token count
+    filtered to the query terms BEFORE the aggregation (the `isin` pushes
+    into the scan projection; the result has ≤ len(terms) rows)."""
+    toks = df.select(_tokens(F.col(field)).alias("_t"))
+    row = toks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size("_t")).alias("avgdl"),
+    ).first()
+    n, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+    dfreq = {t: 0 for t in terms}
+    if terms:
+        rows = (
+            toks.select(F.explode(F.array_distinct("_t")).alias("term"))
+            .filter(F.col("term").isin(list(terms)))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .collect()
+        )
+        for r in rows:
+            dfreq[r["term"]] = int(r["df"])
+    return CorpusStats(num_docs=n, avg_dl=avgdl, doc_freq=dfreq)
+
+
+def idf(num_docs: int, doc_freq: int) -> float:
+    """ln(1 + (N - df + 0.5)/(df + 0.5)) — the Lucene/tantivy BM25+ idf
+    (never negative, unlike classic Robertson idf)."""
+    return math.log(1.0 + (num_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+
+
+def _tf_norm(freq: Column, dl: Column, avg_dl: float, k1: float, b: float) -> Column:
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avg_dl or 1.0))
+    return freq * F.lit(k1 + 1.0) / (freq + norm)
+
+
+def term_freq_col(tokens: Column, term: str) -> Column:
+    return F.size(F.filter(tokens, lambda x: x == F.lit(term))).cast("double")
+
+
+def phrase_freq_col(tokens: Column, phrase: list[str]) -> Column:
+    """Exact phrase occurrence count (slop 0): positions i where every
+    phrase term matches consecutively — pure Column ops, codegen-side."""
+    plen = len(phrase)
+    if plen == 0:
+        return F.lit(0.0)
+    if plen == 1:
+        return term_freq_col(tokens, phrase[0])
+    starts = F.sequence(F.lit(1), F.greatest(F.size(tokens) - plen + 1, F.lit(0)))
+
+    def match_at(i):
+        cond = F.lit(True)
+        for j, t in enumerate(phrase):
+            cond = cond & (F.element_at(tokens, i + F.lit(j)) == F.lit(t))
+        return cond
+
+    return F.size(F.filter(starts, match_at)).cast("double")
+
+
+def bm25_score_col(
+    tokens: Column,
+    query_terms: list[str],
+    stats: CorpusStats,
+    phrases: list[list[str]] | None = None,
+    k1: float = K1,
+    b: float = B,
+) -> Column:
+    """Σ over query terms (and optional phrases) of idf·tf — one Column
+    expression, evaluated in whole-stage codegen.
+
+    A phrase contributes tantivy-style: phrase frequency through the tf
+    saturation with the SUM of its member idfs (Lucene PhraseQuery)."""
+    dl = F.size(tokens).cast("double")
+    score = F.lit(0.0)
+    for t in dict.fromkeys(query_terms):  # dedupe, keep order
+        w = idf(stats.num_docs, stats.doc_freq.get(t, 0))
+        score = score + F.lit(w) * _tf_norm(term_freq_col(tokens, t), dl, stats.avg_dl, k1, b)
+    for ph in phrases or []:
+        w = sum(idf(stats.num_docs, stats.doc_freq.get(t, 0)) for t in ph)
+        score = score + F.lit(w) * _tf_norm(phrase_freq_col(tokens, ph), dl, stats.avg_dl, k1, b)
+    return score
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    field: str,
+    k: int = 10,
+    id_col: str | None = None,
+    mode: str = "or",
+    phrase: bool = False,
+    stats: CorpusStats | None = None,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-k by BM25 `_score` over one text field — the `sort: _score`
+    search path. ``mode="or"`` matches any query term (scores sum over the
+    matching ones — absent terms contribute freq 0); ``mode="and"``
+    requires every term; ``phrase=True`` requires the exact phrase and
+    scores by phrase frequency. Ties break by ``id_col`` ascending (the
+    reference's stable doc-order tiebreak). Returns the input columns plus
+    ``_score`` (rounded to 6 dp for cross-engine comparability).
+    """
+    qterms = [t for t in query.lower().split() if t]
+    if stats is None:
+        stats = corpus_stats(df, field, qterms)
+    tokens = _tokens(F.col(field))
+    if phrase:
+        freq_gate = phrase_freq_col(tokens, qterms) > 0
+        score = bm25_score_col(
+            tokens, [], stats, phrases=[qterms], k1=k1, b=b)
+    else:
+        gates = [term_freq_col(tokens, t) > 0 for t in qterms]
+        freq_gate = gates[0] if gates else F.lit(False)
+        for g in gates[1:]:
+            freq_gate = (freq_gate & g) if mode == "and" else (freq_gate | g)
+        score = bm25_score_col(tokens, qterms, stats, k1=k1, b=b)
+    scored = df.filter(freq_gate).withColumn("_score", F.round(score, 6))
+    order = [F.col("_score").desc()]
+    if id_col is not None:
+        order.append(F.col(id_col).asc())
+    return scored.orderBy(*order).limit(k)

@@ -1,0 +1,150 @@
+"""BM25 `_score` scoring (operators/scoring.py): formula vectors computed
+by an independent in-test reference implementation, the three query shapes
+(term / match-or / phrase), and the es_search `sort: _score` integration."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from quickwit_spark.api import es_search
+from quickwit_spark.operators.scoring import (
+    CorpusStats,
+    bm25_topk,
+    corpus_stats,
+    idf,
+)
+
+DOCS = [
+    (1, "spark merges the shuffle files"),
+    (2, "spark spark spark everywhere in spark land"),
+    (3, "a very long document about merges and files and tables and rows and columns and parquet and arrow and pandas and numpy"),
+    (4, "merge policy"),
+    (5, "unrelated text entirely"),
+    (6, "the spark merge policy merges splits"),
+]
+
+
+def ref_bm25(corpus, query_terms, phrase=None, k1=1.2, b=0.75):
+    """Independent reference scorer (plain python over split tokens)."""
+    toks = {i: t.lower().split() for i, t in corpus}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    out = {}
+    for i, t in toks.items():
+        dl = len(t)
+        score = 0.0
+        for q in dict.fromkeys(query_terms or []):
+            dfq = sum(1 for tt in toks.values() if q in tt)
+            freq = t.count(q)
+            w = math.log(1 + (n - dfq + 0.5) / (dfq + 0.5))
+            score += w * freq * (k1 + 1) / (freq + k1 * (1 - b + b * dl / avgdl))
+        if phrase:
+            occ = sum(
+                1 for s in range(len(t) - len(phrase) + 1)
+                if t[s:s + len(phrase)] == phrase
+            )
+            w = sum(
+                math.log(1 + (n - sum(1 for tt in toks.values() if q in tt) + 0.5)
+                         / (sum(1 for tt in toks.values() if q in tt) + 0.5))
+                for q in phrase
+            )
+            score += w * occ * (k1 + 1) / (occ + k1 * (1 - b + b * dl / avgdl))
+        out[i] = round(score, 6)
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"]).cache()
+
+
+def test_bm25_term_matches_reference_values(corpus):
+    got = {r["doc_id"]: r["_score"]
+           for r in bm25_topk(corpus, "spark", "text", k=10, id_col="doc_id").collect()}
+    exp = {i: s for i, s in ref_bm25(DOCS, ["spark"]).items() if s > 0}
+    assert got == pytest.approx(exp)
+    # tf saturation + length norm: doc 2 (freq 4, short) far above doc 1
+    assert got[2] > got[1]
+
+
+def test_bm25_match_or_and_shapes(corpus):
+    got_or = [r["doc_id"] for r in
+              bm25_topk(corpus, "spark merge", "text", k=10, id_col="doc_id").collect()]
+    exp = ref_bm25(DOCS, ["spark", "merge"])
+    exp_order = [i for i, s in sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+                 if s > 0 and any(q in dict(DOCS)[i].lower().split()
+                                  for q in ("spark", "merge"))]
+    assert got_or == exp_order
+    # AND: only docs containing both terms
+    got_and = {r["doc_id"] for r in
+               bm25_topk(corpus, "spark merge", "text", k=10,
+                         id_col="doc_id", mode="and").collect()}
+    assert got_and == {6}
+
+
+def test_bm25_phrase_shape(corpus):
+    got = {r["doc_id"]: r["_score"] for r in
+           bm25_topk(corpus, "merge policy", "text", k=10,
+                     id_col="doc_id", phrase=True).collect()}
+    exp = {i: s for i, s in
+           ref_bm25(DOCS, [], phrase=["merge", "policy"]).items() if s > 0}
+    assert got == pytest.approx(exp)
+    assert set(got) == {4, 6}  # only exact consecutive occurrences
+
+
+def test_bm25_idf_never_negative():
+    # BM25+ idf: a term in every doc still gets a small positive weight
+    assert idf(10, 10) > 0
+    assert idf(10, 1) > idf(10, 5)
+
+
+def test_bm25_precomputed_stats_skip_jobs(corpus):
+    stats = corpus_stats(corpus, "text", ["spark"])
+    assert stats.num_docs == 6 and stats.doc_freq["spark"] == 3
+    # cached-stats path returns the same scores
+    a = bm25_topk(corpus, "spark", "text", k=3, id_col="doc_id").collect()
+    b = bm25_topk(corpus, "spark", "text", k=3, id_col="doc_id", stats=stats).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_bm25_scoring_stays_in_codegen(corpus):
+    stats = corpus_stats(corpus, "text", ["spark"])
+    out = bm25_topk(corpus, "spark", "text", k=3, id_col="doc_id", stats=stats)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # no Python in the scoring scan
+    assert "TakeOrderedAndProject" in plan  # top-k, no global sort
+
+
+def test_es_search_score_sort(corpus):
+    res = es_search(
+        corpus,
+        {"query": {"match": {"text": "spark merge"}},
+         "sort": ["_score"], "size": 3},
+        field_types={"text": "text"},
+    )
+    hits = res["hits"]["hits"]
+    scores = [h["_score"] for h in hits]
+    assert scores == sorted(scores, reverse=True)
+    assert res["hits"]["max_score"] == scores[0]
+    exp = ref_bm25(DOCS, ["spark", "merge"])
+    assert hits[0]["_score"] == pytest.approx(
+        max(s for i, s in exp.items()))
+    # explicit asc order is honored too
+    res_asc = es_search(
+        corpus,
+        {"query": {"match": {"text": "spark merge"}},
+         "sort": [{"_score": "asc"}], "size": 10},
+        field_types={"text": "text"},
+    )
+    asc = [h["_score"] for h in res_asc["hits"]["hits"]]
+    assert asc == sorted(asc)
+
+
+def test_es_search_score_sort_rejects_filter_shapes(corpus):
+    with pytest.raises(ValueError, match="_score"):
+        es_search(
+            corpus,
+            {"query": {"range": {"doc_id": {"gte": 2}}}, "sort": ["_score"]},
+            field_types={"doc_id": "numeric", "text": "text"},
+        )
