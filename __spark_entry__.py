@@ -583,6 +583,36 @@ def _q_score_bm25(spark, sf_dir):
     )
 
 
+def _q_epoch_shuffle(spark, sf_dir):
+    from quickwit_spark.operators.corpus import epoch_shuffle
+
+    out = epoch_shuffle(_t(spark, sf_dir, "documents"), seed=7, num_shards=8)
+    return out.select("doc_id", "shard", F.col("pos").cast("long").alias("pos"))
+
+
+def _q_text_normalize(spark, sf_dir):
+    # documents text is already clean — inject deterministic mess first so
+    # the normalizer has real work, mirrored exactly in the oracle
+    from quickwit_spark.functions.text import normalize_text_col
+
+    docs = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("  "), F.col("text"),
+        F.lit("\u200b\u00a0end\tof\x07doc  "),
+    )
+    return docs.select("doc_id", normalize_text_col(messy).alias("clean"))
+
+
+def _q_text_gopher(spark, sf_dir):
+    from quickwit_spark.functions.text import gopher_features, gopher_keep_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", *gopher_features(F.col("text")),
+        gopher_keep_col(F.col("text")).alias("keep"),
+    )
+
+
 def _q_mixture_plan(spark, sf_dir):
     """Temperature-based source mixing over a deliberately skewed source
     tiering (60/30/10 by doc_id) so τ=0.7 visibly upweights the small
@@ -922,6 +952,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_url_domains": _q_text_url_domains,
         "q_range_ts": _q_range_ts,
         "text_token_count": _q_text_token_count,
+        "epoch_shuffle": _q_epoch_shuffle,
+        "text_normalize": _q_text_normalize,
+        "text_gopher": _q_text_gopher,
         "agg_stats_value": _q_agg_stats_value,
         "from_size": _q_from_size,
         "count_only": _q_count_only,
@@ -1350,6 +1383,75 @@ def oracle_sql() -> dict[str, str]:
             WHERE f1 > 0 OR f2 > 0
             ORDER BY _score DESC, doc_id ASC
             LIMIT 20
+        """,
+        "epoch_shuffle": """
+            WITH b AS (
+              SELECT doc_id,
+                     CAST(((doc_id + 7)::HUGEINT * 2654435761) % 4294967296
+                          AS BIGINT) AS key
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(key % 8 AS INTEGER) AS shard,
+                   row_number() OVER (PARTITION BY key % 8
+                                      ORDER BY key, doc_id) - 1 AS pos
+            FROM b
+        """,
+        "text_normalize": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     '  ' || text || chr(8203) || chr(160) || 'end' || chr(9)
+                     || 'of' || chr(7) || 'doc  ' AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(regexp_replace(
+                        regexp_replace(regexp_replace(t,
+                          '[\x{200b}\x{200c}\x{200d}\x{feff}\x{ad}]', '', 'g'),
+                          '[\x{a0}\x{2000}-\x{200a}\x{3000}]', ' ', 'g'),
+                          '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+                          '[ \t]+', ' ', 'g'),
+                          ' ?\n ?', chr(10), 'g')) AS clean
+            FROM m
+        """,
+        "text_gopher": r"""
+            WITH w AS (
+              SELECT doc_id, text,
+                     list_filter(str_split_regex(trim(text), '\s+'),
+                                 x -> len(x) > 0) AS words,
+                     list_filter(str_split_regex(text, '\n'),
+                                 l -> len(trim(l)) > 0) AS lines,
+                     str_split_regex(lower(trim(text)), '\W+') AS lw
+              FROM documents
+            ), f AS (
+              SELECT doc_id,
+                len(words) AS n_words,
+                round(coalesce(list_sum(list_transform(words,
+                          x -> len(x)::DOUBLE)), 0)
+                      / greatest(len(words), 1), 6) AS mean_word_len,
+                round(((len(text) - len(regexp_replace(text, '#', '', 'g')))
+                       + (len(str_split_regex(text, '\.\.\.')) - 1))
+                      / greatest(len(words), 1)::DOUBLE, 6) AS symbol_word_ratio,
+                round(len(list_filter(lines,
+                          l -> regexp_matches(trim(l), '^([\-\*•])')))
+                      / greatest(len(lines), 1)::DOUBLE, 6) AS bullet_line_frac,
+                round(len(list_filter(lines,
+                          l -> regexp_matches(trim(l), '\.\.\.$')))
+                      / greatest(len(lines), 1)::DOUBLE, 6) AS ellipsis_line_frac,
+                len(list_filter(lw, x -> list_contains(
+                    ['the','be','to','of','and','that','have','with'], x)))
+                  AS stopword_hits
+              FROM w
+            )
+            SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+                   bullet_line_frac, ellipsis_line_frac, stopword_hits,
+                   (n_words BETWEEN 50 AND 100000)
+                   AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                   AND (symbol_word_ratio <= 0.1)
+                   AND (bullet_line_frac <= 0.9)
+                   AND (ellipsis_line_frac <= 0.3)
+                   AND (stopword_hits >= 2) AS keep
+            FROM f
         """,
         "pack_sequences": r"""
             WITH b AS (

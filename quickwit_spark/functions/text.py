@@ -414,3 +414,85 @@ def url_domains_col(col: Column) -> Column:
     frequency analysis / domain blocklists)."""
     urls = F.regexp_extract_all(col, F.lit(URL_DOMAIN_RE), 1)
     return urls
+
+
+# ---------------------------------------------------------------------------
+# text normalization + Gopher-style composite quality rules
+# ---------------------------------------------------------------------------
+
+
+def normalize_text_col(col: Column) -> Column:
+    """Training-corpus text cleanup as one codegen expression chain:
+    control characters (except \\t \\n) stripped, zero-width/invisible
+    unicode (ZWSP/ZWNJ/ZWJ/BOM/soft hyphen) removed, NBSP → space,
+    horizontal whitespace runs collapsed, outer whitespace trimmed. (Full
+    NFC normalization needs ICU — out of scope; these are the cleanups
+    that matter for whitespace-tokenized pipelines.)"""
+    c = F.regexp_replace(col, r"[​‌‍﻿­]", "")
+    c = F.regexp_replace(c, r"[  -   　]", " ")
+    c = F.regexp_replace(c, r"[\x00-\x08\x0B-\x1F\x7F]", "")
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    return F.trim(c)
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_features(col: Column) -> list[Column]:
+    """The Gopher quality-rule raw signals (Rae et al. 2021 §A1.1, public):
+    word count, mean word length, symbol-to-word ratio (# and ...),
+    fraction of lines starting with a bullet, fraction ending with an
+    ellipsis, stopword hit count. All pure Column ops over one pass."""
+    words = F.filter(F.split(F.trim(col), r"\s+"), lambda w: F.length(w) > 0)
+    n_words = F.size(words)
+    mean_wl = F.aggregate(
+        words, F.lit(0.0), lambda acc, w: acc + F.length(w)
+    ) / F.greatest(n_words.cast("double"), F.lit(1.0))
+    hashes = F.length(col) - F.length(F.regexp_replace(col, r"#", ""))
+    ellipses = F.size(F.split(col, r"\.\.\.")) - 1
+    sym_ratio = (hashes + ellipses) / F.greatest(n_words.cast("double"), F.lit(1.0))
+    lines = F.filter(F.split(col, r"\n"), lambda l: F.length(F.trim(l)) > 0)
+    n_lines = F.greatest(F.size(lines).cast("double"), F.lit(1.0))
+    bullet_frac = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^([\-\*•])"))
+    ) / n_lines
+    ellipsis_line_frac = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$"))
+    ) / n_lines
+    lowered = F.split(F.lower(F.trim(col)), r"\W+")
+    stop_hits = F.size(
+        F.filter(lowered, lambda w: w.isin(*_GOPHER_STOPWORDS))
+    )
+    return [
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_line_frac, 6).alias("ellipsis_line_frac"),
+        stop_hits.alias("stopword_hits"),
+    ]
+
+
+def gopher_keep_col(
+    col: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wl: float = 3.0,
+    max_mean_wl: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """The composite Gopher keep/drop verdict with the paper's published
+    thresholds as defaults — AND of all rules, one boolean Column."""
+    n_words, mean_wl, sym, bullet, ellip, stop = gopher_features(col)
+    return (
+        n_words.between(min_words, max_words)
+        & mean_wl.between(min_mean_wl, max_mean_wl)
+        & (sym <= max_symbol_ratio)
+        & (bullet <= max_bullet_frac)
+        & (ellip <= max_ellipsis_frac)
+        & (stop >= min_stopword_hits)
+    )

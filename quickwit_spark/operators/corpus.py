@@ -40,9 +40,9 @@ def bigram_lm_scores(
 
     Scale shape: training is two hash aggregations (unigram + bigram counts
     — partial aggregation map-side, one shuffle each); scoring joins each
-    doc bigram against the model. The broadcast hint is CONDITIONAL on the
-    measured model size (distinct bigrams ≤ ``max_broadcast_bigrams``,
-    known exactly from the checkpointed model frame): a small in-domain LM
+    doc bigram against the model. The broadcast hint is CONDITIONAL on an
+    estimated model size (vocab ≤ ``max_broadcast_bigrams``/20 — natural
+    text runs ~10-40 distinct bigrams per vocab word): a small in-domain LM
     broadcasts, a huge one falls back to Spark's own join choice
     (sort-merge keyed by the bigram) instead of force-broadcasting itself
     into a driver OOM. Both shapes stay one shuffle over the exploded
@@ -238,4 +238,42 @@ def pack_sequences(
         (cum - F.col("n_tokens")).alias("offset"),
         F.floor((cum - F.col("n_tokens")) / context_len).alias("chunk_start"),
         F.floor((cum - 1) / context_len).alias("chunk_end"),
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    seed: int = 0,
+    num_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-order shuffle: every epoch (seed) induces a
+    reproducible pseudo-random global order, materialized as
+    (id, shard, pos) — shard files are written independently and read in
+    (shard, pos) order by the training loader, the standard sharded-epoch
+    layout.
+
+    Order comes from a Knuth multiplicative mix of (id, seed) — identical
+    across runs, partitionings and engines (the same determinism rationale
+    as :func:`pack_sequences`), so an interrupted epoch resumes at the
+    exact position. Scale shape: ONE hash shuffle on shard + a per-shard
+    row_number window — shards are the parallelism unit; there is no
+    global sort and no single-partition window at 10^12 docs.
+    """
+    from pyspark.sql import Window
+
+    # Knuth multiplicative hash; ids and key stay well inside int64
+    key = F.pmod(
+        (F.col(id_col) + F.lit(int(seed))) * F.lit(2654435761), F.lit(4294967296)
+    )
+    base = df.select(
+        F.col(id_col),
+        key.alias("_key"),
+        F.pmod(key, F.lit(num_shards)).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("_key", id_col)
+    return base.select(
+        id_col,
+        "shard",
+        (F.row_number().over(w) - 1).alias("pos"),
     )

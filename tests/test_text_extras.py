@@ -410,3 +410,67 @@ def test_pack_sequences_contract(spark):
                 (srt.offset + srt.n_tokens).values[:-1]).all()
         assert (a.chunk_start == a.offset // 10).all()
         assert (a.chunk_end == (a.offset + a.n_tokens - 1) // 10).all()
+
+
+def test_normalize_text(spark):
+    from quickwit_spark.functions.text import normalize_text_col
+
+    rows = [
+        (1, "  hello​world  here  "),
+        (2, "tabs\t\tand\x07control\x00chars"),
+        (3, "line one  \n  line two\n\nline three"),
+        (4, "﻿BOM­soft"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    got = {r["id"]: r["c"] for r in
+           df.select("id", normalize_text_col(F.col("t")).alias("c")).collect()}
+    assert got[1] == "helloworld here"
+    assert got[2] == "tabs andcontrolchars"
+    assert got[3] == "line one\nline two\n\nline three"
+    assert got[4] == "BOMsoft"
+
+
+def test_gopher_rules(spark):
+    from quickwit_spark.functions.text import gopher_features, gopher_keep_col
+
+    good = ("the quick brown fox jumps over lazy dogs and runs to be with "
+            "all of that good energy which we have kept alive here today "
+            "while many other words continue filling this long document "
+            "nicely until the word count exceeds fifty words in total okay "
+            "adding a few more simple words pushes the count safely past")
+    bullets = "\n".join(f"- item {i}" for i in range(20))
+    symbols = "# " * 60 + "the of and to be that have with more words here"
+    rows = [(1, good), (2, "too short"), (3, bullets), (4, symbols)]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    out = {r["id"]: r for r in df.select(
+        "id", *gopher_features(F.col("t")),
+        gopher_keep_col(F.col("t")).alias("keep")).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False          # word count < 50
+    assert out[3]["bullet_line_frac"] == 1.0
+    assert out[3]["keep"] is False          # bullets + too short
+    assert out[4]["symbol_word_ratio"] > 0.1
+    assert out[4]["keep"] is False
+
+
+def test_epoch_shuffle_deterministic_and_balanced(spark):
+    from quickwit_spark.operators.corpus import epoch_shuffle
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = epoch_shuffle(df, seed=3, num_shards=8).collect()
+    # same seed, different partitioning → identical order
+    b = epoch_shuffle(df.repartition(13), seed=3, num_shards=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # different seed → different order
+    c = epoch_shuffle(df, seed=4, num_shards=8).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+    # positions are dense 0..n-1 per shard, shards roughly balanced
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in a:
+        by_shard[r["shard"]].append(r["pos"])
+    assert len(by_shard) == 8
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
+        assert 150 < len(ps) < 350  # ~250 each
