@@ -613,6 +613,27 @@ def _q_text_gopher(spark, sf_dir):
     )
 
 
+def _q_ann_pq(spark, sf_dir):
+    # PQ/ADC over pre-encoded codes (the codegen query path): codebooks are
+    # the first 4 embedding rows sliced into 4 subspaces (deterministic and
+    # DuckDB-restatable — same derivation trick as semantic_dedup's
+    # centroids); query = embedding of vec_id 5
+    import numpy as np
+
+    from quickwit_spark.operators.similarity import pq_encode, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = {r["vec_id"]: r["embedding"] for r in emb.filter(F.col("vec_id") <= 5).collect()}
+    base = np.stack([np.asarray(rows[i], dtype=np.float64) for i in range(4)])
+    m, dsub = 4, 16
+    codebooks = np.stack(
+        [base[:, j * dsub:(j + 1) * dsub] for j in range(m)]
+    )  # (m, ksub=4, dsub)
+    q = [float(x) for x in rows[5]]
+    encoded = pq_encode(emb, codebooks)
+    return pq_topk(encoded, q, codebooks, k=15, codes_col="codes")
+
+
 def _q_mixture_plan(spark, sf_dir):
     """Temperature-based source mixing over a deliberately skewed source
     tiering (60/30/10 by doc_id) so τ=0.7 visibly upweights the small
@@ -955,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": _q_epoch_shuffle,
         "text_normalize": _q_text_normalize,
         "text_gopher": _q_text_gopher,
+        "ann_pq": _q_ann_pq,
         "agg_stats_value": _q_agg_stats_value,
         "from_size": _q_from_size,
         "count_only": _q_count_only,
@@ -1452,6 +1474,63 @@ def oracle_sql() -> dict[str, str]:
                    AND (ellipsis_line_frac <= 0.3)
                    AND (stopword_hits >= 2) AS keep
             FROM f
+        """,
+        "ann_pq": r"""
+            WITH cb AS (
+              SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id < 4
+            ), cbl AS (
+              SELECT list(e ORDER BY cid) AS cs FROM cb
+            ), q AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id = 5
+            ), v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            ), coded AS (
+              SELECT v.vec_id, cbl.cs, q.qe,
+                list_indexof(
+                  list_transform(cs, c -> list_sum(list_transform(
+                    generate_series(1, 16), i -> (e[i] - c[i]) ** 2))),
+                  list_min(
+                  list_transform(cs, c -> list_sum(list_transform(
+                    generate_series(1, 16), i -> (e[i] - c[i]) ** 2))))
+                ) AS code1,
+                list_indexof(
+                  list_transform(cs, c -> list_sum(list_transform(
+                    generate_series(17, 32), i -> (e[i] - c[i]) ** 2))),
+                  list_min(
+                  list_transform(cs, c -> list_sum(list_transform(
+                    generate_series(17, 32), i -> (e[i] - c[i]) ** 2))))
+                ) AS code2,
+                list_indexof(
+                  list_transform(cs, c -> list_sum(list_transform(
+                    generate_series(33, 48), i -> (e[i] - c[i]) ** 2))),
+                  list_min(
+                  list_transform(cs, c -> list_sum(list_transform(
+                    generate_series(33, 48), i -> (e[i] - c[i]) ** 2))))
+                ) AS code3,
+                list_indexof(
+                  list_transform(cs, c -> list_sum(list_transform(
+                    generate_series(49, 64), i -> (e[i] - c[i]) ** 2))),
+                  list_min(
+                  list_transform(cs, c -> list_sum(list_transform(
+                    generate_series(49, 64), i -> (e[i] - c[i]) ** 2))))
+                ) AS code4
+              FROM v, cbl, q
+            )
+            SELECT vec_id, round(
+                list_sum(list_transform(generate_series(1, 16),
+                    i -> (qe[i] - cs[code1][i]) ** 2))
+              +                 list_sum(list_transform(generate_series(17, 32),
+                    i -> (qe[i] - cs[code2][i]) ** 2))
+              +                 list_sum(list_transform(generate_series(33, 48),
+                    i -> (qe[i] - cs[code3][i]) ** 2))
+              +                 list_sum(list_transform(generate_series(49, 64),
+                    i -> (qe[i] - cs[code4][i]) ** 2)),
+              6) AS adc
+            FROM coded
+            ORDER BY adc ASC, vec_id ASC
+            LIMIT 15
         """,
         "pack_sequences": r"""
             WITH b AS (
