@@ -821,6 +821,7 @@ def janitor_cycle(
     split_num_docs_target: int = 10_000_000,
     gc_grace_seconds: float = 0.0,
     tag_fields: tuple[str, ...] = (),
+    merge_policy_config: dict | None = None,
 ) -> dict:
     """One janitor service cycle — the reference janitor's periodic loops
     composed in their order (quickwit-janitor: delete-task execution is
@@ -828,9 +829,20 @@ def janitor_cycle(
     garbage collection). Idempotent: each stage repairs its own interrupted
     state before acting, so running a cycle after a crash converges.
 
+    ``merge_policy_config`` is the index config's ``merge_policy`` dict
+    (merge_policy_config.rs enum: no_merge / limit_merge / stable_log);
+    absent → stable_log built from the explicit factor kwargs.
+
     Returns a per-stage summary (docs dropped by retention, commits merged,
     dangling paths removed).
     """
+    policy = None
+    if merge_policy_config is not None:
+        from quickwit_spark.pipeline.merge_policy import merge_policy_from_config
+
+        policy = merge_policy_from_config(
+            merge_policy_config, split_num_docs_target=split_num_docs_target
+        )
     summary: dict = {}
     if retention_cutoff is not None:
         summary["retention"] = apply_retention(spark, out_dir, retention_cutoff)
@@ -840,6 +852,7 @@ def janitor_cycle(
         max_merge_factor=max_merge_factor,
         split_num_docs_target=split_num_docs_target,
         tag_fields=tag_fields,
+        policy=policy,
     )
     summary["gc"] = garbage_collect(out_dir, grace_seconds=gc_grace_seconds)
     return summary

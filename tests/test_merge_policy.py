@@ -289,3 +289,36 @@ def test_plan_merges_docs_target_cap():
     for g in groups:
         # 3 × 4M ≥ 10M target → candidate closes at 3 splits
         assert len(g) <= 3
+
+
+def test_janitor_cycle_accepts_policy_config(spark, tmp_path_factory):
+    """janitor_cycle threads the index config's merge_policy enum through:
+    no_merge leaves every commit untouched."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.pipeline.janitor import (
+        build_time_partitioned_index,
+        janitor_cycle,
+        read_lineage,
+    )
+
+    out = str(tmp_path_factory.mktemp("jc_policy") / "idx")
+    rows = [(i, f"e{i % 2}", f"2024-01-{1 + i % 9:02d}T00:00:00") for i in range(200)]
+    df = (
+        spark.createDataFrame(rows, ["event_id", "event_type", "ts_str"])
+        .withColumn("ts", F.to_timestamp("ts_str"))
+        .drop("ts_str")
+    )
+    build_time_partitioned_index(spark, df, out, sink_expr=F.col("event_type"),
+                                 source_id="ev")
+    n_before = read_lineage(spark, out).select("commit_id").distinct().count()
+    res = janitor_cycle(spark, out, merge_policy_config={"type": "no_merge"})
+    assert res["merge"]["merged"] == []
+    assert read_lineage(spark, out).select("commit_id").distinct().count() == n_before
+    # stable_log config with small factors DOES merge the 9 tiny day-commits
+    res2 = janitor_cycle(
+        spark, out,
+        merge_policy_config={"type": "stable_log", "merge_factor": 3,
+                             "max_merge_factor": 5},
+    )
+    assert res2["merge"]["merged"]
