@@ -1409,8 +1409,8 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle": """
             WITH b AS (
               SELECT doc_id,
-                     CAST(((doc_id + 7)::HUGEINT * 2654435761) % 4294967296
-                          AS BIGINT) AS key
+                     CAST((((doc_id + 7) % 2147483648) * 2654435761)
+                          % 4294967296 AS BIGINT) AS key
               FROM documents
             )
             SELECT doc_id,

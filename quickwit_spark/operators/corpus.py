@@ -262,9 +262,16 @@ def epoch_shuffle(
     """
     from pyspark.sql import Window
 
-    # Knuth multiplicative hash; ids and key stay well inside int64
+    # Knuth multiplicative hash. The id is folded mod 2^31 BEFORE the
+    # multiply so the product stays under int64 max at any id scale
+    # (10^12-doc ids would otherwise silently wrap, diverging from the
+    # documented order); ids ≥ 2^31 share mix keys with their mod-2^31
+    # sibling, which only affects shuffle quality, never determinism —
+    # the (key, id) tiebreak keeps the total order well-defined
     key = F.pmod(
-        (F.col(id_col) + F.lit(int(seed))) * F.lit(2654435761), F.lit(4294967296)
+        F.pmod(F.col(id_col) + F.lit(int(seed)), F.lit(2147483648))
+        * F.lit(2654435761),
+        F.lit(4294967296),
     )
     base = df.select(
         F.col(id_col),
