@@ -226,11 +226,15 @@ def es_search(
     field_types: dict[str, str] | None = None,
     default_fields: tuple[str, ...] = (),
     compiler: "QueryCompiler | None" = None,
+    bm25_stats=None,
 ) -> dict[str, Any]:
     """Execute one ES `_search` body over ``df``; returns the response dict.
 
     ``compiler`` overrides the default-constructed QueryCompiler (callers
-    with dynamic-mode mappings pass ``QueryCompiler.from_doc_mapping``)."""
+    with dynamic-mode mappings pass ``QueryCompiler.from_doc_mapping``).
+    ``bm25_stats`` (a scoring.CorpusStats) skips the per-request corpus
+    statistics jobs for `_score` sorts — the per-index-epoch cache a real
+    deployment maintains."""
     t0 = time.time()
     if compiler is None:
         compiler = QueryCompiler(field_types, default_fields=default_fields)
@@ -241,17 +245,25 @@ def es_search(
     frm = body.get("from", 0)
     sort_fields = _parse_sort(body.get("sort"))
 
-    if any(f == "_score" for f, _ in sort_fields):
+    score_sorted = any(f == "_score" for f, _ in sort_fields)
+    if score_sorted:
         # opt-in BM25 `_score` sort (operators/scoring.py): corpus stats
         # come from the UNFILTERED index frame (ES computes idf/avgdl per
-        # shard, not per query result) and feed one codegen score column
+        # shard, not per query result) and feed one codegen score column.
+        # Scoring derives from the q/query clause ONLY — extra_filters are
+        # constant-score filters and must not reach _bm25_spec
         from quickwit_spark.functions.tokenizers import tokenize_default
         from quickwit_spark.operators.scoring import bm25_score_col, corpus_stats
 
-        ast = _required_query_ast(body, compiler)
+        if body.get("q"):
+            ast = compiler.parse(str(body["q"]))
+        elif body.get("query"):
+            ast = es_dsl_to_ast(body["query"], compiler.default_fields)
+        else:
+            raise ValueError("_score sort requires a query")
         sfield, terms, phrases, _mode = _bm25_spec(ast)
         all_terms = list(terms) + [t for ph in phrases for t in ph]
-        stats = corpus_stats(df, sfield, all_terms)
+        stats = bm25_stats or corpus_stats(df, sfield, all_terms)
         filtered = filtered.withColumn(
             "_score",
             F.round(
@@ -263,7 +275,17 @@ def es_search(
         )
 
     total = None
-    if body.get("track_total_hits", True):
+    max_score = None
+    if score_sorted:
+        # one aggregate serves both the total and ES's max_score, which is
+        # defined over ALL matching hits, not the returned page
+        agg_row = filtered.agg(
+            F.count(F.lit(1)).alias("n"), F.max("_score").alias("m")
+        ).first()
+        if body.get("track_total_hits", True):
+            total = agg_row["n"]
+        max_score = agg_row["m"]
+    elif body.get("track_total_hits", True):
         total = filtered.count()
 
     hits: list[dict[str, Any]] = []
@@ -360,9 +382,8 @@ def es_search(
             "hits": hits,
         },
     }
-    scores = [h["_score"] for h in hits if h.get("_score") is not None]
-    if scores:
-        out["hits"]["max_score"] = max(scores)
+    if max_score is not None:
+        out["hits"]["max_score"] = max_score
     aggs = body.get("aggs") or body.get("aggregations")
     if aggs:
         # dynamic-capture fields (mode=dynamic indexes) have no native

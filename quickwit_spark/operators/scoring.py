@@ -106,7 +106,13 @@ def phrase_freq_col(tokens: Column, phrase: list[str]) -> Column:
         return F.lit(0.0)
     if plen == 1:
         return term_freq_col(tokens, phrase[0])
-    starts = F.sequence(F.lit(1), F.greatest(F.size(tokens) - plen + 1, F.lit(0)))
+    # a document shorter than the phrase has zero start positions; the
+    # naive sequence(1, size-plen+1) would DESCEND to [1, 0] there and
+    # element_at(tokens, 0) always errors in Spark
+    n_starts = F.size(tokens) - plen + 1
+    starts = F.when(
+        n_starts >= 1, F.sequence(F.lit(1), n_starts)
+    ).otherwise(F.array().cast("array<int>"))
 
     def match_at(i):
         cond = F.lit(True)
@@ -161,7 +167,11 @@ def bm25_topk(
     reference's stable doc-order tiebreak). Returns the input columns plus
     ``_score`` (rounded to 6 dp for cross-engine comparability).
     """
-    qterms = [t for t in query.lower().split() if t]
+    import re as _re
+
+    # the same analysis as the document side (tokenize_default splits on
+    # non-letter/digit and lowercases): "spark-sql" must score as two terms
+    qterms = [t for t in _re.findall(r"[^\W_]+", query.lower()) if len(t) <= 255]
     if stats is None:
         stats = corpus_stats(df, field, qterms)
     tokens = _tokens(F.col(field))

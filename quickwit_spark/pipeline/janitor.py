@@ -523,7 +523,8 @@ def merge_splits(
         policy=policy,
     )
     ops_by_commit = {
-        str(r["commit_id"]): int(r["num_merge_ops"]) if "num_merge_ops" in lcols else 0
+        # pre-upgrade lineage files may read back null num_merge_ops
+        str(r["commit_id"]): int(r["num_merge_ops"] or 0) if "num_merge_ops" in lcols else 0
         for r in per_commit
     }
     sinks = _sinks_dir(out_dir)

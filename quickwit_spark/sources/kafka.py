@@ -111,47 +111,23 @@ class FileKafkaBroker:
     ) -> DataFrame:
         """Spark offsets JSON → DataFrame in the Kafka source's column shape
         (value/topic/partition/offset/timestamp), offsets [start, end)."""
-        import pandas as pd
-        from pyspark.sql import types as T
+        from pyspark.sql import functions as F
+
+        from quickwit_spark.sources._slices import read_line_slices
 
         start_map = json.loads(starting)[topic]
         end_map = json.loads(ending)[topic]
         specs = [
-            (self._path(topic, int(p)), int(p), int(frm), int(end_map[p]))
+            (self._path(topic, int(p)), str(int(p)), int(frm), int(end_map[p]))
             for p, frm in start_map.items()
         ]
-        spec_df = spark.createDataFrame(
-            specs, "path string, partition int, start long, end long"
-        ).repartition(max(len(specs), 1))
-        schema = T.StructType([
-            T.StructField("value", T.StringType()),
-            T.StructField("topic", T.StringType()),
-            T.StructField("partition", T.IntegerType()),
-            T.StructField("offset", T.LongType()),
-            T.StructField("timestamp", T.TimestampType()),
-        ])
-
-        def read_slices(batches):
-            for pdf in batches:
-                vals, parts, offs = [], [], []
-                for path, part, start, end in zip(
-                    pdf["path"], pdf["partition"], pdf["start"], pdf["end"]
-                ):
-                    with open(path, encoding="utf-8") as fh:
-                        for i, line in enumerate(fh):
-                            if int(start) <= i < int(end):
-                                vals.append(line.rstrip("\n"))
-                                parts.append(int(part))
-                                offs.append(i)
-                yield pd.DataFrame({
-                    "value": vals,
-                    "topic": topic,
-                    "partition": pd.array(parts, dtype="int32"),
-                    "offset": offs,
-                    "timestamp": pd.NaT,
-                })
-
-        return spec_df.mapInPandas(read_slices, schema=schema)
+        return read_line_slices(spark, specs).select(
+            "value",
+            F.lit(topic).alias("topic"),
+            F.col("key").cast("int").alias("partition"),
+            F.col("line_index").alias("offset"),
+            F.lit(None).cast("timestamp").alias("timestamp"),
+        )
 
 
 class KafkaTailSource:

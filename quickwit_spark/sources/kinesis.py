@@ -26,9 +26,7 @@ import glob
 import json
 import os
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import types as T
 
 from quickwit_spark.pipeline.checkpoint import CheckpointStore
 
@@ -90,13 +88,6 @@ class FileKinesisStream:
         return out
 
 
-_SCHEMA = T.StructType([
-    T.StructField("value", T.StringType()),
-    T.StructField("shard_id", T.StringType()),
-    T.StructField("sequence_number", T.StringType()),
-])
-
-
 class KinesisTailSource:
     """Poll/commit over a Kinesis-shaped stream with external checkpointed
     sequence numbers — same publish model as the Kafka/file tail sources."""
@@ -140,31 +131,19 @@ class KinesisTailSource:
         return delta
 
     def read(self, delta: dict[str, tuple[int, int]]) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from quickwit_spark.sources._slices import read_line_slices
+
         specs = [
             (self.stream._path(sid), sid, frm, to)
             for sid, (frm, to) in sorted(delta.items())
         ]
-        spec_df = self.spark.createDataFrame(
-            specs, "path string, shard_id string, start long, end long"
-        ).repartition(max(len(specs), 1))
-
-        def read_slices(batches):
-            for pdf in batches:
-                vals, sids, seqs = [], [], []
-                for path, sid, start, end in zip(
-                    pdf["path"], pdf["shard_id"], pdf["start"], pdf["end"]
-                ):
-                    with open(path, encoding="utf-8") as fh:
-                        for i, line in enumerate(fh):
-                            if int(start) <= i < int(end):
-                                vals.append(line.rstrip("\n"))
-                                sids.append(sid)
-                                seqs.append(seq_no(i))
-                yield pd.DataFrame(
-                    {"value": vals, "shard_id": sids, "sequence_number": seqs}
-                )
-
-        return spec_df.mapInPandas(read_slices, schema=_SCHEMA)
+        return read_line_slices(self.spark, specs).select(
+            "value",
+            F.col("key").alias("shard_id"),
+            F.format_string("%020d", F.col("line_index")).alias("sequence_number"),
+        )
 
     def poll(self) -> tuple[DataFrame, dict] | None:
         delta = self.plan()

@@ -25,9 +25,7 @@ from __future__ import annotations
 import glob
 import os
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import types as T
 
 from quickwit_spark.pipeline.checkpoint import CheckpointStore
 
@@ -86,13 +84,6 @@ class FilePulsarBroker:
         return out
 
 
-_SCHEMA = T.StructType([
-    T.StructField("value", T.StringType()),
-    T.StructField("partition_topic", T.StringType()),
-    T.StructField("position", T.StringType()),
-])
-
-
 class PulsarTailSource:
     """Poll/commit over a Pulsar topic with external checkpointed message-id
     positions — same publish model as the Kafka/Kinesis tail sources."""
@@ -126,38 +117,43 @@ class PulsarTailSource:
         return delta
 
     def read(self, delta: dict[str, tuple[str, str]]) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from quickwit_spark.sources._slices import read_line_slices
+
+        # read whole partitions (end = -1), derive the pulsar position from
+        # the line index with Column ops, then apply the reference's skip
+        # rule (≤ current dropped) as a per-partition filter
         specs = [
-            (os.path.join(self.broker.root, f"{pt}.jsonl"), pt, frm, to)
-            for pt, (frm, to) in sorted(delta.items())
+            (os.path.join(self.broker.root, f"{pt}.jsonl"), pt, 0, -1)
+            for pt in sorted(delta)
         ]
-        spec_df = self.spark.createDataFrame(
-            specs, "path string, partition_topic string, frm string, pto string"
-        ).repartition(max(len(specs), 1))
-        ledger_size = self.broker.ledger_size
-
-        def read_slices(batches):
-            for pdf in batches:
-                vals, pts, poss = [], [], []
-                for path, pt, frm, to in zip(
-                    pdf["path"], pdf["partition_topic"], pdf["frm"], pdf["pto"]
-                ):
-                    part = int(pt.rsplit("-", 1)[1])
-                    with open(path, encoding="utf-8") as fh:
-                        for i, line in enumerate(fh):
-                            pos = msg_id_to_position(
-                                i // ledger_size, i % ledger_size, partition=part
-                            )
-                            # the reference's skip rule: ≤ current dropped
-                            if pos <= frm or pos > to:
-                                continue
-                            vals.append(line.rstrip("\n"))
-                            pts.append(pt)
-                            poss.append(pos)
-                yield pd.DataFrame(
-                    {"value": vals, "partition_topic": pts, "position": poss}
-                )
-
-        return spec_df.mapInPandas(read_slices, schema=_SCHEMA)
+        ls = self.broker.ledger_size
+        bounds = F.create_map(
+            *[F.lit(x) for pt, (frm, to) in delta.items() for x in (pt, frm)]
+        )
+        uppers = F.create_map(
+            *[F.lit(x) for pt, (frm, to) in delta.items() for x in (pt, to)]
+        )
+        part = F.split(F.col("key"), "-part-").getItem(1).cast("int")
+        pos = F.format_string(
+            "%020d,%020d,,%d,",
+            F.expr(f"line_index div {ls}"),  # integer div: exact at any index
+            F.pmod(F.col("line_index"), F.lit(ls)),
+            part,
+        )
+        return (
+            read_line_slices(self.spark, specs)
+            .select(
+                "value",
+                F.col("key").alias("partition_topic"),
+                pos.alias("position"),
+            )
+            .filter(
+                (F.col("position") > F.element_at(bounds, F.col("partition_topic")))
+                & (F.col("position") <= F.element_at(uppers, F.col("partition_topic")))
+            )
+        )
 
     def poll(self) -> tuple[DataFrame, dict] | None:
         delta = self.plan()

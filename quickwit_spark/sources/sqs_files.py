@@ -34,9 +34,7 @@ import os
 import time
 import uuid
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import types as T
 
 
 class FileQueue:
@@ -171,13 +169,6 @@ class ShardTable:
         return n
 
 
-_SCHEMA = T.StructType([
-    T.StructField("value", T.StringType()),
-    T.StructField("uri", T.StringType()),
-    T.StructField("line_number", T.LongType()),
-])
-
-
 class SqsFileSource:
     """QueueCoordinator analog: receive → ownership check → distributed
     read → (caller publishes durably) → commit_eof + ack.
@@ -222,22 +213,16 @@ class SqsFileSource:
         return self.read([m["uri"] for m in todo]), todo
 
     def read(self, uris: list[str]) -> DataFrame:
-        spec_df = self.spark.createDataFrame(
-            [(u,) for u in sorted(set(uris))], "uri string"
-        ).repartition(max(len(uris), 1))
+        from pyspark.sql import functions as F
 
-        def read_files(batches):
-            for pdf in batches:
-                vals, us, lns = [], [], []
-                for uri in pdf["uri"]:
-                    with open(uri, encoding="utf-8") as fh:
-                        for i, line in enumerate(fh):
-                            vals.append(line.rstrip("\n"))
-                            us.append(uri)
-                            lns.append(i)
-                yield pd.DataFrame({"value": vals, "uri": us, "line_number": lns})
+        from quickwit_spark.sources._slices import read_line_slices
 
-        return spec_df.mapInPandas(read_files, schema=_SCHEMA)
+        specs = [(u, u, 0, -1) for u in sorted(set(uris))]
+        return read_line_slices(self.spark, specs).select(
+            "value",
+            F.col("key").alias("uri"),
+            F.col("line_index").alias("line_number"),
+        )
 
     def commit(self, msgs: list[dict], now: float | None = None) -> None:
         """After the durable publish: EOF every shard (raising on lost

@@ -148,3 +148,58 @@ def test_es_search_score_sort_rejects_filter_shapes(corpus):
             {"query": {"range": {"doc_id": {"gte": 2}}}, "sort": ["_score"]},
             field_types={"doc_id": "numeric", "text": "text"},
         )
+
+
+def test_phrase_shorter_docs_do_not_crash(corpus, spark):
+    # review finding: a doc shorter than the phrase must contribute zero
+    # phrase starts, not an element_at(tokens, 0) crash
+    rows = [(10, "hi"), (11, "merge policy wins"), (12, "")]
+    df = corpus.unionByName(spark.createDataFrame(rows, ["doc_id", "text"]))
+    got = {r["doc_id"] for r in
+           bm25_topk(df, "merge policy", "text", k=10,
+                     id_col="doc_id", phrase=True).collect()}
+    assert got == {4, 6, 11}
+
+
+def test_query_tokenization_matches_document_analysis(corpus):
+    # "spark-sql" must analyze to two terms like the document side would
+    got = {r["doc_id"] for r in
+           bm25_topk(corpus, "spark-merges", "text", k=10, id_col="doc_id").collect()}
+    exp = {i for i, s in ref_bm25(DOCS, ["spark", "merges"]).items() if s > 0}
+    assert got == exp
+
+
+def test_es_search_score_with_extra_filters_and_true_max(corpus):
+    # extra_filters must not break _score (they are constant-score ANDs)
+    res = es_search(
+        corpus,
+        {"query": {"match": {"text": "spark"}},
+         "extra_filters": ["doc_id:<6"],
+         "sort": ["_score"], "size": 1},
+        field_types={"text": "text", "doc_id": "numeric"},
+    )
+    assert res["hits"]["total"]["value"] == 2  # docs 1, 2 (doc 6 filtered out)
+    # max_score is over ALL matching hits even though size=1 returned the
+    # best one — paginate to page 2 and the reported max must not change
+    res2 = es_search(
+        corpus,
+        {"query": {"match": {"text": "spark"}},
+         "sort": ["_score"], "from": 1, "size": 2},
+        field_types={"text": "text"},
+    )
+    assert res2["hits"]["max_score"] >= res2["hits"]["hits"][0]["_score"]
+    assert res2["hits"]["max_score"] == res["hits"]["max_score"]
+
+
+def test_es_search_accepts_precomputed_stats(corpus):
+    from quickwit_spark.operators.scoring import corpus_stats
+
+    stats = corpus_stats(corpus, "text", ["spark"])
+    a = es_search(corpus, {"query": {"match": {"text": "spark"}},
+                           "sort": ["_score"], "size": 3},
+                  field_types={"text": "text"})
+    b = es_search(corpus, {"query": {"match": {"text": "spark"}},
+                           "sort": ["_score"], "size": 3},
+                  field_types={"text": "text"}, bm25_stats=stats)
+    assert [h["_score"] for h in a["hits"]["hits"]] == \
+        [h["_score"] for h in b["hits"]["hits"]]
