@@ -712,6 +712,13 @@ def es_multi_search(
             prepared = df
             rewritten = []
             for i, (f, desc) in enumerate(sort_fields):
+                if f == "_score":
+                    # BM25 is computed per index inside es_search with that
+                    # index's own stats — ES's per-shard idf/avgdl behavior
+                    # (no dfs_query_then_fetch); the merge then compares the
+                    # per-index scores via the shared sort cursor
+                    rewritten.append({"_score": {"order": "desc" if desc else "asc"}})
+                    continue
                 c = _field_value_col(df, comp, f)
                 try:
                     df.select(F.col(f))

@@ -203,3 +203,26 @@ def test_es_search_accepts_precomputed_stats(corpus):
                   field_types={"text": "text"}, bm25_stats=stats)
     assert [h["_score"] for h in a["hits"]["hits"]] == \
         [h["_score"] for h in b["hits"]["hits"]]
+
+
+def test_multi_index_score_sort(corpus, spark):
+    """Cross-index `_score`: each index scores with its OWN stats (ES
+    per-shard behavior), the root merges by score."""
+    from quickwit_spark.api import es_multi_search
+
+    other = spark.createDataFrame(
+        [(100, "spark spark spark spark spark concentrate"),
+         (101, "nothing relevant at all")],
+        ["doc_id", "text"],
+    )
+    tables = {"idx-a": corpus, "idx-b": other}
+    res = es_multi_search(
+        tables, "idx-*",
+        {"query": {"match": {"text": "spark"}}, "sort": ["_score"], "size": 4},
+        field_types={"idx-a": {"text": "text"}, "idx-b": {"text": "text"}},
+    )
+    hits = res["hits"]["hits"]
+    scores = [h["_score"] for h in hits]
+    assert scores == sorted(scores, reverse=True)
+    assert {h["_index"] for h in hits} == {"idx-a", "idx-b"}
+    assert res["hits"]["total"]["value"] == 4  # 3 in idx-a + 1 in idx-b
