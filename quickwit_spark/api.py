@@ -538,6 +538,110 @@ def field_caps(
     return {"indices": [index], "fields": out_fields}
 
 
+def es_explain(
+    df: DataFrame,
+    body: dict[str, Any],
+    doc_id,
+    id_col: str = "doc_id",
+    field_types: dict[str, str] | None = None,
+    compiler: "QueryCompiler | None" = None,
+) -> dict[str, Any]:
+    """``GET /{index}/_explain/{id}`` analog: whether ``doc_id`` matches the
+    query and, for BM25-scorable shapes, the full score breakdown in ES's
+    explanation-tree form (per-term idf and tf nodes with their inputs).
+    Filter-only shapes explain as matched/not-matched with value 1/0
+    (constant score), like the reference's filter context."""
+    from quickwit_spark.functions.tokenizers import tokenize_default
+    from quickwit_spark.operators.scoring import (
+        bm25_score_col,
+        corpus_stats,
+        idf as _idf,
+    )
+
+    if compiler is None:
+        compiler = QueryCompiler(field_types)
+    compiler.schema = df.schema
+    query = body.get("query") or {}
+    ast = es_dsl_to_ast(query, compiler.default_fields)
+    pred = compiler.compile(ast)
+    row = df.filter(F.col(id_col) == F.lit(doc_id)).limit(1)
+    matched_rows = row.filter(F.coalesce(pred, F.lit(False))).count()
+    matched = matched_rows > 0
+    try:
+        sfield, terms, phrases, _mode = _bm25_spec(ast)
+    except ValueError:
+        return {
+            "_id": doc_id,
+            "matched": matched,
+            "explanation": {
+                "value": 1.0 if matched else 0.0,
+                "description": "ConstantScore(filter context)",
+                "details": [],
+            },
+        }
+    if not matched:
+        return {"_id": doc_id, "matched": False,
+                "explanation": {"value": 0.0, "description": "no matching term",
+                                "details": []}}
+
+    all_terms = list(terms) + [t for ph in phrases for t in ph]
+    stats = corpus_stats(df, sfield, all_terms)
+    toks = tokenize_default(F.col(sfield))
+    # one row fetch computes the total and every per-term freq + |d|
+    from quickwit_spark.operators.scoring import phrase_freq_col, term_freq_col
+
+    sels = [
+        F.round(bm25_score_col(toks, terms, stats, phrases=phrases), 6).alias("_total"),
+        F.size(toks).cast("double").alias("_dl"),
+    ]
+    for i, t in enumerate(dict.fromkeys(terms)):
+        sels.append(term_freq_col(toks, t).alias(f"_f{i}"))
+    for j, ph in enumerate(phrases or []):
+        sels.append(phrase_freq_col(toks, ph).alias(f"_p{j}"))
+    vals = row.select(*sels).first()
+
+    k1, b = 1.2, 0.75
+    details = []
+    for i, t in enumerate(dict.fromkeys(terms)):
+        w = _idf(stats.num_docs, stats.doc_freq.get(t, 0))
+        freq, dl = vals[f"_f{i}"], vals["_dl"]
+        tf = freq * (k1 + 1) / (freq + k1 * (1 - b + b * dl / (stats.avg_dl or 1.0)))
+        details.append({
+            "value": round(w * tf, 6),
+            "description": f"weight({sfield}:{t})",
+            "details": [
+                {"value": round(w, 6),
+                 "description": f"idf, computed as ln(1 + (N - n + 0.5) / (n + 0.5)) "
+                                f"with n = {stats.doc_freq.get(t, 0)}, N = {stats.num_docs}",
+                 "details": []},
+                {"value": round(tf, 6),
+                 "description": f"tf, computed as freq * (k1 + 1) / (freq + k1 * "
+                                f"(1 - b + b * dl / avgdl)) with freq = {freq}, "
+                                f"k1 = {k1}, b = {b}, dl = {dl}, "
+                                f"avgdl = {round(stats.avg_dl, 4)}",
+                 "details": []},
+            ],
+        })
+    for j, ph in enumerate(phrases or []):
+        w = sum(_idf(stats.num_docs, stats.doc_freq.get(t, 0)) for t in ph)
+        freq, dl = vals[f"_p{j}"], vals["_dl"]
+        tf = freq * (k1 + 1) / (freq + k1 * (1 - b + b * dl / (stats.avg_dl or 1.0)))
+        details.append({
+            "value": round(w * tf, 6),
+            "description": "weight(phrase \"" + " ".join(ph) + "\")",
+            "details": [],
+        })
+    return {
+        "_id": doc_id,
+        "matched": True,
+        "explanation": {
+            "value": vals["_total"],
+            "description": "sum of:",
+            "details": details,
+        },
+    }
+
+
 def es_scroll(
     df: DataFrame,
     body: dict[str, Any],

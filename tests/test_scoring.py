@@ -226,3 +226,52 @@ def test_multi_index_score_sort(corpus, spark):
     assert scores == sorted(scores, reverse=True)
     assert {h["_index"] for h in hits} == {"idx-a", "idx-b"}
     assert res["hits"]["total"]["value"] == 4  # 3 in idx-a + 1 in idx-b
+
+
+def test_es_explain_bm25_breakdown(corpus):
+    from quickwit_spark.api import es_explain
+
+    res = es_explain(
+        corpus, {"query": {"match": {"text": "spark merges"}}}, 1,
+        field_types={"text": "text"},
+    )
+    assert res["matched"] is True
+    exp = res["explanation"]
+    # total equals the sum of the per-term weights, and matches the
+    # independent reference scorer
+    assert exp["value"] == pytest.approx(
+        sum(d["value"] for d in exp["details"]), abs=2e-6)
+    assert exp["value"] == pytest.approx(ref_bm25(DOCS, ["spark", "merges"])[1])
+    idf_node = exp["details"][0]["details"][0]
+    assert "idf" in idf_node["description"] and idf_node["value"] > 0
+    # non-matching doc
+    res5 = es_explain(corpus, {"query": {"match": {"text": "spark"}}}, 5,
+                      field_types={"text": "text"})
+    assert res5["matched"] is False and res5["explanation"]["value"] == 0.0
+    # filter-shape query explains as constant score
+    resf = es_explain(corpus, {"query": {"range": {"doc_id": {"gte": 4}}}}, 4,
+                      field_types={"doc_id": "numeric", "text": "text"})
+    assert resf["matched"] is True
+    assert resf["explanation"]["description"].startswith("ConstantScore")
+
+
+def test_search_after_with_score_cursor(corpus):
+    page1 = es_search(
+        corpus,
+        {"query": {"match": {"text": "spark"}},
+         "sort": [{"_score": "desc"}, {"doc_id": "asc"}], "size": 2},
+        field_types={"text": "text"},
+    )
+    assert len(page1["hits"]["hits"]) == 2
+    cursor = page1["hits"]["hits"][-1]["sort"]
+    page2 = es_search(
+        corpus,
+        {"query": {"match": {"text": "spark"}},
+         "sort": [{"_score": "desc"}, {"doc_id": "asc"}], "size": 2,
+         "search_after": cursor},
+        field_types={"text": "text"},
+    )
+    ids1 = [h["_source"]["doc_id"] for h in page1["hits"]["hits"]]
+    ids2 = [h["_source"]["doc_id"] for h in page2["hits"]["hits"]]
+    assert not set(ids1) & set(ids2)
+    assert len(ids1 + ids2) == 3  # all three spark docs, no dup, no gap
