@@ -49,6 +49,8 @@ HEADLINE = [
     "semantic_dedup",
     "bigram_lm",
     "ann_topk",
+    "ann_pq",
+    "q_score_bm25",
     "text_quality",
     "text_langid",
     "multimodal_text_extract",
