@@ -1324,7 +1324,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    count(*) AS n_paras,
-                   sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept,
                    coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
                                        chr(10) ORDER BY pos), '') AS kept_text
             FROM r GROUP BY doc_id
