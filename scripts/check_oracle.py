@@ -93,6 +93,31 @@ def main(only: list[str] | None = None, sf_dir: str | None = None):
                 diff = [(a, b) for a, b in zip(s, o) if a != b][:3]
                 failures.append((name, f"values differ, first diffs: {diff}"))
                 ok = False
+            else:
+                # driver-hash hazard guard: equal VALUES whose python types
+                # differ in numeric class (int vs float — e.g. a DuckDB
+                # HUGEINT sum surfacing as float64) stringify differently in
+                # the external gate's canonicalizer. Width differences
+                # (int32 vs int64) are fine; int-vs-float is not.
+                def _kind(v):
+                    if isinstance(v, bool) or v is None:
+                        return None
+                    if isinstance(v, int):
+                        return "i"
+                    if isinstance(v, float):
+                        return "f"
+                    return None
+                order = sorted(range(len(scols)), key=lambda i: scols[i])
+                o_order = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                for ci, (si, oi) in enumerate(zip(order, o_order)):
+                    sk = next((k for r in srows if (k := _kind(r[si])) is not None), None)
+                    okk = next((k for r in orows if (k := _kind(r[oi])) is not None), None)
+                    if sk and okk and sk != okk:
+                        failures.append((
+                            name,
+                            f"numeric-class mismatch col {sorted(scols)[ci]}: "
+                            f"spark={sk} oracle={okk} (CAST the oracle column)"))
+                        ok = False
         status = "ok" if ok else "FAIL"
         print(f"[{status}] {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
     print()
