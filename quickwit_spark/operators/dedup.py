@@ -127,7 +127,12 @@ def _signatures_with_shingles(
     )
     shingles = _shingles_expr(shingle_size)
     hashed = F.transform(shingles, lambda s: F.xxhash64(s))
-    sh = F.array_distinct(shingles)
+    # the verify tier works on the DISTINCT HASHED shingle set: Jaccard over
+    # 64-bit hashes equals Jaccard over the strings (collisions are ~n²/2^64
+    # — none at any realistic shingle count), the checkpoint shrinks from
+    # ~30B/shingle of text to 8B, and the verify array_intersect compares
+    # longs instead of strings (measured win at sf0.1)
+    sh = F.array_distinct(hashed)
     return tok_df.select(
         F.col(id_col),
         _sig_udf(num_perm, seed)(hashed).alias("signature"),
