@@ -91,6 +91,12 @@ def run_chunk(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
 
+    # ONE pass over the input: the valid write, quarantine write and outcome
+    # counters all consume the persisted frame (spill-friendly) instead of
+    # re-running the regex-heavy parse + broadcast join three times
+    from pyspark import StorageLevel
+
+    routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
     valid = routed.filter(F.col("_error_category") == "valid")
     quarantine = routed.filter(F.col("_error_category") != "valid")
 
@@ -121,39 +127,45 @@ def run_chunk(
         .parquet(os.path.join(out_dir, "quarantine", f"commit={commit_id}"))
     )
 
-    # ---- per-sink lineage (SplitMetadata analog) + metrics -----------------
-    from quickwit_spark.pipeline.janitor import build_lineage
-
-    written = spark.read.parquet(os.path.join(sink_dir, f"commit={commit_id}"))
-    lineage = build_lineage(written, source_id=cfg.source_id, tag_fields=cfg.tag_fields)
-    # commit_id comes back as a partition column on read; per-commit overwrite
-    # makes the lineage write idempotent under crash-retry.
-    lineage.write.mode("overwrite").parquet(
-        os.path.join(out_dir, "_lineage", f"commit_id={commit_id}")
-    )
-
-    # per-sink aggregates: date_histogram + terms + cardinality in ONE pass
-    aggs = (
-        written.groupBy(
-            "sink",
-            F.window("ts", "1 day").start.alias("bucket_start"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("doc_count"),
-            F.approx_count_distinct("tenant_id").alias("tenant_cardinality_approx"),
-            F.sum(F.when(F.col("level") == "ERROR", 1).otherwise(0)).alias("error_count"),
-            F.avg("latency_ms").alias("avg_latency_ms"),
-        )
-    )
-    aggs.write.mode("overwrite").parquet(
-        os.path.join(out_dir, "_metrics", f"commit_id={commit_id}")
-    )
-
-    # outcome counters (doc_processor.rs counters)
+    # outcome counters (doc_processor.rs counters) — cached-scan, no recompute
     outcome = {
         r["_error_category"]: r["n"]
         for r in routed.groupBy("_error_category").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    routed.unpersist()
+
+    # ---- per-sink lineage (SplitMetadata analog) + metrics -----------------
+    # an ALL-INVALID chunk writes an empty sink dir (only _SUCCESS): reading
+    # it back would fail schema inference and wedge the pipeline on retry —
+    # it has no lineage/metrics to record, but MUST still publish its
+    # checkpoint delta so the run moves past the poison chunk
+    if outcome.get("valid", 0) > 0:
+        from quickwit_spark.pipeline.janitor import build_lineage
+
+        written = spark.read.parquet(os.path.join(sink_dir, f"commit={commit_id}"))
+        lineage = build_lineage(written, source_id=cfg.source_id, tag_fields=cfg.tag_fields)
+        # commit_id comes back as a partition column on read; per-commit overwrite
+        # makes the lineage write idempotent under crash-retry.
+        lineage.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "_lineage", f"commit_id={commit_id}")
+        )
+
+        # per-sink aggregates: date_histogram + terms + cardinality in ONE pass
+        aggs = (
+            written.groupBy(
+                "sink",
+                F.window("ts", "1 day").start.alias("bucket_start"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("doc_count"),
+                F.approx_count_distinct("tenant_id").alias("tenant_cardinality_approx"),
+                F.sum(F.when(F.col("level") == "ERROR", 1).otherwise(0)).alias("error_count"),
+                F.avg("latency_ms").alias("avg_latency_ms"),
+            )
+        )
+        aggs.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "_metrics", f"commit_id={commit_id}")
+        )
 
     # ---- publish: checkpoint delta commits only after data is durable -----
     store.commit(cfg.source_id, delta, commit_id=commit_id)
@@ -187,16 +199,25 @@ def run_pipeline(
     tenants = spark.read.parquet(os.path.join(input_dir, "tenants.parquet"))
 
     max_turn = transcripts.agg(F.max("turn_idx")).collect()[0][0]
+    if max_turn is None:
+        return []  # empty table: nothing to chunk, nothing to commit
     bounds = [
         int((max_turn + 1) * i / num_chunks) for i in range(num_chunks + 1)
     ]
     results = []
+    first_chunk = True
     for i in range(num_chunks):
         lo, hi = bounds[i], bounds[i + 1]
+        if hi <= lo:
+            continue  # degenerate chunking (num_chunks > turns): empty range
         chunk_df = transcripts.filter(
             (F.col("turn_idx") >= lo) & (F.col("turn_idx") < hi)
         )
-        delta = {"turn_range": (lo if lo > 0 else None, hi)}
+        # Beginning ('') for the first NON-EMPTY chunk only: `lo > 0` alone
+        # conflated "resumes after position 0" with Beginning, which reads
+        # as an overlap once position 0 is committed
+        delta = {"turn_range": (None if first_chunk else lo, hi)}
+        first_chunk = False
         m = run_chunk(
             spark, chunk_df, tenants, out_dir, cfg,
             chunk_id=f"chunk{i:04d}", delta=delta,

@@ -45,12 +45,19 @@ def parse_stage(df: DataFrame, text_col: str = "text") -> DataFrame:
     while anchored regex scans don't; codegen keeps the extracts in one
     pipelined stage."""
     c = F.col(text_col)
-    level = F.regexp_extract(c, r"level=(\w+)", 1)
-    tenant = F.regexp_extract(c, r"tenant=([\w-]+)", 1)
-    latency = F.regexp_extract(c, r"latency_ms=(\d+)", 1)
+    # declared fields extract from the msg-MASKED text, like the dynamic
+    # path: k=v text inside the quoted message body is message CONTENT, not
+    # fields — without the mask, 'msg="set tenant=evil"' would fabricate a
+    # tenant and route/aggregate under it
+    masked = F.regexp_replace(c, r'msg="[^"]*"', "")
+    level = F.regexp_extract(masked, r"level=(\w+)", 1)
+    tenant = F.regexp_extract(masked, r"tenant=([\w-]+)", 1)
+    latency = F.regexp_extract(masked, r"latency_ms=(\d+)", 1)
     msg = F.regexp_extract(c, r'msg="([^"]*)"', 1)
 
-    # undeclared k=v pairs → dynamic map (mode=dynamic semantics)
+    # undeclared k=v pairs → dynamic map (mode=dynamic semantics).
+    # str_to_map needs mapKeyDedupPolicy=LAST_WIN (set by session.get_spark)
+    # so a repeated key in one line dedups instead of killing the job.
     kv = F.expr(
         f"map_filter(str_to_map(regexp_replace({text_col}, 'msg=\"[^\"]*\"', ''), ' ', '='), "
         f"(k, v) -> k NOT IN {DECLARED_FIELDS!r} AND v IS NOT NULL AND k != '')"
@@ -60,7 +67,9 @@ def parse_stage(df: DataFrame, text_col: str = "text") -> DataFrame:
         "*",
         F.when(level == "", None).otherwise(level).alias("level"),
         F.when(tenant == "", None).otherwise(tenant).alias("tenant_id"),
-        F.when(latency == "", None).otherwise(latency).cast("long").alias("latency_ms"),
+        # try_cast: an overflowing digit run must quarantine as a null
+        # field, not abort the chunk under ANSI mode
+        F.when(latency == "", None).otherwise(latency).try_cast("long").alias("latency_ms"),
         F.when(msg == "", None).otherwise(msg).alias("msg"),
         kv.alias("_dynamic"),
         F.length(c).cast("long").alias("_doc_length"),

@@ -38,6 +38,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # malformed input must quarantine, never kill a job: a repeated k=v
+        # key inside one log line (str_to_map in parse_stage) or a
+        # duplicated OTLP attribute key (map_from_entries) dedups last-wins
+        # instead of raising DUPLICATED_MAP_KEY
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("QS_DRIVER_MEMORY", "48g"))
     )

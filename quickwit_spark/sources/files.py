@@ -113,10 +113,23 @@ _OTLP_LOGS_SCHEMA = T.StructType(
 )
 
 
+def _enum_or_unspecified(arr, idx, n: int):
+    """Enum-int → name lookup that treats out-of-range values (future enum
+    additions, junk varints from permissive decoders) as the UNSPECIFIED
+    first entry instead of raising INVALID_ARRAY_INDEX under ANSI mode."""
+    i = F.coalesce(idx, F.lit(0))
+    return F.when(i.between(0, n - 1), F.element_at(arr, i + 1)).otherwise(
+        F.element_at(arr, 1)
+    )
+
+
 def _attrs_to_map(col):
+    # null attribute keys are legal on the OTLP wire (buggy exporters emit
+    # them) but illegal as map keys — drop those entries; duplicated keys
+    # dedup last-wins via the session's mapKeyDedupPolicy
     return F.map_from_entries(
         F.transform(
-            col,
+            F.filter(col, lambda kv: kv["key"].isNotNull()),
             lambda kv: F.struct(
                 kv["key"].alias("key"),
                 F.coalesce(
@@ -156,8 +169,8 @@ def parse_otlp_logs_json(requests: DataFrame, input_col: str = "value") -> DataF
         F.explode("sl.logRecords").alias("lr"),
     )
     return lr.select(
-        F.col("lr.timeUnixNano").cast("long").alias("timestamp_nanos"),
-        F.col("lr.observedTimeUnixNano").cast("long").alias("observed_timestamp_nanos"),
+        F.col("lr.timeUnixNano").try_cast("long").alias("timestamp_nanos"),
+        F.col("lr.observedTimeUnixNano").try_cast("long").alias("observed_timestamp_nanos"),
         F.col("lr.severityText").alias("severity_text"),
         F.col("lr.severityNumber").alias("severity_number"),
         F.col("lr.body.stringValue").alias("body"),
@@ -289,11 +302,11 @@ def parse_otlp_traces_json(requests: DataFrame, input_col: str = "value") -> Dat
         F.col("sp.parentSpanId").alias("parent_span_id"),
         F.col("sp.traceState").alias("trace_state"),
         F.col("sp.name").alias("span_name"),
-        F.element_at(kind_arr, F.coalesce(F.col("sp.kind"), F.lit(0)) + 1).alias("span_kind"),
+        _enum_or_unspecified(kind_arr, F.col("sp.kind"), len(_SPAN_KINDS)).alias("span_kind"),
         start.alias("span_start_timestamp_nanos"),
         end.alias("span_end_timestamp_nanos"),
         ((end - start) / F.lit(1_000_000)).cast("long").alias("span_duration_millis"),
-        F.element_at(code_arr, F.coalesce(F.col("sp.status.code"), F.lit(0)) + 1).alias(
+        _enum_or_unspecified(code_arr, F.col("sp.status.code"), len(_STATUS_CODES)).alias(
             "span_status_code"
         ),
         F.col("sp.status.message").alias("span_status_message"),
@@ -454,9 +467,19 @@ def _pb_to_json_udf(root_schema: dict):
 
     @F.pandas_udf(T.StringType())
     def decode(payloads: pd.Series) -> pd.Series:
-        return payloads.map(
-            lambda b: None if b is None else json.dumps(_pb_decode(bytes(b), root_schema))
-        )
+        def one(b):
+            if b is None:
+                return None
+            try:
+                return json.dumps(_pb_decode(bytes(b), root_schema))
+            except (IndexError, ValueError, UnicodeDecodeError, KeyError):
+                # corrupt/truncated wire payload: degrade to null exactly
+                # like the JSON path (from_json → null → dropped), instead
+                # of failing the whole Arrow batch. Decoder bugs on VALID
+                # input are covered by the protobuf≡json parity goldens.
+                return None
+
+        return payloads.map(one)
 
     return decode
 

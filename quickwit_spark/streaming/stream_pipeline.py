@@ -69,18 +69,29 @@ def stream_pipeline(
     metrics_dir = os.path.join(out_dir, "_metrics_stream")
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        routed = build_dag(batch_df, tenants, cfg)
+        # every write targets an EPOCH-SCOPED directory with overwrite: a
+        # re-executed epoch after a failure REPLACES its own output instead
+        # of appending duplicates — the idempotence that makes foreachBatch
+        # + Spark's offset checkpoint exactly-once (same invariant as the
+        # batch runner's per-commit overwrite). One pass: the three
+        # consumers share the persisted frame instead of re-running the
+        # parse + broadcast join per output.
+        from pyspark import StorageLevel
+
+        routed = build_dag(batch_df, tenants, cfg).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         valid = routed.filter(F.col("_error_category") == "valid")
         (
             valid.drop("_error", "_error_category")
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy("sink")
             .parquet(os.path.join(sink_dir, f"epoch={epoch_id}"))
         )
         (
             routed.filter(F.col("_error_category") != "valid")
             .select("conv_id", "turn_idx", "text", "_error", "_error_category")
-            .write.mode("append")
+            .write.mode("overwrite")
             .parquet(os.path.join(quarantine_dir, f"epoch={epoch_id}"))
         )
         (
@@ -91,10 +102,10 @@ def stream_pipeline(
                 F.count(F.lit(1)).alias("doc_count"),
                 F.approx_count_distinct("tenant_id").alias("tenant_cardinality_approx"),
             )
-            .withColumn("epoch_id", F.lit(epoch_id))
-            .write.mode("append")
-            .parquet(metrics_dir)
+            .write.mode("overwrite")
+            .parquet(os.path.join(metrics_dir, f"epoch={epoch_id}"))
         )
+        routed.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -356,3 +356,102 @@ def test_partition_bucket_sink_layout(spark, data_dir, tmp_path_factory):
         for r in read_sinks(spark, flat_out).select("conv_id", "turn_idx", "sink").collect()
     }
     assert a == b
+
+
+def test_parse_stage_malformed_lines_quarantine_not_crash(spark):
+    """Self-review r4: duplicated k=v keys, overflowing latency digits and
+    k=v text inside the quoted msg must quarantine/ignore, never abort the
+    chunk — and never fabricate declared fields from message content."""
+    from quickwit_spark.pipeline.stages import parse_stage
+
+    rows = [
+        ("c1", 0, 'level=INFO tenant=t1 msg="hi" retry=1 retry=2'),
+        ("c2", 0, 'level=INFO tenant=t2 latency_ms=99999999999999999999 msg="x"'),
+        ("c3", 0, 'level=INFO msg="please set tenant=evil now"'),
+        ("c4", 0, 'level=WARN tenant=t4 latency_ms=12 msg="ok"'),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    out = {r["conv_id"]: r for r in parse_stage(df).collect()}
+    # duplicate dynamic key: last wins, row still valid
+    assert out["c1"]["_error_category"] == "valid"
+    assert out["c1"]["_dynamic"]["retry"] == "2"
+    # overflowing latency: null field, row valid (latency is optional)
+    assert out["c2"]["latency_ms"] is None
+    assert out["c2"]["_error_category"] == "valid"
+    # tenant inside msg content is NOT a field: doc_mapper_error
+    assert out["c3"]["tenant_id"] is None
+    assert out["c3"]["_error_category"] == "doc_mapper_error"
+    assert out["c4"]["latency_ms"] == 12
+
+
+def test_all_invalid_chunk_commits_and_pipeline_progresses(spark, tmp_path_factory):
+    """Self-review r4: a chunk whose rows are ALL invalid must still publish
+    its checkpoint delta (no lineage/metrics) instead of wedging the
+    pipeline on an unreadable empty sink dir."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quickwit_spark.pipeline.runner import PipelineConfig, run_pipeline
+
+    root = tmp_path_factory.mktemp("poison")
+    vin = str(root / "in")
+    os.makedirs(vin)
+    n = 8
+    tbl = pa.table({
+        "conv_id": pa.array([f"c{i}" for i in range(n)]),
+        "turn_idx": pa.array(list(range(n)), pa.int32()),
+        "role": pa.array(["user"] * n),
+        "text": pa.array(["no declared fields here at all"] * n),
+        "tool": pa.array([None] * n, pa.string()),
+        "ts": pa.array([1700000000000000 + i for i in range(n)], pa.timestamp("us")),
+    })
+    pq.write_table(tbl, os.path.join(vin, "transcripts.parquet"))
+    pq.write_table(pa.table({
+        "tenant_id": pa.array(["t1"]), "tenant_name": pa.array(["T"]),
+        "tier": pa.array(["gold"]), "region": pa.array(["eu"]),
+    }), os.path.join(vin, "tenants.parquet"))
+
+    out = str(root / "out")
+    res = run_pipeline(spark, vin, out, PipelineConfig(), num_chunks=2)
+    assert len(res) == 2
+    for m in res:
+        assert m["outcome_counts"].get("valid", 0) == 0
+        assert m["outcome_counts"]["doc_mapper_error"] > 0
+    # re-run: all chunks already committed → no reprocessing, no crash
+    assert run_pipeline(spark, vin, out, PipelineConfig(), num_chunks=2) == []
+
+
+def test_degenerate_chunking_and_empty_table(spark, tmp_path_factory):
+    from quickwit_spark.pipeline.transcripts import materialize
+    from quickwit_spark.pipeline.runner import PipelineConfig, run_pipeline
+
+    root = tmp_path_factory.mktemp("degenerate")
+    vin = str(root / "in")
+    materialize(60, vin, seed=11)
+    out = str(root / "out")
+    # num_chunks far beyond max turn_idx: empty ranges skipped, the rest
+    # commit contiguously
+    res = run_pipeline(spark, vin, out, PipelineConfig(), num_chunks=50)
+    total = sum(m["num_valid"] for m in res)
+    assert total > 0
+    assert run_pipeline(spark, vin, out, PipelineConfig(), num_chunks=50) == []
+
+    # empty input table: no chunks, no crash
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vin2 = str(root / "empty")
+    os.makedirs(vin2)
+    pq.write_table(pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int32()),
+        "role": pa.array([], pa.string()),
+        "text": pa.array([], pa.string()),
+        "tool": pa.array([], pa.string()),
+        "ts": pa.array([], pa.timestamp("us")),
+    }), os.path.join(vin2, "transcripts.parquet"))
+    pq.write_table(pa.table({
+        "tenant_id": pa.array(["t1"]), "tenant_name": pa.array(["T"]),
+        "tier": pa.array(["gold"]), "region": pa.array(["eu"]),
+    }), os.path.join(vin2, "tenants.parquet"))
+    assert run_pipeline(spark, vin2, str(root / "out2"), PipelineConfig()) == []

@@ -322,3 +322,70 @@ def test_iceberg_gated_sink_falls_back_to_parquet(spark, tmp_path_factory):
     assert engine == "parquet"
     back = read_sink(spark, out)
     assert back.count() == 2 and set(back.columns) == {"id", "sink"}
+
+
+def test_otlp_protobuf_corrupt_payload_degrades_to_null(spark):
+    """Self-review r4: one truncated wire payload must drop like the JSON
+    path's unparseable row, not kill the batch."""
+    from quickwit_spark.sources.files import parse_otlp_logs_protobuf
+
+    good = bytes.fromhex("0a00")  # empty ResourceLogs entry
+    corrupt = b"\x0a\xff\xff\xff\xff\xff"  # length prefix past the buffer
+    df = spark.createDataFrame([(corrupt,), (good,)], "value binary")
+    # no exception; the corrupt row yields no records
+    assert parse_otlp_logs_protobuf(df).count() == 0
+
+
+def test_otlp_duplicate_and_null_attr_keys_do_not_crash(spark):
+    from quickwit_spark.sources.files import parse_otlp_logs_json
+
+    body = {
+        "resourceLogs": [{
+            "resource": {"attributes": [
+                {"key": "k", "value": {"stringValue": "a"}},
+                {"key": "k", "value": {"stringValue": "b"}},   # duplicate
+                {"key": None, "value": {"stringValue": "x"}},  # null key
+            ]},
+            "scopeLogs": [{
+                "scope": {"name": "s"},
+                "logRecords": [{
+                    "timeUnixNano": "1700000000000000000",
+                    "severityText": "INFO",
+                    "body": {"stringValue": "m"},
+                    "attributes": [],
+                }],
+            }],
+        }]
+    }
+    import json as _json
+
+    df = spark.createDataFrame([(_json.dumps(body),)], "value string")
+    rows = parse_otlp_logs_json(df).collect()
+    assert len(rows) == 1
+    # duplicate key resolved last-wins; null key dropped
+    assert rows[0]["resource_attributes"] == {"k": "b"}
+
+
+def test_otlp_out_of_range_enums_map_to_unspecified(spark):
+    from quickwit_spark.sources.files import parse_otlp_traces_json
+
+    body = {
+        "resourceSpans": [{
+            "resource": {"attributes": []},
+            "scopeSpans": [{
+                "scope": {"name": "s"},
+                "spans": [{
+                    "traceId": "ab", "spanId": "cd", "name": "sp",
+                    "kind": 99, "status": {"code": 7},
+                    "startTimeUnixNano": "1", "endTimeUnixNano": "2",
+                    "attributes": [], "events": [],
+                }],
+            }],
+        }]
+    }
+    import json as _json
+
+    df = spark.createDataFrame([(_json.dumps(body),)], "value string")
+    row = parse_otlp_traces_json(df).collect()[0]
+    assert "UNSPECIFIED" in row["span_kind"].upper() or row["span_kind"] == "unspecified"
+    assert "UNSET" in row["span_status_code"].upper() or "UNSPECIFIED" in row["span_status_code"].upper()
