@@ -613,6 +613,24 @@ def _q_text_gopher(spark, sf_dir):
     )
 
 
+def _q_snippet(spark, sf_dir):
+    """snippet_fields (fetch_docs.rs:150-341 + tantivy's snippet module) in
+    its SQL-expressible regime: excerpts under the 150-byte fragment window
+    collapse to ONE fragment spanning [0, last-token-end), with every
+    analyzed query-term occurrence <b>-wrapped and html-escaped. The
+    multi-fragment selection / byte-window / df-scoring semantics are pytest
+    golden-verified (tests/test_snippets.py); here the distributed operator
+    (one no-shuffle doc-freq aggregate + one Arrow-batched kernel) must agree
+    with DuckDB's independent string-algebra restatement."""
+    from quickwit_spark.operators.snippets import with_snippet_column
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 140).alias("excerpt")
+    )
+    out = with_snippet_column(docs, "excerpt", "excerpt:customer")
+    return out.filter(F.col("snippet") != "").select("doc_id", "snippet")
+
+
 def _q_ann_pq(spark, sf_dir):
     # PQ/ADC over pre-encoded codes (the codegen query path): codebooks are
     # the first 4 embedding rows sliced into 4 subspaces (deterministic and
@@ -977,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": _q_text_normalize,
         "text_gopher": _q_text_gopher,
         "ann_pq": _q_ann_pq,
+        "q_snippet": _q_snippet,
         "agg_stats_value": _q_agg_stats_value,
         "from_size": _q_from_size,
         "count_only": _q_count_only,
@@ -1419,6 +1438,28 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY key % 8
                                       ORDER BY key, doc_id) - 1 AS pos
             FROM b
+        """,
+        # single-fragment regime (excerpt < 150 bytes): fragment = excerpt
+        # cut at the last token's end; every `customer` token <b>-wrapped;
+        # the 5-entity escape chain is identity on this [a-z ] corpus but
+        # restated anyway so the contract is complete
+        "q_snippet": r"""
+            WITH frag AS (
+              SELECT doc_id,
+                     regexp_replace(substr(text, 1, 140),
+                                    '[^0-9A-Za-z]+$', '') AS fragment
+              FROM documents
+            ), esc AS (
+              SELECT doc_id,
+                     replace(replace(replace(replace(replace(fragment,
+                       '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                       '"', '&quot;'), chr(39), '&#x27;') AS e
+              FROM frag
+            )
+            SELECT doc_id,
+                   regexp_replace(e, '\b(customer)\b', '<b>\1</b>', 'g') AS snippet
+            FROM esc
+            WHERE regexp_matches(e, '\bcustomer\b')
         """,
         "text_normalize": r"""
             WITH m AS (

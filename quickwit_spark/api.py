@@ -968,6 +968,198 @@ def pruned_index_df(
 
 
 # ---------------------------------------------------------------------------
+# Quickwit-native search: POST/GET /api/v1/{index}/search
+# ---------------------------------------------------------------------------
+
+
+def _native_sort_to_es(sort_by) -> list:
+    """The native sort mini-DSL (rest_handler.rs:93-119 `From<String> for
+    SortBy`): comma-separated fields where a BARE name and a ``+`` prefix
+    both mean DESCENDING and ``-`` means ASCENDING — the reference's actual
+    (inverted-looking) semantics, replicated verbatim."""
+    if not sort_by:
+        return []
+    parts = sort_by if isinstance(sort_by, (list, tuple)) else str(sort_by).split(",")
+    out = []
+    for raw in parts:
+        raw = str(raw)
+        if not raw:
+            continue
+        if raw.startswith("+"):
+            field, order = raw[1:].strip(), "desc"
+        elif raw.startswith("-"):
+            field, order = raw[1:].strip(), "asc"
+        else:
+            field, order = raw.strip(), "desc"
+        out.append({field: {"order": order}})
+    return out
+
+
+def _ts_seconds_col(df: DataFrame, ts_field: str):
+    """Epoch-seconds view of the timestamp column for the native
+    start_timestamp/end_timestamp bounds (both are "expressed in seconds",
+    SearchRequestQueryString docs); timestamp columns cast to fractional
+    seconds, numeric columns are taken as already-epoch-seconds."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[ts_field].dataType if ts_field in df.columns else None
+    if isinstance(dt, T.TimestampType):
+        return F.col(ts_field).cast("double")
+    return F.col(ts_field)
+
+
+def quickwit_search(
+    df: DataFrame,
+    request: dict[str, Any],
+    field_types: dict[str, str] | None = None,
+    default_fields: tuple[str, ...] = (),
+    ts_field: str = "ts",
+    compiler: "QueryCompiler | None" = None,
+    bm25_stats=None,
+) -> dict[str, Any]:
+    """Quickwit-native `POST /api/v1/{index}/search`
+    (rest_handler.rs:153-243 SearchRequestQueryString →
+    search_request_from_api_request): ``query`` is a query-LANGUAGE string,
+    plus ``search_field``, ``snippet_fields``, ``start_timestamp`` /
+    ``end_timestamp`` (epoch seconds, start inclusive / end exclusive),
+    ``max_hits`` (default 20), ``start_offset``, ``sort_by`` (mini-DSL:
+    bare/``+`` = desc, ``-`` = asc), ``aggs``, ``count_all``.
+
+    Response is SearchResponseRest (search_response_rest.rs:44-62):
+    ``num_hits``, ``hits`` (the stored docs), ``snippets`` (parallel to
+    hits, only when snippet_fields requested), ``elapsed_time_micros``,
+    ``errors``, ``aggregations``.
+
+    Snippets follow the reference's fetch phase exactly: term scores are
+    1/(1+doc_freq) over the index frame (one no-shuffle aggregate), and
+    HTML generation runs only on the returned page — never on the corpus.
+    When no sort is given the reference returns hits in reverse split/doc
+    order, which for time-ordered splits is newest-first: here that
+    surfaces as an explicit ``ts DESC`` default when the frame has the
+    timestamp column."""
+    t0 = time.time()
+    query = str(request.get("query", "*"))
+    search_field = request.get("search_field")
+    if search_field:
+        fields = (
+            [f.strip() for f in search_field.split(",")]
+            if isinstance(search_field, str)
+            else list(search_field)
+        )
+        default_fields = tuple(fields)
+    if compiler is None:
+        compiler = QueryCompiler(field_types, default_fields=default_fields)
+    else:
+        compiler.default_fields = tuple(default_fields) or compiler.default_fields
+
+    snippet_fields = request.get("snippet_fields") or []
+    if isinstance(snippet_fields, str):
+        snippet_fields = [f.strip() for f in snippet_fields.split(",") if f.strip()]
+    if snippet_fields:
+        from quickwit_spark.operators.snippets import validate_snippet_fields
+
+        validate_snippet_fields(snippet_fields, field_types)
+
+    bounded = df
+    start_ts = request.get("start_timestamp")
+    end_ts = request.get("end_timestamp")
+    if start_ts is not None:
+        bounded = bounded.filter(_ts_seconds_col(df, ts_field) >= float(start_ts))
+    if end_ts is not None:
+        bounded = bounded.filter(_ts_seconds_col(df, ts_field) < float(end_ts))
+
+    sort = _native_sort_to_es(request.get("sort_by") or request.get("sort_by_field"))
+    if not sort and ts_field in df.columns:
+        sort = [{ts_field: {"order": "desc"}}]
+    body: dict[str, Any] = {
+        "q": query,
+        "size": int(request.get("max_hits", 20)),
+        "from": int(request.get("start_offset", 0)),
+        "track_total_hits": bool(request.get("count_all", True)),
+    }
+    if sort:
+        body["sort"] = sort
+    if request.get("aggs"):
+        body["aggs"] = request["aggs"]
+    es = es_search(
+        bounded,
+        body,
+        field_types,
+        tuple(default_fields),
+        compiler=compiler,
+        bm25_stats=bm25_stats,
+    )
+
+    hits = [h["_source"] for h in es["hits"]["hits"]]
+    total = es["hits"]["total"]["value"]
+    out: dict[str, Any] = {
+        "num_hits": int(total) if total is not None else len(hits),
+        "hits": hits,
+        "elapsed_time_micros": int((time.time() - t0) * 1e6),
+        "errors": [],
+    }
+    if "aggregations" in es:
+        out["aggregations"] = es["aggregations"]
+    if snippet_fields:
+        from quickwit_spark.operators.snippets import (
+            query_terms_for_field,
+            snippets_for_value,
+            term_scores,
+        )
+
+        ast = compiler.parse(query)
+        scores = {
+            f: term_scores(df, f, query_terms_for_field(ast, f))
+            for f in snippet_fields
+        }
+        out["snippets"] = [
+            {f: snippets_for_value(hit.get(f), scores[f]) for f in snippet_fields}
+            for hit in hits
+        ]
+    return out
+
+
+def quickwit_search_index(
+    spark,
+    out_dir: str,
+    request: dict[str, Any],
+    field_types: dict[str, str] | None = None,
+    default_fields: tuple[str, ...] = (),
+    ts_field: str = "ts",
+) -> dict[str, Any]:
+    """Native search over a janitor-managed index with the SAME metadata
+    pruning as :func:`search_index`, with the request's explicit
+    ``start_timestamp``/``end_timestamp`` intersected against whatever
+    bounds the query AST itself implies (the reference root does both:
+    root.rs list_relevant_splits receives the request bounds AND the
+    AST-extracted ones)."""
+    import datetime as _dt
+
+    from quickwit_spark.operators.query import (
+        extract_tag_filter,
+        extract_time_bounds,
+    )
+    from quickwit_spark.pipeline.janitor import prune_splits, read_index_commits
+
+    compiler = QueryCompiler(field_types, default_fields=default_fields)
+    ast = compiler.parse(str(request.get("query", "*")))
+    lo, hi, _lo_inc, hi_inc = extract_time_bounds(ast, ts_field)
+    if request.get("start_timestamp") is not None:
+        req_lo = _dt.datetime.utcfromtimestamp(float(request["start_timestamp"]))
+        lo = req_lo if lo is None else max(lo, req_lo)
+    if request.get("end_timestamp") is not None:
+        req_hi = _dt.datetime.utcfromtimestamp(float(request["end_timestamp"]))
+        if hi is None or req_hi < hi:
+            hi, hi_inc = req_hi, False
+    commits = prune_splits(
+        spark, out_dir, lo, hi, end_inclusive=hi_inc,
+        tag_filter=extract_tag_filter(ast),
+    )
+    df = read_index_commits(spark, out_dir, commits)
+    return quickwit_search(df, request, field_types, default_fields, ts_field)
+
+
+# ---------------------------------------------------------------------------
 # ES admin surface: _stats and _cat/indices over janitor-managed indexes
 # ---------------------------------------------------------------------------
 

@@ -735,6 +735,7 @@ def _wildcard_to_regex(pattern: str) -> str:
 _TOKEN_RE = re.compile(
     r"""
     \s*(?:
+      (?P<scope>[\w.\\/@$-]+:(?=\()) |
       (?P<lparen>\() |
       (?P<rparen>\)) |
       (?P<and>AND\b) |
@@ -771,6 +772,11 @@ def _tokenize_query(q: str) -> list[tuple[str, Any]]:
         kind = m.lastgroup
         if kind == "clause":
             tokens.append(("clause", (m.group("field"), m.group("value"))))
+        elif kind == "scope":
+            # field-scoped group `field:(...)` (tantivy's query grammar —
+            # the group's bare terms resolve against `field` instead of the
+            # default search fields)
+            tokens.append(("scope", m.group("scope")[:-1]))
         else:
             tokens.append((kind, m.group(0).strip()))
     return tokens
@@ -832,6 +838,22 @@ class _QParser:
         kind, val = self.next()
         if kind == "lparen":
             inner = self.parse_or()
+            k, _ = self.next()
+            if k != "rparen":
+                raise ValueError("expected ')'")
+            return inner
+        if kind == "scope":
+            # `field:(...)`: bare terms inside the group resolve against the
+            # scoping field (nested scopes: innermost wins)
+            k, _ = self.next()
+            if k != "lparen":
+                raise ValueError("expected '(' after field scope")
+            saved = self.default_fields
+            self.default_fields = (val.replace("\\.", "."),)
+            try:
+                inner = self.parse_or()
+            finally:
+                self.default_fields = saved
             k, _ = self.next()
             if k != "rparen":
                 raise ValueError("expected ')'")
