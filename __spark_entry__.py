@@ -613,6 +613,31 @@ def _q_text_gopher(spark, sf_dir):
     )
 
 
+def _q_kmeans_step(spark, sf_dir):
+    """One distributed Lloyd iteration (the codebook trainer behind
+    ivf_topk / semantic_dedup / pq_encode) with centroids = the 4 lowest-id
+    embedding rows — deterministic and DuckDB-restatable. Output is the
+    exploded per-cluster mean (cluster, idx, value, n); the full fit loop
+    (empty-cluster repair, convergence, cosine metric, partitioning
+    independence) is pytest-verified in tests/test_kmeans.py."""
+    import numpy as np
+
+    from quickwit_spark.operators.similarity import kmeans_step
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = sorted(
+        emb.filter(F.col("vec_id") < 4).collect(), key=lambda r: r["vec_id"]
+    )
+    C = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    out = kmeans_step(emb, C, round_decimals=6)
+    return out.select(
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("idx").cast("long").alias("idx"),
+        "value",
+        "n",
+    )
+
+
 def _q_snippet(spark, sf_dir):
     """snippet_fields (fetch_docs.rs:150-341 + tantivy's snippet module) in
     its SQL-expressible regime: excerpts under the 150-byte fragment window
@@ -996,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher": _q_text_gopher,
         "ann_pq": _q_ann_pq,
         "q_snippet": _q_snippet,
+        "kmeans_step": _q_kmeans_step,
         "agg_stats_value": _q_agg_stats_value,
         "from_size": _q_from_size,
         "count_only": _q_count_only,
@@ -1438,6 +1464,33 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY key % 8
                                       ORDER BY key, doc_id) - 1 AS pos
             FROM b
+        """,
+        # one Lloyd iteration, centroids = 4 lowest-id embeddings; the
+        # row_number tie-break (dist, cid) mirrors the kernel's first-argmin
+        "kmeans_step": r"""
+            WITH c AS (
+              SELECT vec_id AS cid, embedding AS cemb
+              FROM embeddings WHERE vec_id < 4
+            ), d AS (
+              SELECT e.vec_id, c.cid,
+                     list_distance(e.embedding::DOUBLE[], c.cemb::DOUBLE[]) AS dist
+              FROM embeddings e CROSS JOIN c
+            ), a AS (
+              SELECT vec_id, cid AS cluster
+              FROM (SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY dist, cid) AS rn
+                    FROM d)
+              WHERE rn = 1
+            ), j AS (
+              SELECT a.cluster, e.embedding
+              FROM a JOIN embeddings e USING (vec_id)
+            )
+            SELECT cluster, i - 1 AS idx,
+                   CAST(round(avg(embedding[i]::DOUBLE), 6) AS DOUBLE) AS value,
+                   COUNT(*) AS n
+            FROM j CROSS JOIN generate_series(1, 64) AS t(i)
+            GROUP BY cluster, i
         """,
         # single-fragment regime (excerpt < 150 bytes): fragment = excerpt
         # cut at the last token's end; every `customer` token <b>-wrapped;

@@ -261,6 +261,122 @@ def nearest_cell_udf(centroids: np.ndarray, metric: str = "l2"):
     return assign
 
 
+def kmeans_step(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    metric: str = "l2",
+    round_decimals: int | None = None,
+) -> DataFrame:
+    """ONE distributed Lloyd iteration: assign every vector to its nearest
+    centroid, return the per-cluster means as exploded rows
+    ``(cluster, idx, value, n)`` (absent clusters emit nothing).
+
+    Scale shape — the map-side-combine k-means (the pattern behind every
+    distributed k-means, e.g. Spark MLlib's): per Arrow batch, ONE BLAS
+    matmul assigns the whole batch and a scatter-add collapses it to a
+    (k × d) partial-sum block, so the corpus-sized scan emits only
+    ``batches × k`` tiny rows. Those partials explode to (cluster, idx)
+    and shuffle ``batches × k × d`` rows — independent of n, i.e. the same
+    cost at 10^12 vectors as at 10^6. The corpus itself never shuffles.
+
+    Assignment ties break toward the smallest centroid index (same
+    convention as :func:`nearest_cell_udf`)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    kk, dim = C.shape
+    if metric == "cosine":
+        Cn = (C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)).T.copy()
+    elif metric == "l2":
+        c_sq = (C * C).sum(axis=1)
+        CT = C.T.copy()
+    else:  # pragma: no cover
+        raise ValueError(f"unknown metric {metric!r}")
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if metric == "cosine":
+                Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+                best = (Xn @ Cn).argmax(axis=1)
+            else:
+                # argmin ||x-c||² = argmin (||c||² - 2x·c); ||x||² is
+                # row-constant and drops out
+                best = (c_sq[None, :] - 2.0 * (X @ CT)).argmin(axis=1)
+            sums = np.zeros((kk, dim))
+            np.add.at(sums, best, X)
+            counts = np.bincount(best, minlength=kk)
+            nz = np.flatnonzero(counts)
+            yield pd.DataFrame(
+                {
+                    "cluster": nz.astype("int32"),
+                    "n": counts[nz].astype("int64"),
+                    "sums": list(sums[nz]),
+                }
+            )
+
+    partial = df.select(vec_col).mapInPandas(
+        partials, "cluster int, n long, sums array<double>"
+    )
+    exploded = partial.select("cluster", "n", F.posexplode("sums").alias("idx", "s"))
+    value = F.sum("s") / F.sum("n")
+    if round_decimals is not None:
+        value = F.round(value, round_decimals)
+    return exploded.groupBy("cluster", "idx").agg(
+        value.alias("value"), F.sum("n").alias("n")
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 10,
+    tol: float = 1e-6,
+    metric: str = "l2",
+    init: np.ndarray | None = None,
+) -> tuple[np.ndarray, int, float]:
+    """Distributed Lloyd k-means over the full corpus — the online codebook
+    trainer feeding :func:`ivf_topk`, :func:`semantic_dedup` and
+    :func:`pq_encode` (the offline sample-based
+    :func:`pq_codebooks_from_rows` remains for per-subspace PQ training).
+
+    Deterministic by construction: ``init`` defaults to the k lowest-id
+    vectors (content-keyed, partitioning-independent — the same convention
+    as the BPE trainer's sample), each iteration is one
+    :func:`kmeans_step` scan, and the only collect is the (k × d) codebook
+    itself — driver-sized by definition. Empty clusters retain their
+    previous centroid (standard Lloyd repair). Callers should cache/persist
+    ``df`` when it isn't already materialized — every iteration re-scans it.
+
+    Returns ``(centroids, n_iter, last_shift)`` where ``last_shift`` is the
+    max L2 movement of any centroid in the final iteration."""
+    if init is not None:
+        C = np.asarray(init, dtype=np.float64).copy()
+        if C.shape[0] != k:
+            raise ValueError(f"init has {C.shape[0]} rows, expected k={k}")
+    else:
+        rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+        if len(rows) < k:
+            raise ValueError(f"corpus has {len(rows)} rows < k={k}")
+        C = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+
+    shift = float("inf")
+    it = 0
+    for it in range(1, max_iter + 1):
+        new_c = C.copy()  # empty clusters keep their centroid
+        stats = kmeans_step(df, C, vec_col=vec_col, metric=metric).collect()
+        for r in stats:
+            new_c[r["cluster"], r["idx"]] = r["value"]
+        shift = float(np.sqrt(((new_c - C) ** 2).sum(axis=1)).max())
+        C = new_c
+        if shift <= tol:
+            break
+    return C, it, shift
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
