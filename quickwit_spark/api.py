@@ -1003,8 +1003,11 @@ def _ts_seconds_col(df: DataFrame, ts_field: str):
     from pyspark.sql import types as T
 
     dt = df.schema[ts_field].dataType if ts_field in df.columns else None
-    if isinstance(dt, T.TimestampType):
-        return F.col(ts_field).cast("double")
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        # parquet timestamps load as TIMESTAMP_NTZ here (session tz pinned
+        # UTC), so the naive value IS the UTC instant; NTZ has no direct
+        # numeric cast — go through TIMESTAMP first
+        return F.col(ts_field).cast("timestamp").cast("double")
     return F.col(ts_field)
 
 
@@ -1119,20 +1122,18 @@ def quickwit_search(
     return out
 
 
-def quickwit_search_index(
+def _native_prune(
     spark,
     out_dir: str,
     request: dict[str, Any],
-    field_types: dict[str, str] | None = None,
-    default_fields: tuple[str, ...] = (),
-    ts_field: str = "ts",
-) -> dict[str, Any]:
-    """Native search over a janitor-managed index with the SAME metadata
-    pruning as :func:`search_index`, with the request's explicit
-    ``start_timestamp``/``end_timestamp`` intersected against whatever
-    bounds the query AST itself implies (the reference root does both:
-    root.rs list_relevant_splits receives the request bounds AND the
-    AST-extracted ones)."""
+    compiler: "QueryCompiler",
+    ts_field: str,
+):
+    """(pruned DataFrame, surviving commit ids, parsed AST) for a native
+    request: the request's explicit ``start_timestamp``/``end_timestamp``
+    intersected against whatever bounds the query AST itself implies (the
+    reference root does both: root.rs list_relevant_splits receives the
+    request bounds AND the AST-extracted ones), plus tag pruning."""
     import datetime as _dt
 
     from quickwit_spark.operators.query import (
@@ -1141,7 +1142,6 @@ def quickwit_search_index(
     )
     from quickwit_spark.pipeline.janitor import prune_splits, read_index_commits
 
-    compiler = QueryCompiler(field_types, default_fields=default_fields)
     ast = compiler.parse(str(request.get("query", "*")))
     lo, hi, _lo_inc, hi_inc = extract_time_bounds(ast, ts_field)
     if request.get("start_timestamp") is not None:
@@ -1155,8 +1155,121 @@ def quickwit_search_index(
         spark, out_dir, lo, hi, end_inclusive=hi_inc,
         tag_filter=extract_tag_filter(ast),
     )
-    df = read_index_commits(spark, out_dir, commits)
+    return read_index_commits(spark, out_dir, commits), commits, ast
+
+
+def quickwit_search_index(
+    spark,
+    out_dir: str,
+    request: dict[str, Any],
+    field_types: dict[str, str] | None = None,
+    default_fields: tuple[str, ...] = (),
+    ts_field: str = "ts",
+) -> dict[str, Any]:
+    """Native search over a janitor-managed index with the SAME metadata
+    pruning as :func:`search_index` (see :func:`_native_prune`)."""
+    compiler = QueryCompiler(field_types, default_fields=default_fields)
+    df, _commits, _ast = _native_prune(spark, out_dir, request, compiler, ts_field)
     return quickwit_search(df, request, field_types, default_fields, ts_field)
+
+
+def quickwit_search_plan(
+    spark,
+    out_dir: str,
+    request: dict[str, Any],
+    field_types: dict[str, str] | None = None,
+    default_fields: tuple[str, ...] = (),
+    ts_field: str = "ts",
+    index_id: str = "index",
+) -> dict[str, Any]:
+    """`GET/POST /api/v1/{index}/search-plan` (root.rs:1376-1480
+    search_plan): metadata about how the request WOULD execute, without
+    touching any data. Response keys mirror SearchPlanResponseRest
+    (search_response_rest.rs:118-131):
+
+    - ``quickwit_ast``   — the resolved query AST (ours, as a typed dict);
+    - ``tantivy_ast``    — the compiled physical predicate; the Catalyst
+      Column expression is this engine's analog of the tantivy query debug
+      string;
+    - ``searched_splits``— ``index/commit`` ids surviving BOTH metadata
+      pruning axes (time bounds ∩ tags) — the list_relevant_splits analog;
+    - ``storage_requests`` — per-split I/O the reference predicts from its
+      warmup info, re-expressed for a parquet engine: ``footer`` = 1
+      parquet footer per split (same meaning), ``sstable`` = number of
+      distinct (field, term) lookups + term-range + exists probes the
+      query needs, ``position`` = number of terms needing positions
+      (phrase / phrase-prefix terms), ``fieldnorm`` = 0 (no `_score` in
+      the request) or the scored field count (BM25 length norms).
+
+    Everything here is metadata-plane: the one Spark action is the
+    lineage scan inside prune_splits."""
+    import re
+
+    compiler = QueryCompiler(field_types, default_fields=default_fields)
+    df, commits, ast = _native_prune(spark, out_dir, request, compiler, ts_field)
+    compiler.schema = df.schema
+
+    from quickwit_spark.operators.query import (
+        Bool,
+        Exists,
+        FullText,
+        Phrase,
+        PhrasePrefix,
+        Range,
+        Regex,
+        Term,
+        TermSet,
+        Wildcard,
+        ast_to_dict,
+    )
+
+    terms = 0
+    ranges = 0
+    positions = 0
+    scored_fields: set[str] = set()
+
+    def _n_toks(text: str) -> int:
+        return len(re.findall(r"[^\W_]+", str(text)))
+
+    def walk(node) -> None:
+        nonlocal terms, ranges, positions
+        if isinstance(node, Bool):
+            for clause in (*node.must, *node.should, *node.filter, *node.must_not):
+                walk(clause)
+        elif isinstance(node, Term):
+            terms += 1
+        elif isinstance(node, TermSet):
+            terms += len(node.values)
+        elif isinstance(node, FullText):
+            terms += _n_toks(node.text)
+        elif isinstance(node, (Phrase, PhrasePrefix)):
+            n = _n_toks(node.text)
+            terms += n
+            positions += n
+        elif isinstance(node, (Range, Wildcard, Regex)):
+            ranges += 1  # term-range / automaton walk over the dictionary
+        elif isinstance(node, Exists):
+            ranges += 1  # presence = full term-dict probe for the field
+
+    walk(ast)
+    sort_by = str(request.get("sort_by") or request.get("sort_by_field") or "")
+    if "_score" in sort_by:
+        for f, kind in (field_types or {}).items():
+            if kind == "text":
+                scored_fields.add(f)
+
+    return {
+        "quickwit_ast": ast_to_dict(ast),
+        "tantivy_ast": str(compiler.compile(ast)),
+        "searched_splits": [f"{index_id}/{c}" for c in commits],
+        "storage_requests": {
+            "footer": 1,
+            "fastfield": 1 if (request.get("aggs") or sort_by.strip("+-")) else 0,
+            "sstable": terms + ranges,
+            "position": positions,
+            "fieldnorm": len(scored_fields),
+        },
+    }
 
 
 # ---------------------------------------------------------------------------

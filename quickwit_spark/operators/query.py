@@ -913,6 +913,25 @@ class _QParser:
         return Term(field, value)
 
 
+def ast_to_dict(ast: QueryAst) -> dict:
+    """Serialize a query AST to the tagged-dict form the search-plan
+    endpoint returns (the reference serializes its QueryAst enum with a
+    `type` tag — quickwit-query query_ast/mod.rs serde repr)."""
+    import dataclasses
+
+    def conv(node):
+        if dataclasses.is_dataclass(node) and not isinstance(node, type):
+            out = {"type": type(node).__name__.lower()}
+            for f in dataclasses.fields(node):
+                out[f.name] = conv(getattr(node, f.name))
+            return out
+        if isinstance(node, (list, tuple)):
+            return [conv(x) for x in node]
+        return node
+
+    return conv(ast)
+
+
 def parse_query(query: str, default_fields: tuple[str, ...] = ()) -> QueryAst:
     query = query.strip()
     if not query or query == "*":
