@@ -955,7 +955,11 @@ def pruned_index_df(
         extract_tag_filter,
         extract_time_bounds,
     )
-    from quickwit_spark.pipeline.janitor import prune_splits, read_index_commits
+    from quickwit_spark.pipeline.janitor import (
+        exclude_marked_splits,
+        prune_splits,
+        read_index_commits,
+    )
 
     compiler = QueryCompiler(field_types, default_fields=default_fields)
     ast = _required_query_ast(body, compiler)
@@ -964,7 +968,8 @@ def pruned_index_df(
         spark, out_dir, lo, hi, end_inclusive=hi_inc,
         tag_filter=extract_tag_filter(ast),
     )
-    return read_index_commits(spark, out_dir, commits), commits
+    df = exclude_marked_splits(read_index_commits(spark, out_dir, commits), out_dir)
+    return df, commits
 
 
 # ---------------------------------------------------------------------------
@@ -1140,7 +1145,11 @@ def _native_prune(
         extract_tag_filter,
         extract_time_bounds,
     )
-    from quickwit_spark.pipeline.janitor import prune_splits, read_index_commits
+    from quickwit_spark.pipeline.janitor import (
+        exclude_marked_splits,
+        prune_splits,
+        read_index_commits,
+    )
 
     ast = compiler.parse(str(request.get("query", "*")))
     lo, hi, _lo_inc, hi_inc = extract_time_bounds(ast, ts_field)
@@ -1155,7 +1164,8 @@ def _native_prune(
         spark, out_dir, lo, hi, end_inclusive=hi_inc,
         tag_filter=extract_tag_filter(ast),
     )
-    return read_index_commits(spark, out_dir, commits), commits, ast
+    df = exclude_marked_splits(read_index_commits(spark, out_dir, commits), out_dir)
+    return df, commits, ast
 
 
 def quickwit_search_index(
@@ -1351,6 +1361,183 @@ def index_stats(
         },
     }
     return out
+
+
+def list_splits(
+    spark,
+    out_dir: str,
+    params: dict[str, Any] | None = None,
+) -> dict[str, Any]:
+    """GET /api/v1/indexes/{index}/splits — the reference's split-listing
+    resource (quickwit-serve index_api/split_resource.rs:38-67; filter
+    semantics from the metastore's split_query_predicate,
+    file_backed_index/mod.rs:1229-1276). ``params`` carries the query
+    params: offset, limit, split_states (list OR the REST comma-separated
+    string form), start_timestamp, end_timestamp, end_create_timestamp.
+
+    Returns the reference's ListSplitsResponse shape
+    ``{"offset": o, "size": len(splits), "splits": [...]}``
+    (split_resource.rs:70-77,132-136 — ``size`` is the PAGE size)."""
+    from quickwit_spark.pipeline.janitor import list_splits as _list
+
+    params = dict(params or {})
+    allowed = {
+        "offset", "limit", "split_states", "start_timestamp",
+        "end_timestamp", "end_create_timestamp",
+    }
+    unknown = set(params) - allowed
+    if unknown:
+        raise ValueError(f"unknown split list parameter(s): {sorted(unknown)}")
+    states = params.get("split_states")
+    if isinstance(states, str):
+        states = [s.strip() for s in states.split(",") if s.strip()]
+
+    def _int(name):
+        v = params.get(name)
+        if v is None:
+            return None
+        try:
+            return int(v)
+        except (TypeError, ValueError):
+            raise ValueError(f"`{name}` must be an integer, got {v!r}") from None
+
+    full = _list(
+        spark,
+        out_dir,
+        split_states=states,
+        start_timestamp=_int("start_timestamp"),
+        end_timestamp=_int("end_timestamp"),
+        end_create_timestamp=_int("end_create_timestamp"),
+    )
+    offset, limit = _int("offset") or 0, _int("limit")
+    page = full[offset:]
+    if limit is not None:
+        page = page[:limit]
+    return {"offset": offset, "size": len(page), "splits": page}
+
+
+def mark_splits_for_deletion(
+    spark,
+    out_dir: str,
+    body: dict[str, Any],
+) -> dict[str, Any]:
+    """PUT /indexes/{index}/splits/mark-for-deletion — body is the
+    reference's SplitsForDeletion ``{"split_ids": [...]}``
+    (index_api/rest_handler.rs mark_splits_for_deletion_handler). Unknown
+    split ids are skipped, not an error, matching the metastore call with
+    ``return_error_on_splits_not_found=false`` (file_backed/mod.rs:712-732).
+    Marked splits drop out of every search/prune path immediately."""
+    from quickwit_spark.pipeline.janitor import (
+        mark_splits_for_deletion as _mark,
+    )
+
+    ids = body.get("split_ids")
+    if not isinstance(ids, list) or not all(isinstance(s, str) for s in ids):
+        raise ValueError("`split_ids` must be a list of strings")
+    return _mark(spark, out_dir, ids)
+
+
+def _stats_percentile(sorted_vals, percent: int) -> float:
+    """Linear-interpolation percentile over pre-sorted values —
+    quickwit-cli/src/stats.rs:36-53 exactly (f32 arithmetic)."""
+    import numpy as np
+
+    f32 = np.float32
+    if len(sorted_vals) == 1:
+        return float(f32(sorted_vals[0]))
+    if percent == 100:
+        return float(f32(sorted_vals[-1]))
+    length = f32(len(sorted_vals) - 1)
+    rank = f32(percent) / f32(100.0) * length
+    lrank = np.floor(rank)
+    d = rank - lrank
+    n = int(lrank)
+    lo, hi = f32(sorted_vals[n]), f32(sorted_vals[n + 1])
+    return float(lo + (hi - lo) * d)
+
+
+def _descriptive_stats(values: list[int]) -> dict[str, Any] | None:
+    """DescriptiveStats::maybe_new (quickwit-cli/src/index.rs:916-938):
+    mean/std over f32 (stats.rs:15-32), min/max, and the fixed quantile set
+    q1/q25/q50/q75/q99 with linear interpolation."""
+    import numpy as np
+
+    if not values:
+        return None
+    v = sorted(values)
+    f32 = np.float32
+    n = f32(len(v))
+    mean = f32(sum(v)) / n
+    variance = f32(sum(float((mean - f32(x)) * (mean - f32(x))) for x in v)) / n
+    return {
+        "summary_stats": {
+            "mean_val": float(mean),
+            "std_val": float(np.sqrt(variance)),
+            "min_val": int(v[0]),
+            "max_val": int(v[-1]),
+        },
+        "quantiles": {
+            f"q{p}": _stats_percentile(v, p) for p in (1, 25, 50, 75, 99)
+        },
+    }
+
+
+def describe_index(
+    spark,
+    out_dir: str,
+    index_id: str,
+    index_uri: str | None = None,
+    ts_field: str | None = "ts",
+) -> dict[str, Any]:
+    """`quickwit index describe` — IndexStats::from_metadata
+    (quickwit-cli/src/index.rs:601-780): totals over PUBLISHED splits only,
+    the index-level timestamp range, and per-split descriptive stats
+    (doc counts and on-disk split sizes; the reference's
+    ``footer_offsets.end`` ≈ physical split bytes, here the split leaf
+    directory's file bytes). Metadata-plane: one lineage scan + a
+    filesystem walk of split leaves — never a data scan."""
+    import os as _os
+
+    from quickwit_spark.pipeline.janitor import list_splits as _list
+
+    published = _list(spark, out_dir, split_states=["Published"])
+
+    def _leaf_bytes(split_id: str) -> int:
+        bits = split_id.split("/")
+        leaf = _os.path.join(out_dir, "sinks", f"commit={bits[0]}", f"sink={bits[1]}")
+        if len(bits) > 2:
+            leaf = _os.path.join(leaf, f"partition_bucket={bits[2]}")
+        total = 0
+        for root, _dirs, files in _os.walk(leaf):
+            total += sum(_os.path.getsize(_os.path.join(root, f)) for f in files)
+        return total
+
+    num_docs = sorted(s["split_metadata"]["num_docs"] for s in published)
+    split_bytes = sorted(
+        _leaf_bytes(s["split_metadata"]["split_id"]) for s in published
+    )
+    ranges = [
+        s["split_metadata"]["time_range"]
+        for s in published
+        if s["split_metadata"]["time_range"] is not None
+    ]
+    ts_range = None
+    if ts_field is not None and ranges:
+        ts_range = (min(r["start"] for r in ranges), max(r["end"] for r in ranges))
+    return {
+        "index_id": index_id,
+        "index_uri": index_uri if index_uri is not None else out_dir,
+        "num_published_splits": len(published),
+        "size_published_splits": sum(split_bytes),
+        "num_published_docs": sum(num_docs),
+        "size_published_docs_uncompressed": sum(
+            s["split_metadata"]["uncompressed_docs_size_in_bytes"] for s in published
+        ),
+        "timestamp_field_name": ts_field,
+        "timestamp_range": ts_range,
+        "num_docs_descriptive": _descriptive_stats(num_docs),
+        "num_bytes_descriptive": _descriptive_stats(split_bytes),
+    }
 
 
 def cat_indices(

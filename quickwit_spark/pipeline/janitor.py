@@ -509,6 +509,17 @@ def merge_splits(
     invisible to resume, like the reference's merge pipeline.
     """
     lineage = read_lineage(spark, out_dir)
+    # a commit holding ANY non-Published split is not a merge candidate —
+    # the reference merge planner only ever sees Published splits
+    # (merge_planner.rs consumes NewSplits post-publish; marked splits are
+    # awaiting deletion and must not be folded into a merged commit)
+    hidden_commits = {
+        sid.split("/", 1)[0]
+        for sid, st in load_split_states(out_dir).items()
+        if st.get("split_state") != "Published"
+    }
+    if hidden_commits:
+        lineage = lineage.filter(~F.col("commit_id").isin(sorted(hidden_commits)))
     lcols = set(lineage.columns)
     per_commit_aggs = [F.sum("num_docs").alias("num_docs")]
     if "time_range_end" in lcols:
@@ -809,8 +820,322 @@ def prune_splits(
         cond = cond & F.coalesce(tcond, F.lit(True))
     if tag_filter is not None:
         cond = cond & _tag_filter_col(tag_filter, lineage)
+    lineage = _drop_non_searchable(lineage, out_dir)
     rows = lineage.filter(cond).select("commit_id").distinct().collect()
     return [r["commit_id"] for r in rows]
+
+
+# ---------------------------------------------------------------------------
+# split states: list / mark-for-deletion / deferred delete
+# ---------------------------------------------------------------------------
+#
+# The metastore Split surface (quickwit-metastore file_backed_index/mod.rs:
+# split_query_predicate :1229, mark_splits_for_deletion :338; REST params in
+# quickwit-serve index_api/split_resource.rs:38-67). A "split" here is one
+# lineage row — grain (commit_id, sink[, partition_bucket]) — and the state
+# overlay is a tiny driver-side JSON (the metastore is metadata-plane in the
+# reference too). Splits default to Published; marking flips them out of
+# every search/prune path immediately, and the janitor physically deletes
+# them after a grace period (garbage_collector.rs deletion flow).
+
+SPLIT_STATES = ("Staged", "Published", "MarkedForDeletion")
+
+
+def split_id_of(commit_id, sink, partition_bucket=None) -> str:
+    sid = f"{commit_id}/{sink}"
+    if partition_bucket is not None:
+        sid += f"/{partition_bucket}"
+    return sid
+
+
+def _split_states_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_split_states.json")
+
+
+def load_split_states(out_dir: str) -> dict:
+    """Overlay of non-default split states: {split_id: {split_state,
+    update_timestamp}}. Splits absent from the overlay are Published."""
+    path = _split_states_path(out_dir)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _save_split_states(out_dir: str, states: dict) -> None:
+    path = _split_states_path(out_dir)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(states, fh, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def _lineage_split_id_col(lineage: DataFrame):
+    parts = [F.col("commit_id"), F.lit("/"), F.col("sink")]
+    if "partition_bucket" in lineage.columns:
+        parts += [
+            F.when(
+                F.col("partition_bucket").isNotNull(),
+                F.concat(F.lit("/"), F.col("partition_bucket").cast("string")),
+            ).otherwise(F.lit(""))
+        ]
+    return F.concat(*parts)
+
+
+def _drop_non_searchable(lineage: DataFrame, out_dir: str) -> DataFrame:
+    """Lineage rows of splits a search may touch — Published only, exactly
+    like the reference root search's ListSplitsQuery (root.rs asks for
+    SplitState::Published). Metadata-only."""
+    hidden = [
+        sid
+        for sid, st in load_split_states(out_dir).items()
+        if st.get("split_state") != "Published"
+    ]
+    if not hidden:
+        return lineage
+    return lineage.filter(~_lineage_split_id_col(lineage).isin(hidden))
+
+
+def exclude_marked_splits(df: DataFrame, out_dir: str) -> DataFrame:
+    """Row-plane guard for partially-hidden commits: filter out rows of any
+    non-Published split. The predicate is on partition columns
+    (commit, sink[, partition_bucket]) so Catalyst partition pruning skips
+    those directories entirely — no file of a marked split is opened."""
+    hidden = {
+        sid: st
+        for sid, st in load_split_states(out_dir).items()
+        if st.get("split_state") != "Published"
+    }
+    if not hidden:
+        return df
+    cond = F.lit(False)
+    for sid in hidden:
+        bits = sid.split("/")
+        c = (F.col("commit") == bits[0]) & (F.col("sink") == bits[1])
+        if len(bits) > 2 and "partition_bucket" in df.columns:
+            c = c & (F.col("partition_bucket").cast("string") == bits[2])
+        cond = cond | c
+    return df.filter(~cond)
+
+
+def list_splits(
+    spark: SparkSession,
+    out_dir: str,
+    offset: int | None = None,
+    limit: int | None = None,
+    split_states: list[str] | None = None,
+    start_timestamp: int | None = None,
+    end_timestamp: int | None = None,
+    end_create_timestamp: int | None = None,
+) -> list[dict]:
+    """GET /indexes/{index}/splits — ListSplitsQueryParams semantics
+    (split_resource.rs:38-67 → split_query_predicate mod.rs:1229-1276):
+
+    - ``split_states``: exact state membership (unknown state → ValueError,
+      the serde enum 400);
+    - ``start_timestamp``/``end_timestamp`` (epoch seconds): overlap of the
+      query's ``[start, end)`` with the split's INCLUSIVE time range; splits
+      without a time range are never filtered by time (the reference's
+      ``if let Some(range)``);
+    - ``end_create_timestamp``: ``create_timestamp < v``;
+    - ``offset``/``limit`` paginate over a stable split_id order.
+
+    One lineage scan; the result is driver-sized (one dict per split), same
+    as the reference metastore's Vec<Split>."""
+    if split_states:
+        bad = set(split_states) - set(SPLIT_STATES)
+        if bad:
+            raise ValueError(f"unknown split state(s): {sorted(bad)}")
+    lineage = read_lineage(spark, out_dir)
+    cols = set(lineage.columns)
+    sel = [
+        _lineage_split_id_col(lineage).alias("split_id"),
+        F.col("num_docs"),
+        F.col("delete_opstamp"),
+        F.col("source_id"),
+        F.unix_timestamp("create_timestamp").alias("create_ts"),
+    ]
+    sel.append(
+        F.col("uncompressed_size_bytes")
+        if "uncompressed_size_bytes" in cols
+        else F.lit(None).cast("long").alias("uncompressed_size_bytes")
+    )
+    sel.append(
+        F.coalesce(F.col("num_merge_ops"), F.lit(0)).alias("num_merge_ops")
+        if "num_merge_ops" in cols
+        else F.lit(0).alias("num_merge_ops")
+    )
+    if "time_range_start" in cols:
+        sel.append(F.unix_timestamp("time_range_start").alias("ts_start"))
+        sel.append(F.unix_timestamp("time_range_end").alias("ts_end"))
+    else:
+        sel.append(F.lit(None).cast("long").alias("ts_start"))
+        sel.append(F.lit(None).cast("long").alias("ts_end"))
+    tag_cols = sorted(c for c in cols if c.startswith("tags_"))
+    states = load_split_states(out_dir)
+    rows = lineage.select(*sel, *tag_cols).collect()
+
+    splits = []
+    for r in rows:
+        sid = r["split_id"]
+        overlay = states.get(sid, {})
+        state = overlay.get("split_state", "Published")
+        create_ts = int(r["create_ts"]) if r["create_ts"] is not None else 0
+        update_ts = int(overlay.get("update_timestamp", create_ts))
+        if split_states and state not in split_states:
+            continue
+        if r["ts_start"] is not None:
+            if end_timestamp is not None and not r["ts_start"] < end_timestamp:
+                continue
+            if start_timestamp is not None and not r["ts_end"] >= start_timestamp:
+                continue
+        if end_create_timestamp is not None and not create_ts < end_create_timestamp:
+            continue
+        tags = sorted(
+            f"{c[len('tags_'):]}:{v}"
+            for c in tag_cols
+            if r[c] is not None
+            for v in r[c]
+        )
+        splits.append(
+            {
+                "split_state": state,
+                "update_timestamp": update_ts,
+                "publish_timestamp": create_ts if state != "Staged" else None,
+                "version": "0.9",
+                "split_metadata": {
+                    "split_id": sid,
+                    "source_id": r["source_id"],
+                    "num_docs": int(r["num_docs"]),
+                    "uncompressed_docs_size_in_bytes": int(
+                        r["uncompressed_size_bytes"] or 0
+                    ),
+                    "time_range": (
+                        {"start": int(r["ts_start"]), "end": int(r["ts_end"])}
+                        if r["ts_start"] is not None
+                        else None
+                    ),
+                    "create_timestamp": create_ts,
+                    "tags": tags,
+                    "delete_opstamp": int(r["delete_opstamp"] or 0),
+                    "num_merge_ops": int(r["num_merge_ops"] or 0),
+                },
+            }
+        )
+    splits.sort(key=lambda s: s["split_metadata"]["split_id"])
+    if offset:
+        splits = splits[offset:]
+    if limit is not None:
+        splits = splits[:limit]
+    return splits
+
+
+def mark_splits_for_deletion(
+    spark: SparkSession,
+    out_dir: str,
+    split_ids: list[str],
+    now: float | None = None,
+) -> dict:
+    """PUT /indexes/{index}/splits/mark-for-deletion —
+    file_backed_index mark_splits_for_deletion (mod.rs:338-378) with the
+    REST caller's arguments: any current state is deletable, already-marked
+    splits are silently skipped, and unknown split ids are reported but NOT
+    an error (``return_error_on_splits_not_found=false``)."""
+    now = time.time() if now is None else now
+    lineage = read_lineage(spark, out_dir)
+    known = {
+        r["sid"]
+        for r in lineage.select(
+            _lineage_split_id_col(lineage).alias("sid")
+        ).collect()
+    }
+    states = load_split_states(out_dir)
+    not_found, mutated = [], False
+    for sid in split_ids:
+        if sid not in known:
+            not_found.append(sid)
+            continue
+        if states.get(sid, {}).get("split_state") == "MarkedForDeletion":
+            continue
+        states[sid] = {
+            "split_state": "MarkedForDeletion",
+            "update_timestamp": int(now),
+        }
+        mutated = True
+    if mutated:
+        _save_split_states(out_dir, states)
+    return {"mutation_occurred": mutated, "split_not_found_ids": not_found}
+
+
+def delete_marked_splits(
+    spark: SparkSession,
+    out_dir: str,
+    grace_seconds: float = 0.0,
+    now: float | None = None,
+) -> dict:
+    """Physically remove MarkedForDeletion splits older than the grace
+    period (garbage_collector.rs delete flow: marked splits live on as
+    metadata until the janitor's deletion pass). Split-granularity: only
+    the split's own leaf directory is deleted; lineage for the commit is
+    rewritten without the removed rows (same staged-swap discipline as
+    :func:`apply_retention`, repaired by ``_repair_retention`` on crash)."""
+    now = time.time() if now is None else now
+    states = load_split_states(out_dir)
+    due = sorted(
+        sid
+        for sid, st in states.items()
+        if st.get("split_state") == "MarkedForDeletion"
+        and now - st.get("update_timestamp", 0) >= grace_seconds
+    )
+    if not due:
+        return {"deleted_splits": [], "removed_commits": []}
+
+    sinks = _sinks_dir(out_dir)
+    staging_root = os.path.join(out_dir, ".staging")
+    trash_root = os.path.join(out_dir, ".trash")
+    os.makedirs(staging_root, exist_ok=True)
+    os.makedirs(trash_root, exist_ok=True)
+    by_commit: dict[str, list[list[str]]] = {}
+    for sid in due:
+        bits = sid.split("/")
+        by_commit.setdefault(bits[0], []).append(bits)
+
+    removed_commits = []
+    for commit, keys in sorted(by_commit.items()):
+        ldir = os.path.join(out_dir, "_lineage", f"commit_id={commit}")
+        for bits in keys:
+            leaf = os.path.join(sinks, f"commit={commit}", f"sink={bits[1]}")
+            if len(bits) > 2:
+                leaf = os.path.join(leaf, f"partition_bucket={bits[2]}")
+            shutil.rmtree(leaf, ignore_errors=True)
+        if os.path.isdir(ldir):
+            cur = spark.read.parquet(ldir)
+            gone = F.lit(False)
+            for bits in keys:
+                c = F.col("sink") == bits[1]
+                if len(bits) > 2 and "partition_bucket" in cur.columns:
+                    c = c & (F.col("partition_bucket").cast("string") == bits[2])
+                gone = gone | c
+            kept = cur.filter(~gone)
+            rows = kept.collect()
+            if rows:
+                staged = os.path.join(staging_root, f"retention-lin-{commit}")
+                spark.createDataFrame(rows, kept.schema).write.mode(
+                    "overwrite"
+                ).parquet(staged)
+                shutil.move(ldir, os.path.join(trash_root, f"retention-lin-{commit}-old"))
+                shutil.move(staged, ldir)
+            else:
+                shutil.rmtree(ldir)
+        commit_dir = os.path.join(sinks, f"commit={commit}")
+        if not glob.glob(os.path.join(commit_dir, "sink=*")):
+            shutil.rmtree(commit_dir, ignore_errors=True)
+            removed_commits.append(commit)
+
+    for sid in due:
+        states.pop(sid, None)
+    _save_split_states(out_dir, states)
+    return {"deleted_splits": due, "removed_commits": removed_commits}
 
 
 def janitor_cycle(
@@ -847,6 +1172,9 @@ def janitor_cycle(
     summary: dict = {}
     if retention_cutoff is not None:
         summary["retention"] = apply_retention(spark, out_dir, retention_cutoff)
+    summary["marked_split_deletion"] = delete_marked_splits(
+        spark, out_dir, grace_seconds=gc_grace_seconds
+    )
     summary["merge"] = merge_splits(
         spark, out_dir,
         merge_factor=merge_factor,
