@@ -699,6 +699,29 @@ def _q_pack_sequences(spark, sf_dir):
     return CP.pack_sequences(docs, context_len=256, num_shards=4)
 
 
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): raw corpus = documents,
+    target domain = the English subset; exact-feature mode (num_buckets=None)
+    so the result has no hash function in its data path — the hashed-bucket
+    scale mode is pytest-covered (equal on a collision-free fixture)."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return CP.dsir_weights(docs, target, num_buckets=None).select(
+        "doc_id",
+        "n_features",
+        F.round("log_weight", 6).alias("log_weight"),
+    )
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Exact-quota stratified sample: 10 docs per source, deterministic
+    LCG-mix rank (reproducible across engines/partitionings)."""
+    docs = _t(spark, sf_dir, "documents")
+    return CP.stratified_sample(docs, quota=10, strata_col="source").select(
+        "doc_id", "stratum", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
 def _q_text_repetition(spark, sf_dir):
     """Gopher-style repetition filters: dup-word / top-word / top-bigram
     fractions — pure Column ops (single narrow map, no shuffle)."""
@@ -1025,6 +1048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_stats_value": _q_agg_stats_value,
         "from_size": _q_from_size,
         "count_only": _q_count_only,
+        "dsir_weights": _q_dsir_weights,
+        "stratified_sample": _q_stratified_sample,
         # rows-only tail (non-SQL-expressible)
         "text_fingerprint": _q_text_fingerprint,
         # transcripts pipeline (SURVEY §2.1-2.4; rows-only)
@@ -1790,6 +1815,50 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT qid, vec_id, cosine FROM rk WHERE rn <= 5
+        """,
+        # DSIR (exact-feature mode): unigram+bigram histograms for target
+        # (lang='en') and raw corpora, add-1 log-ratio over the union
+        # feature space, per-doc feature-count-weighted sum
+        "dsir_weights": r"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents
+            ), feats AS (
+              SELECT doc_id, lang,
+                     unnest(t || [t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS f
+              FROM toks
+            ), t_hist AS (
+              SELECT f, count(*) AS t_n FROM feats WHERE lang = 'en' GROUP BY f
+            ), r_hist AS (
+              SELECT f, count(*) AS r_n FROM feats GROUP BY f
+            ), tab AS (
+              SELECT coalesce(t_hist.f, r_hist.f) AS f,
+                     coalesce(t_n, 0) AS t_n, coalesce(r_n, 0) AS r_n
+              FROM t_hist FULL OUTER JOIN r_hist ON t_hist.f = r_hist.f
+            ), tot AS (
+              SELECT sum(t_n) AS T, sum(r_n) AS R, count(*) AS V FROM tab
+            ), lam AS (
+              SELECT f,
+                     ln((t_n + 1.0) / (T + V)) - ln((r_n + 1.0) / (R + V)) AS lam
+              FROM tab, tot
+            )
+            SELECT d.doc_id, count(*) AS n_features,
+                   round(sum(lam), 6) AS log_weight
+            FROM feats d JOIN lam ON d.f = lam.f
+            GROUP BY d.doc_id
+        """,
+        # exact-quota stratified sample: same LCG mix as mixture_plan's
+        # realization rule, rank within source, keep rank <= 10
+        "stratified_sample": """
+            SELECT doc_id, stratum, sample_rank FROM (
+              SELECT doc_id, source AS stratum,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY (doc_id * 40503 + 2531011) % 65536, doc_id
+                     ) AS sample_rank
+              FROM documents
+            ) WHERE sample_rank <= 10
         """,
         # rows-only (non-SQL-expressible): text_fingerprint (xxhash64 has no
         # DuckDB equivalent), pipeline_* (input is

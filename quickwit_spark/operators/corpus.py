@@ -284,3 +284,136 @@ def epoch_shuffle(
         "shard",
         (F.row_number().over(w) - 1).alias("pos"),
     )
+
+
+def _ngram_features(text_col, n_max: int = 2):
+    """Unigram + bigram bag-of-words features, all JVM-side: tokens plus
+    space-joined adjacent pairs (the hashed-n-gram feature map of DSIR —
+    Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling" — uses exactly unigrams+bigrams)."""
+    toks = _tokens(text_col)
+    if n_max < 2:
+        return toks
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.concat(toks, bigrams)
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int | None = 10_000,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights — data selection via importance resampling
+    (Xie et al. 2023, public): estimate unigram+bigram bag-of-words
+    distributions p (target corpus) and q (raw corpus) over hashed feature
+    buckets, then score every raw document with
+
+        log w(x) = Σ_b  c_b(x) · ( log p̂_b − log q̂_b )
+
+    with add-``smoothing`` estimates over the union feature space. High
+    weights → raw docs that look like the target domain; the selection
+    step keeps the top-k or samples ∝ w. Returns
+    (id, n_features, log_weight).
+
+    ``num_buckets=B`` hashes features with xxhash64 mod B (the paper's
+    hashed feature map; collision noise vanishes as B grows).
+    ``num_buckets=None`` uses the exact feature strings — engine-portable
+    (no hash function in the result's data path), used by the DuckDB
+    oracle; the hashed mode is the 100 TB path.
+
+    Scale shape: one explode+groupBy per corpus for the two bucket
+    histograms (hashed: ≤B rows each — bounded regardless of corpus
+    size), the log-ratio table joined onto exploded raw features
+    (broadcast when hashed: B rows), and ONE groupBy(id) for the
+    per-doc sum. The corpus text is read once per side; nothing iterates.
+    """
+    feats = _ngram_features(F.col(text_col))
+    bucket = (
+        F.pmod(F.xxhash64(F.col("_f")), F.lit(num_buckets))
+        if num_buckets
+        else F.col("_f")
+    )
+
+    def histogram(frame):
+        return (
+            frame.select(F.explode(feats).alias("_f"))
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    t_hist = histogram(target_df).withColumnRenamed("n", "t_n")
+    r_hist = histogram(df).withColumnRenamed("n", "r_n")
+    table = t_hist.join(r_hist, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("t_n", F.lit(0)).alias("t_n"),
+        F.coalesce("r_n", F.lit(0)).alias("r_n"),
+    )
+    tot = table.agg(
+        F.sum("t_n").alias("T"), F.sum("r_n").alias("R"), F.count(F.lit(1)).alias("V")
+    ).collect()[0]
+    s = float(smoothing)
+    lam = table.select(
+        "bucket",
+        (
+            F.log((F.col("t_n") + s) / F.lit(float(tot["T"]) + s * tot["V"]))
+            - F.log((F.col("r_n") + s) / F.lit(float(tot["R"]) + s * tot["V"]))
+        ).alias("lam"),
+    )
+    if num_buckets:
+        lam = F.broadcast(lam)
+    doc_feats = df.select(F.col(id_col), F.explode(feats).alias("_f")).select(
+        id_col, bucket.alias("bucket")
+    )
+    return (
+        doc_feats.join(lam, "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum("lam").alias("log_weight"),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    quota: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-quota stratified sampling: keep precisely ``min(quota, n_s)``
+    rows per stratum, chosen by a deterministic pseudo-random rank (the
+    same LCG mix as :func:`mixture_plan`'s realization rule — reproducible
+    across runs, partitionings and engines). Returns
+    (id, stratum, sample_rank) for the kept rows.
+
+    This is the exact-count companion to :func:`mixture_plan`'s rate-based
+    realization: rates give E[n]=quota, this gives n=quota — what a
+    train/val split or a per-domain evaluation set needs.
+
+    Scale shape: one hash shuffle on the stratum + a per-stratum
+    row_number window. The window makes each stratum one ordering unit —
+    fine up to ~10^8 rows per stratum; for a viral stratum at 10^12-doc
+    scale, pre-filter with the stateless hash-fraction rule (keep iff
+    mix(id) < k·quota/n_s for small k, no shuffle) and rank only the
+    survivors — the same census+cap pattern as semantic_dedup's hot
+    clusters.
+    """
+    from pyspark.sql import Window
+
+    mix = (F.col(id_col) * 40503 + 2531011) % 65536
+    w = Window.partitionBy(strata_col).orderBy(mix, F.col(id_col))
+    ranked = df.select(
+        F.col(id_col),
+        F.col(strata_col).alias("stratum"),
+        F.row_number().over(w).alias("sample_rank"),
+    )
+    return ranked.filter(F.col("sample_rank") <= quota)

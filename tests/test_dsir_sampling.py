@@ -1,0 +1,125 @@
+"""DSIR importance weights + exact-quota stratified sampling.
+
+DSIR (Xie et al. 2023, "Data Selection for Language Models via Importance
+Resampling", public) — hashed unigram+bigram bag-of-words importance
+weights log p̂(x)/q̂(x). stratified_sample — deterministic per-stratum
+rank-and-cut with the mixture_plan LCG mix.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from quickwit_spark.operators import corpus as CP
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    return spark.createDataFrame(
+        [(1, "a b"), (2, "c c")], ["doc_id", "text"]
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_target(spark):
+    return spark.createDataFrame([(100, "a b")], ["doc_id", "text"])
+
+
+def test_dsir_hand_computed(spark, tiny, tiny_target):
+    # features: doc1 {a, b, "a b"}, doc2 {c, c, "c c"}; target {a, b, "a b"}
+    # union V=5, T=3, R=6; add-1:
+    #   λ_a = λ_b = λ_ab = ln(2/8) - ln(2/11) = ln(11/8)
+    #   λ_c  = ln(1/8) - ln(3/11) = ln(11/24)
+    #   λ_cc = ln(1/8) - ln(2/11) = ln(11/16)
+    out = {
+        r["doc_id"]: r
+        for r in CP.dsir_weights(tiny, tiny_target, num_buckets=None).collect()
+    }
+    assert out[1]["n_features"] == 3
+    assert out[2]["n_features"] == 3
+    assert out[1]["log_weight"] == pytest.approx(3 * math.log(11 / 8), rel=1e-9)
+    assert out[2]["log_weight"] == pytest.approx(
+        2 * math.log(11 / 24) + math.log(11 / 16), rel=1e-9
+    )
+    # the target-looking doc scores strictly higher
+    assert out[1]["log_weight"] > out[2]["log_weight"]
+
+
+def test_dsir_hashed_equals_exact_without_collisions(spark, tiny_dir):
+    """With a bucket space far larger than the corpus vocabulary the hashed
+    (100 TB) mode computes the same weights as the exact-feature mode —
+    hashing only renames features, it never changes the estimator."""
+    import os
+
+    docs = spark.read.parquet(os.path.join(tiny_dir, "documents.parquet")).limit(120)
+    target = docs.filter(F.col("lang") == "en")
+    exact = {
+        r["doc_id"]: r["log_weight"]
+        for r in CP.dsir_weights(docs, target, num_buckets=None).collect()
+    }
+    hashed = {
+        r["doc_id"]: r["log_weight"]
+        for r in CP.dsir_weights(docs, target, num_buckets=1 << 30).collect()
+    }
+    assert set(exact) == set(hashed)
+    for k in exact:
+        assert hashed[k] == pytest.approx(exact[k], rel=1e-9, abs=1e-9)
+
+
+def test_dsir_partitioning_independent(spark, tiny_dir):
+    import os
+
+    docs = spark.read.parquet(os.path.join(tiny_dir, "documents.parquet")).limit(60)
+    target = docs.filter(F.col("lang") == "en")
+    a = sorted(
+        (r["doc_id"], round(r["log_weight"], 9))
+        for r in CP.dsir_weights(docs.repartition(7), target, num_buckets=256).collect()
+    )
+    b = sorted(
+        (r["doc_id"], round(r["log_weight"], 9))
+        for r in CP.dsir_weights(docs.coalesce(1), target, num_buckets=256).collect()
+    )
+    assert a == b
+
+
+def test_stratified_sample_exact_quota_and_determinism(spark, tiny_dir):
+    import os
+
+    docs = spark.read.parquet(os.path.join(tiny_dir, "documents.parquet"))
+    out = CP.stratified_sample(docs, quota=7, strata_col="source").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["stratum"], []).append(r)
+    sizes = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for s, members in per.items():
+        assert len(members) == min(7, sizes[s])
+        assert sorted(r["sample_rank"] for r in members) == list(range(1, len(members) + 1))
+    assert set(per) == set(sizes)
+
+    # kept set matches a driver-side oracle of the documented rule
+    rows = docs.select("doc_id", "source").collect()
+    want = {}
+    for r in rows:
+        want.setdefault(r["source"], []).append(r["doc_id"])
+    for s in want:
+        want[s] = sorted(want[s], key=lambda i: ((i * 40503 + 2531011) % 65536, i))[:7]
+    got = {s: sorted(r["doc_id"] for r in members) for s, members in per.items()}
+    assert got == {s: sorted(v) for s, v in want.items()}
+
+    # partitioning-independent
+    again = CP.stratified_sample(docs.repartition(13), quota=7, strata_col="source").collect()
+    assert sorted((r["doc_id"], r["sample_rank"]) for r in again) == sorted(
+        (r["doc_id"], r["sample_rank"]) for r in out
+    )
+
+
+def test_stratified_sample_quota_larger_than_stratum(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], ["doc_id", "source"]
+    )
+    out = CP.stratified_sample(df, quota=10, strata_col="source").collect()
+    assert len(out) == 3  # everything kept, ranks still dense
+    assert {(r["stratum"], r["sample_rank"]) for r in out} == {
+        ("x", 1), ("x", 2), ("y", 1),
+    }
