@@ -1,0 +1,171 @@
+"""Property-based tests (hypothesis) over the driver-side pure kernels —
+the analog of the reference's proptest suites (SURVEY §5.4: proptest deps
+in quickwit-indexing / quickwit-search / quickwit-query; e.g. the
+SourceCheckpointDelta properties in
+quickwit-proto/src/types/../indexing/source checkpoint tests).
+
+All of these are pure Python/numpy — no SparkSession — so hundreds of
+examples run in seconds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from quickwit_spark.functions.datetime import (
+    MAX_TIMESTAMP_SECONDS,
+    MIN_TIMESTAMP_SECONDS,
+    _infer_unit_nanos,
+)
+from quickwit_spark.pipeline.checkpoint import (
+    CheckpointStore,
+    EmptyOrNegativeDelta,
+    IncompatibleCheckpointDelta,
+    format_position,
+)
+from quickwit_spark.routing.expression import parse_field_name
+
+# ---------------------------------------------------------------------------
+# checkpoint positions: the 20-digit encoding is order-preserving
+# ---------------------------------------------------------------------------
+
+
+@given(st.integers(min_value=0, max_value=2**63 - 1),
+       st.integers(min_value=0, max_value=2**63 - 1))
+def test_format_position_preserves_order(a, b):
+    # the whole checkpoint compat algebra compares positions as STRINGS
+    # (checkpoint.rs Position encoding); the zero-padded form must order
+    # exactly like the integers for every pair
+    fa, fb = format_position(a), format_position(b)
+    assert (fa < fb) == (a < b)
+    assert (fa == fb) == (a == b)
+
+
+@given(st.integers(min_value=0, max_value=2**63 - 1))
+def test_format_position_beginning_sorts_first(a):
+    assert format_position(None) == ""
+    assert format_position(None) < format_position(a)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint delta algebra: arbitrary delta sequences vs a model
+# ---------------------------------------------------------------------------
+
+_PARTITIONS = ("p0", "p1", "p2")
+
+
+@st.composite
+def _delta(draw):
+    parts = draw(st.lists(st.sampled_from(_PARTITIONS), min_size=1, max_size=3,
+                          unique=True))
+    out = {}
+    for p in parts:
+        frm = draw(st.integers(min_value=0, max_value=50))
+        to = draw(st.integers(min_value=0, max_value=60))
+        out[p] = (frm, to)
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_delta(), min_size=1, max_size=8))
+def test_checkpoint_delta_sequence_matches_model(tmp_path_factory, deltas):
+    """Replay a random delta sequence against the store and an independent
+    model of the reference semantics (checkpoint.rs:286-330):
+
+    - (from, to] empty or negative → EmptyOrNegativeDelta, state unchanged;
+    - from < current(partition)    → IncompatibleCheckpointDelta (overlap),
+      state unchanged — the WHOLE delta is rejected, even the valid parts;
+    - otherwise commit; gaps (from > current) are allowed (warn only);
+    - current() is always the max committed `to` per partition.
+    """
+    root = str(tmp_path_factory.mktemp("ckpt_prop"))
+    store = CheckpointStore(root)
+    model: dict[str, str] = {}
+    for delta in deltas:
+        empty = any(format_position(t) <= format_position(f)
+                    for f, t in delta.values())
+        overlap = any(
+            format_position(f) < model.get(p, "")
+            for p, (f, t) in delta.items()
+        )
+        if empty and not overlap:
+            with pytest.raises(EmptyOrNegativeDelta):
+                store.commit("src", delta)
+        elif overlap and not empty:
+            with pytest.raises(IncompatibleCheckpointDelta):
+                store.commit("src", delta)
+        elif empty and overlap:
+            # both defects present: which one raises depends on partition
+            # iteration order — the invariant is rejection + unchanged state
+            with pytest.raises((EmptyOrNegativeDelta, IncompatibleCheckpointDelta)):
+                store.commit("src", delta)
+        else:
+            store.commit("src", delta)
+            for p, (f, t) in delta.items():
+                ft = format_position(t)
+                if ft > model.get(p, ""):
+                    model[p] = ft
+        assert store.current("src") == model
+
+
+# ---------------------------------------------------------------------------
+# timestamp unit inference: the four unit ranges are disjoint and
+# round-trip exactly
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=MIN_TIMESTAMP_SECONDS, max_value=MAX_TIMESTAMP_SECONDS),
+    st.sampled_from([1, 1_000, 1_000_000, 1_000_000_000]),
+)
+def test_infer_unit_round_trips_every_unit(secs, mult):
+    """date_time_parsing.rs range dispatch: any in-range instant encoded in
+    seconds/millis/micros/nanos infers its unit and lands on the same
+    nanosecond value (truncated to the encoding's own precision)."""
+    encoded = secs * mult
+    nanos, ok = _infer_unit_nanos(np.array([encoded], dtype=np.int64))
+    assert bool(ok[0])
+    assert int(nanos[0]) == secs * mult * (1_000_000_000 // mult)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=-(2**62), max_value=2**62))
+def test_infer_unit_rejects_out_of_all_ranges(v):
+    in_any = any(
+        MIN_TIMESTAMP_SECONDS * m <= v <= MAX_TIMESTAMP_SECONDS * m
+        for m in (1, 1_000, 1_000_000, 1_000_000_000)
+    )
+    _nanos, ok = _infer_unit_nanos(np.array([v], dtype=np.int64))
+    assert bool(ok[0]) == in_any
+
+
+# ---------------------------------------------------------------------------
+# routing field-name escapes round-trip
+# ---------------------------------------------------------------------------
+
+_component = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_component, min_size=1, max_size=4))
+def test_parse_field_name_escape_round_trip(parts):
+    """mod.rs:548-554: join components with '.', escaping literal dots and
+    backslashes — parse_field_name must recover the original components for
+    ANY printable-ASCII content."""
+    rendered = ".".join(
+        p.replace("\\", "\\\\").replace(".", "\\.") for p in parts
+    )
+    assert parse_field_name(rendered) == parts
+
+
+@given(st.sampled_from(["", ".", "a.", ".a", "a..b"]))
+def test_parse_field_name_rejects_empty_components(bad):
+    with pytest.raises(ValueError):
+        parse_field_name(bad)
