@@ -2206,6 +2206,135 @@ def delete_source(indexes: dict[str, Any], index_id: str, source_id: str) -> Non
     getattr(mapping, "source_checkpoints", {}).pop(source_id, None)
 
 
+def reset_source_checkpoint(
+    indexes: dict[str, Any], index_id: str, source_id: str
+) -> None:
+    """``PUT .../sources/{source_id}/reset-checkpoint`` analog
+    (index_api/source_resource.rs:238 → metastore ResetSourceCheckpoint):
+    wipes the source's committed positions so the next pipeline run replays
+    from the beginning. The source config itself is untouched."""
+    if index_id not in indexes:
+        raise IndexNotFoundError(f"index [{index_id}] not found")
+    mapping = indexes[index_id]
+    sources = getattr(mapping, "sources", {})
+    if source_id not in sources:
+        raise IndexNotFoundError(
+            f"source [{source_id}] not found in index [{index_id}]"
+        )
+    mapping.source_checkpoints[source_id] = {}
+
+
+def _index_metadata_dict(index_id: str, mapping) -> dict[str, Any]:
+    """IndexMetadata serde shape (quickwit-metastore index_metadata
+    serialization: version / index_config / sources / checkpoint /
+    create_timestamp), rebuilt from the registered mapping."""
+    fields = []
+    for f in getattr(mapping, "field_mappings", []):
+        ftype = f.type
+        if getattr(f, "multi", False):
+            ftype = f"array<{ftype}>"
+        fields.append({"name": f.name, "type": ftype})
+    cfg = {
+        "index_id": index_id,
+        "doc_mapping": {
+            "mode": mapping.mode,
+            "field_mappings": fields,
+            "timestamp_field": mapping.timestamp_field,
+            "tag_fields": sorted(mapping.tag_fields),
+            "store_source": mapping.store_source,
+            "partition_key": mapping.partition_key,
+            "max_num_partitions": mapping.max_num_partitions,
+            "doc_mapping_uid": getattr(mapping, "doc_mapping_uid", 1),
+        },
+        "search_settings": {
+            "default_search_fields": list(mapping.default_search_fields)
+        },
+    }
+    retention = getattr(mapping, "retention_policy", None)
+    if retention:
+        cfg["retention"] = dict(retention)
+    return {
+        "version": "0.9",
+        "index_config": cfg,
+        "sources": [dict(s) for _sid, s in sorted(getattr(mapping, "sources", {}).items())],
+        "checkpoint": {
+            sid: dict(cp)
+            for sid, cp in sorted(getattr(mapping, "source_checkpoints", {}).items())
+        },
+    }
+
+
+def get_index_metadata(indexes: dict[str, Any], index_id: str) -> dict[str, Any]:
+    """``GET /api/v1/indexes/{index_id}`` analog
+    (index_api/index_resource.rs:42-65 get_index_metadata): the full
+    IndexMetadata document; unknown index → NotFound."""
+    if index_id not in indexes:
+        raise IndexNotFoundError(f"index [{index_id}] not found")
+    return _index_metadata_dict(index_id, indexes[index_id])
+
+
+def list_indexes_metadata(
+    indexes: dict[str, Any], index_id_patterns: str | list[str] | None = None
+) -> list[dict[str, Any]]:
+    """``GET /api/v1/indexes?index_id_patterns=...`` analog
+    (index_resource.rs:69-90 ListIndexesQueryParams): comma-separated or
+    list patterns with ``*`` wildcards; no patterns → every index. Results
+    sort by index id (stable for pagination-free listings)."""
+    import fnmatch
+
+    if index_id_patterns is None:
+        pats = ["*"]
+    elif isinstance(index_id_patterns, str):
+        pats = [p.strip() for p in index_id_patterns.split(",") if p.strip()]
+    else:
+        pats = list(index_id_patterns)
+    for p in pats:
+        if not p or p.startswith("-"):
+            raise ValueError(f"invalid index id pattern [{p}]")
+    chosen = sorted(
+        name for name in indexes if any(fnmatch.fnmatch(name, p) for p in pats)
+    )
+    return [_index_metadata_dict(n, indexes[n]) for n in chosen]
+
+
+def parse_query(
+    query: str, search_fields: list[str] | None = None
+) -> dict[str, Any]:
+    """``POST /api/v1/parse-query`` analog (index_api/rest_handler.rs:
+    176-207 parse_query_request): parse a user query string into the tagged
+    QueryAst JSON, with an optional ``search_field`` default-fields
+    override; parse errors surface as ValueError (the reference's error
+    response)."""
+    from quickwit_spark.operators.query import ast_to_dict
+
+    compiler = QueryCompiler(None, default_fields=tuple(search_fields or ()))
+    return ast_to_dict(compiler.parse(query))
+
+
+def es_count(
+    df: DataFrame,
+    body: dict[str, Any] | None = None,
+    field_types: dict[str, str] | None = None,
+    default_fields: tuple[str, ...] = (),
+) -> dict[str, Any]:
+    """ES ``GET/POST {index}/_count`` (elasticsearch_api/rest_handler.rs:
+    657-672 es_compat_index_count): run the query with hit fetching
+    suppressed and exact total tracking forced, return ``{"count": N}``."""
+    page = dict(body or {})
+    page["size"] = 0
+    page["track_total_hits"] = True
+    res = es_search(df, page, field_types=field_types, default_fields=default_fields)
+    return {"count": res["hits"]["total"]["value"]}
+
+
+def clear_scroll() -> dict[str, Any]:
+    """ES ``DELETE _elastic/_search/scroll`` — the scroll protocol here is
+    client-carried state (see :func:`es_scroll`), so there is nothing to
+    free server-side; the reference returns the same constant
+    (rest_handler.rs:453-457 es_compat_delete_scroll)."""
+    return {"succeeded": True, "num_freed": 0}
+
+
 def analyze_text(
     spark, text: str, tokenizer: str = "default", **tok_kwargs
 ) -> list[dict[str, Any]]:

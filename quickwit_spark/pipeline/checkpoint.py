@@ -129,3 +129,33 @@ class CheckpointStore:
             format_position(to) <= current.get(pid, "")
             for pid, (_, to) in delta.items()
         )
+
+    def reset_source(self, source_id: str) -> int:
+        """Drop every committed position of ``source_id`` (the
+        reset-checkpoint endpoint's storage effect: the next run replays
+        the source from Beginning). Other sources' records in the same
+        commit files are preserved; each file is rewritten atomically
+        (tmp + rename). Returns the number of records dropped."""
+        dropped = 0
+        for path in sorted(glob.glob(os.path.join(self.dir, "*.json"))):
+            kept_lines = []
+            file_dropped = 0
+            with open(path) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    if json.loads(line)["source_id"] == source_id:
+                        file_dropped += 1
+                    else:
+                        kept_lines.append(line.rstrip("\n"))
+            if not file_dropped:
+                continue
+            dropped += file_dropped
+            if kept_lines:
+                tmp = path + ".tmp"
+                with open(tmp, "w") as fh:
+                    fh.write("\n".join(kept_lines) + "\n")
+                os.rename(tmp, path)
+            else:
+                os.remove(path)
+        return dropped
