@@ -1884,6 +1884,82 @@ def es_bulk(
     return {"errors": errors, "items": [it for it in items if it is not None]}, frames
 
 
+_COMMIT_TYPES = ("auto", "wait_for", "force")
+
+
+def ingest(
+    spark,
+    registry: "BulkIndexRegistry",
+    index_id: str,
+    body: str,
+    commit: str = "auto",
+    detailed_response: bool = False,
+) -> tuple[dict[str, Any], DataFrame | None]:
+    """Native ``POST /api/v1/{index}/ingest`` (SURVEY §3.1; reference
+    ingest_api/rest_handler.rs:145-240 ingest/ingest_v2 +
+    response.rs:32-100 RestIngestResponse):
+
+    - the body is raw NDJSON — one doc per line, blank lines skipped
+      (rest_handler.rs:277-285 ``lines``), no ES action lines;
+    - ``commit`` ∈ auto | wait_for | force (IngestOptions commit alias; an
+      unknown value is the serde 400) — in this synchronous engine all
+      three have completed by return time;
+    - empty batch → ``{"num_docs_for_processing": 0}`` and no frame;
+    - invalid index id → ValueError "invalid index ID" (the early 400 at
+      :217-221); unknown index → IndexNotFoundError;
+    - docs run the index's DocMapper as ONE Arrow batch; the response
+      carries num_docs_for_processing / num_ingested_docs /
+      num_rejected_docs, plus per-doc ``parse_failures``
+      ({message, document, reason ∈ invalid_json|invalid_schema}) when
+      ``detailed_response`` is set — v2's detailed mode.
+
+    Returns ``(response, valid DataFrame | None)``; the frame is ready for
+    the caller's sink write, same contract as :func:`es_bulk`."""
+    from quickwit_spark.operators.docmapper import DocMapper
+
+    if commit not in _COMMIT_TYPES:
+        raise ValueError(
+            f"unknown commit type [{commit}] (expected one of {_COMMIT_TYPES})"
+        )
+    doc_lines = [ln for ln in str(body).split("\n") if ln.strip()]
+    if not doc_lines:
+        return {"num_docs_for_processing": 0}, None
+    if not _INDEX_ID_RE.match(index_id or ""):
+        raise ValueError("invalid index ID")
+    if registry.resolve(index_id) is None:
+        raise IndexNotFoundError(f"index [{index_id}] not found")
+
+    mapper = DocMapper(registry.indexes[index_id])
+    df = spark.createDataFrame(
+        list(enumerate(doc_lines)), "pos long, value string"
+    )
+    parsed = _apply_docmapper_with_pos(mapper, df)
+    outcome_rows = parsed.select("_pos", "_error", "_error_category").collect()
+    rejected = [
+        r for r in outcome_rows if r._error_category and r._error_category != "valid"
+    ]
+    resp: dict[str, Any] = {
+        "num_docs_for_processing": len(doc_lines),
+        "num_ingested_docs": len(doc_lines) - len(rejected),
+        "num_rejected_docs": len(rejected),
+    }
+    if detailed_response:
+        resp["parse_failures"] = [
+            {
+                "message": str(r._error),
+                "document": doc_lines[r._pos],
+                "reason": (
+                    "invalid_json"
+                    if r._error_category == "json_parse_error"
+                    else "invalid_schema"
+                ),
+            }
+            for r in sorted(rejected, key=lambda r: r._pos)
+        ]
+    valid = parsed.filter(F.col("_error_category") == "valid").drop("_pos")
+    return resp, valid
+
+
 def _apply_docmapper_with_pos(mapper, df: DataFrame) -> DataFrame:
     """DocMapper.apply variant that carries a ``pos`` column through the
     Arrow batch (parse_batch is row-aligned) so per-item bulk statuses can
