@@ -705,8 +705,9 @@ def _q_dsir_weights(spark, sf_dir):
     so the result has no hash function in its data path — the hashed-bucket
     scale mode is pytest-covered (equal on a collision-free fixture)."""
     docs = _t(spark, sf_dir, "documents")
-    target = docs.filter(F.col("lang") == "en")
-    return CP.dsir_weights(docs, target, num_buckets=None).select(
+    return CP.dsir_weights(
+        docs, num_buckets=None, target_filter=F.col("lang") == "en"
+    ).select(
         "doc_id",
         "n_features",
         F.round("log_weight", 6).alias("log_weight"),
@@ -719,6 +720,20 @@ def _q_stratified_sample(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return CP.stratified_sample(docs, quota=10, strata_col="source").select(
         "doc_id", "stratum", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
+def _q_dsir_weights_hashed(spark, sf_dir):
+    """DSIR in the hashed-bucket SCALE mode (65536 xxhash64 buckets —
+    bounded histograms regardless of corpus size). Rows-only: the bucket
+    hash has no DuckDB equivalent; the estimator itself is oracle-gated by
+    the exact-feature entry and pytest proves hashed == exact on a
+    collision-free fixture."""
+    docs = _t(spark, sf_dir, "documents")
+    return CP.dsir_weights(
+        docs, num_buckets=65536, target_filter=F.col("lang") == "en"
+    ).select(
+        "doc_id", "n_features", F.round("log_weight", 6).alias("log_weight")
     )
 
 
@@ -1052,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         # rows-only tail (non-SQL-expressible)
         "text_fingerprint": _q_text_fingerprint,
+        "dsir_weights_hashed": _q_dsir_weights_hashed,
         # transcripts pipeline (SURVEY §2.1-2.4; rows-only)
         "pipeline_route_counts": _q_pipeline_route_counts,
         "pipeline_outcomes": _q_pipeline_outcomes,

@@ -55,6 +55,7 @@ HEADLINE = [
     "text_langid",
     "multimodal_text_extract",
     "text_fingerprint",
+    "dsir_weights_hashed",
 ]
 
 

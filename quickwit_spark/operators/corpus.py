@@ -305,11 +305,12 @@ def _ngram_features(text_col, n_max: int = 2):
 
 def dsir_weights(
     df: DataFrame,
-    target_df: DataFrame,
+    target_df: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int | None = 10_000,
     smoothing: float = 1.0,
+    target_filter=None,
 ) -> DataFrame:
     """DSIR importance weights — data selection via importance resampling
     (Xie et al. 2023, public): estimate unigram+bigram bag-of-words
@@ -329,12 +330,19 @@ def dsir_weights(
     (no hash function in the result's data path), used by the DuckDB
     oracle; the hashed mode is the 100 TB path.
 
-    Scale shape: one explode+groupBy per corpus for the two bucket
-    histograms (hashed: ≤B rows each — bounded regardless of corpus
-    size), the log-ratio table joined onto exploded raw features
-    (broadcast when hashed: B rows), and ONE groupBy(id) for the
-    per-doc sum. The corpus text is read once per side; nothing iterates.
+    The target is given EITHER as ``target_df`` (any corpus) or as
+    ``target_filter`` (a Column predicate over ``df`` itself — the common
+    "target = my in-domain subset" case). The filter form computes BOTH
+    histograms in one explode pass with conditional counts — 2 corpus text
+    scans total instead of 3, a third less I/O at 100 TB.
+
+    Scale shape: one explode+groupBy per histogram pass (hashed: ≤B rows
+    each — bounded regardless of corpus size), the log-ratio table joined
+    onto exploded raw features (broadcast when hashed: B rows), and ONE
+    groupBy(id) for the per-doc sum. Nothing iterates.
     """
+    if (target_df is None) == (target_filter is None):
+        raise ValueError("pass exactly one of target_df / target_filter")
     feats = _ngram_features(F.col(text_col))
     bucket = (
         F.pmod(F.xxhash64(F.col("_f")), F.lit(num_buckets))
@@ -342,21 +350,34 @@ def dsir_weights(
         else F.col("_f")
     )
 
-    def histogram(frame):
-        return (
-            frame.select(F.explode(feats).alias("_f"))
-            .select(bucket.alias("bucket"))
+    if target_filter is not None:
+        # one pass: per-bucket totals + target-subset counts together
+        table = (
+            df.select(target_filter.alias("_t"), F.explode(feats).alias("_f"))
+            .select("_t", bucket.alias("bucket"))
             .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("t_n"),
+                F.count(F.lit(1)).alias("r_n"),
+            )
         )
+    else:
 
-    t_hist = histogram(target_df).withColumnRenamed("n", "t_n")
-    r_hist = histogram(df).withColumnRenamed("n", "r_n")
-    table = t_hist.join(r_hist, "bucket", "full_outer").select(
-        "bucket",
-        F.coalesce("t_n", F.lit(0)).alias("t_n"),
-        F.coalesce("r_n", F.lit(0)).alias("r_n"),
-    )
+        def histogram(frame):
+            return (
+                frame.select(F.explode(feats).alias("_f"))
+                .select(bucket.alias("bucket"))
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+
+        t_hist = histogram(target_df).withColumnRenamed("n", "t_n")
+        r_hist = histogram(df).withColumnRenamed("n", "r_n")
+        table = t_hist.join(r_hist, "bucket", "full_outer").select(
+            "bucket",
+            F.coalesce("t_n", F.lit(0)).alias("t_n"),
+            F.coalesce("r_n", F.lit(0)).alias("r_n"),
+        )
     tot = table.agg(
         F.sum("t_n").alias("T"), F.sum("r_n").alias("R"), F.count(F.lit(1)).alias("V")
     ).collect()[0]

@@ -49,7 +49,9 @@ def test_dsir_hand_computed(spark, tiny, tiny_target):
 def test_dsir_hashed_equals_exact_without_collisions(spark, tiny_dir):
     """With a bucket space far larger than the corpus vocabulary the hashed
     (100 TB) mode computes the same weights as the exact-feature mode —
-    hashing only renames features, it never changes the estimator."""
+    hashing only renames features, it never changes the estimator. Also
+    crosses the two target spellings: exact via target_df, hashed via the
+    one-pass target_filter — all three must agree."""
     import os
 
     docs = spark.read.parquet(os.path.join(tiny_dir, "documents.parquet")).limit(120)
@@ -62,9 +64,21 @@ def test_dsir_hashed_equals_exact_without_collisions(spark, tiny_dir):
         r["doc_id"]: r["log_weight"]
         for r in CP.dsir_weights(docs, target, num_buckets=1 << 30).collect()
     }
-    assert set(exact) == set(hashed)
+    one_pass = {
+        r["doc_id"]: r["log_weight"]
+        for r in CP.dsir_weights(
+            docs, num_buckets=1 << 30, target_filter=F.col("lang") == "en"
+        ).collect()
+    }
+    assert set(exact) == set(hashed) == set(one_pass)
     for k in exact:
         assert hashed[k] == pytest.approx(exact[k], rel=1e-9, abs=1e-9)
+        assert one_pass[k] == pytest.approx(exact[k], rel=1e-9, abs=1e-9)
+
+    with pytest.raises(ValueError, match="exactly one"):
+        CP.dsir_weights(docs)
+    with pytest.raises(ValueError, match="exactly one"):
+        CP.dsir_weights(docs, target, target_filter=F.col("lang") == "en")
 
 
 def test_dsir_partitioning_independent(spark, tiny_dir):

@@ -188,3 +188,21 @@ def test_wildcard_regex_prefix_guard_pushes_to_scan(spark, events):
     assert _regex_literal_prefix(r"a\.b.*") == "a.b"
     assert _wildcard_literal_prefix("e?r*") == "e"
     assert _wildcard_literal_prefix(r"a\*b*") == "a*b"
+
+
+def test_dsir_hashed_plan_is_broadcast_and_jvm_only(spark, sf_dir):
+    from quickwit_spark.operators.corpus import dsir_weights
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    p = plan_of(
+        dsir_weights(docs, num_buckets=4096, target_filter=F.col("lang") == "en")
+    )
+    # the log-ratio table (≤B rows) broadcasts onto the exploded features
+    assert "BroadcastHashJoin" in p
+    # target_filter mode: ONE histogram pass with conditional counts — no
+    # full-outer join of two per-corpus histograms
+    assert "FullOuter" not in p
+    # unigram+bigram featurization is split/slice/zip_with — no Python
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # per-doc sum is a hash aggregate with a map-side partial
+    assert "HashAggregate" in p
