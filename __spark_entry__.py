@@ -723,6 +723,27 @@ def _q_stratified_sample(spark, sf_dir):
     )
 
 
+def _q_text_c4(spark, sf_dir):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2): line-level keep
+    (terminal punctuation, ≥5 words, no 'javascript'), cleaned text,
+    surviving-sentence count, page-level keep (≥3 sentences, no
+    'lorem ipsum', no curly brace)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = docs.select("doc_id", *TX.c4_features(F.col("text")))
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept_lines").cast("long").alias("n_kept_lines"),
+        "clean_text",
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        (
+            (F.col("n_sentences") >= 3)
+            & ~F.col("has_lorem_ipsum")
+            & ~F.col("has_curly_brace")
+        ).alias("keep"),
+    )
+
+
 def _q_dsir_weights_hashed(spark, sf_dir):
     """DSIR in the hashed-bucket SCALE mode (65536 xxhash64 buckets —
     bounded histograms regardless of corpus size). Rows-only: the bucket
@@ -1065,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_only": _q_count_only,
         "dsir_weights": _q_dsir_weights,
         "stratified_sample": _q_stratified_sample,
+        "text_c4": _q_text_c4,
         # rows-only tail (non-SQL-expressible)
         "text_fingerprint": _q_text_fingerprint,
         "dsir_weights_hashed": _q_dsir_weights_hashed,
@@ -1863,6 +1885,41 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(lam), 6) AS log_weight
             FROM feats d JOIN lam ON d.f = lam.f
             GROUP BY d.doc_id
+        """,
+        # C4 cleaning rules: trimmed non-blank lines, line keep = terminal
+        # punct + >=5 words + no 'javascript', page keep = >=3 surviving
+        # sentences and no lorem-ipsum / curly-brace poison
+        "text_c4": r"""
+            WITH l AS (
+              SELECT doc_id, text,
+                     [trim(x) for x in string_split(text, chr(10))
+                      if trim(x) <> ''] AS lines
+              FROM documents
+            ), k AS (
+              SELECT doc_id, text, lines,
+                     [x for x in lines
+                      if regexp_matches(x, '[.!?"”]$')
+                         and len([w for w in regexp_split_to_array(x, '\s+')
+                                  if len(w) > 0]) >= 5
+                         and not regexp_matches(lower(x), '\bjavascript\b')
+                     ] AS kept
+              FROM l
+            ), c AS (
+              SELECT doc_id, text, len(lines) AS n_lines,
+                     len(kept) AS n_kept_lines,
+                     -- array_to_string([]) is NULL in DuckDB; Spark
+                     -- array_join([]) is ''
+                     coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+              FROM k
+            )
+            SELECT doc_id, n_lines, n_kept_lines, clean_text,
+                   len([s for s in regexp_split_to_array(clean_text, '[.!?]')
+                        if trim(s) <> '']) AS n_sentences,
+                   (len([s for s in regexp_split_to_array(clean_text, '[.!?]')
+                         if trim(s) <> '']) >= 3
+                    AND lower(text) NOT LIKE '%lorem ipsum%'
+                    AND text NOT LIKE '%{%') AS keep
+            FROM c
         """,
         # exact-quota stratified sample: same LCG mix as mixture_plan's
         # realization rule, rank within source, keep rank <= 10

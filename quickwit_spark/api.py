@@ -1612,6 +1612,33 @@ def resolve_index(indexes: dict[str, str], patterns: str | list[str]) -> dict[st
     }
 
 
+def nodes_info(
+    node_id: str = "node-1", publish_address: str = "127.0.0.1:7280"
+) -> dict[str, Any]:
+    """ES ``GET _elastic/_nodes/http`` (es rest_handler.rs:111-126
+    es_compat_nodes_info): the single-node roles + http publish address
+    document ES clients use for sniffing."""
+    return {
+        "nodes": {
+            node_id: {
+                "roles": ["data", "ingest"],
+                "http": {"publish_address": publish_address},
+            }
+        }
+    }
+
+
+def search_shards(index_id: str, node_id: str = "node-1") -> dict[str, Any]:
+    """ES ``GET _elastic/{index}/_search_shards`` (es rest_handler.rs:
+    140-149): one primary shard 0 on this node — the constant shape
+    clients use for routing, shard topology being meaningless here."""
+    return {
+        "shards": [
+            [{"index": index_id, "shard": 0, "primary": True, "node": node_id}]
+        ]
+    }
+
+
 def cluster_health(indexes: dict[str, str] | None = None) -> dict[str, Any]:
     """ES `GET _cluster/health` (0027-cluster-health.yaml: a 200 with a
     health body). Janitor-managed local indexes have no replication tiers,

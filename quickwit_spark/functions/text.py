@@ -496,3 +496,55 @@ def gopher_keep_col(
         & (ellip <= max_ellipsis_frac)
         & (stop >= min_stopword_hits)
     )
+
+
+def c4_line_keep(line: Column) -> Column:
+    """C4's line-level keep rule (Raffel et al. 2020 §2.2, public): a line
+    survives iff it ends in terminal punctuation (. ! ? or a closing
+    quote), has at least 5 words, and does not contain the word
+    "javascript" (case-insensitive — the cookie/JS-warning boilerplate
+    heuristic)."""
+    t = F.trim(line)
+    ends_punct = t.rlike(r'[.!?"”]$')
+    n_words = F.size(F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0))
+    no_js = ~F.lower(t).rlike(r"\bjavascript\b")
+    return ends_punct & (n_words >= 5) & no_js
+
+
+def c4_features(col: Column) -> list[Column]:
+    """C4 cleaning signals, all pure Column ops over one pass: per-line
+    keep counts (see :func:`c4_line_keep`), the cleaned text (kept lines
+    re-joined), its sentence count, and the page-level poison flags
+    ("lorem ipsum" anywhere, a curly brace anywhere — the policy/code
+    heuristics)."""
+    lines = F.filter(F.split(col, r"\n"), lambda l: F.length(F.trim(l)) > 0)
+    kept = F.filter(lines, c4_line_keep)
+    clean = F.array_join(F.transform(kept, F.trim), "\n")
+    n_sentences = F.size(
+        F.filter(F.split(clean, r"[.!?]"), lambda s: F.length(F.trim(s)) > 0)
+    )
+    return [
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        clean.alias("clean_text"),
+        n_sentences.alias("n_sentences"),
+        F.lower(col).contains("lorem ipsum").alias("has_lorem_ipsum"),
+        col.contains("{").alias("has_curly_brace"),
+    ]
+
+
+def c4_keep_col(col: Column, min_sentences: int = 3) -> Column:
+    """C4's page-level keep: at least ``min_sentences`` sentences SURVIVING
+    the line filter, no "lorem ipsum", no curly brace. Compose with
+    :func:`c4_features`'s ``clean_text`` for the retained content."""
+    lines = F.filter(F.split(col, r"\n"), lambda l: F.length(F.trim(l)) > 0)
+    kept = F.filter(lines, c4_line_keep)
+    clean = F.array_join(F.transform(kept, F.trim), "\n")
+    n_sentences = F.size(
+        F.filter(F.split(clean, r"[.!?]"), lambda s: F.length(F.trim(s)) > 0)
+    )
+    return (
+        (n_sentences >= min_sentences)
+        & ~F.lower(col).contains("lorem ipsum")
+        & ~col.contains("{")
+    )

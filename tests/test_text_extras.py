@@ -474,3 +474,62 @@ def test_epoch_shuffle_deterministic_and_balanced(spark):
     for shard, ps in by_shard.items():
         assert sorted(ps) == list(range(len(ps)))
         assert 150 < len(ps) < 350  # ~250 each
+
+
+class TestC4Rules:
+    """C4 cleaning (Raffel et al. 2020 §2.2): line keep = terminal punct +
+    >=5 words + no 'javascript'; page keep = >=3 surviving sentences, no
+    'lorem ipsum', no curly brace."""
+
+    def _run(self, spark, text):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        row = df.select(
+            *TX.c4_features(F.col("text")),
+            TX.c4_keep_col(F.col("text")).alias("keep"),
+        ).collect()[0]
+        return row
+
+    def test_line_rules(self, spark):
+        text = "\n".join([
+            "This is a perfectly fine sentence with many words.",   # kept
+            "Too short.",                                            # <5 words
+            "This line has plenty of words but no terminal punct",   # no punct
+            "Please enable JavaScript to view the comments today.",  # js
+            "Another good long sentence should also survive here!",  # kept
+        ])
+        row = self._run(spark, text)
+        assert row["n_lines"] == 5
+        assert row["n_kept_lines"] == 2
+        assert row["clean_text"].count("\n") == 1
+        assert "JavaScript" not in row["clean_text"]
+
+    def test_page_rules(self, spark):
+        good = ("One good long sentence right here today. " * 3).strip()
+        assert self._run(spark, good)["keep"] is True
+        # two sentences only -> dropped
+        two = "A first long sentence with enough words. A second long sentence with enough words."
+        assert self._run(spark, two)["keep"] is False
+        lorem = good + "\nThe Lorem Ipsum generator made this text anyway."
+        assert self._run(spark, lorem)["keep"] is False
+        curly = good.replace("today.", "to{day.")
+        assert self._run(spark, curly)["keep"] is False
+
+    def test_sentence_count_over_clean_text_only(self, spark):
+        # sentences in DROPPED lines must not count toward the page rule
+        text = "Bad! Bad! Bad!\nOnly one good long sentence survives this filter."
+        row = self._run(spark, text)
+        assert row["n_kept_lines"] == 1
+        assert row["n_sentences"] == 1
+        assert row["keep"] is False
+
+
+def test_es_nodes_and_search_shards_constants():
+    from quickwit_spark import api
+
+    info = api.nodes_info("n1", "10.0.0.1:7280")
+    assert info["nodes"]["n1"]["roles"] == ["data", "ingest"]
+    assert info["nodes"]["n1"]["http"]["publish_address"] == "10.0.0.1:7280"
+    s = api.search_shards("logs", "n1")
+    assert s == {"shards": [[{"index": "logs", "shard": 0, "primary": True, "node": "n1"}]]}
