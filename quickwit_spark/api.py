@@ -1911,6 +1911,107 @@ def es_bulk(
     return {"errors": errors, "items": [it for it in items if it is not None]}, frames
 
 
+_PROM_STATUS_MAP = {
+    "doc_mapper_error": "schema_error",
+    "json_parse_error": "parse_error",
+    "transform_error": "transform_error",
+    "valid": "valid",
+}
+
+
+def prometheus_metrics(
+    spark,
+    out_dir: str,
+    index_id: str,
+    source_id: str = "",
+) -> str:
+    """``GET /metrics`` — Prometheus text exposition of the reference's
+    indexing metric family (quickwit-indexing/src/metrics.rs:27-101),
+    rebuilt from the index's metadata plane (per-commit outcome reports +
+    split lineage — never a data scan):
+
+    - ``quickwit_indexing_processed_docs_total{index,source,
+      docs_processed_status}`` with the reference's status vocabulary
+      (valid / schema_error / parse_error / transform_error);
+    - ``quickwit_indexing_published_splits_total`` /
+      ``..._split_docs_total`` / ``..._split_bytes_total`` /
+      ``..._split_uncompressed_bytes_total``
+      ``{index,source,merge_ops}`` — the same label set on all four so
+      ratios describe the same split population
+      (metrics.rs record_published_split).
+    """
+    import glob as _glob
+    import json as _j
+    import os as _os
+
+    from quickwit_spark.pipeline.janitor import list_splits as _list
+
+    esc = lambda s: str(s).replace("\\", "\\\\").replace('"', '\\"')
+    lines: list[str] = []
+
+    # ---- processed docs by status ----------------------------------------
+    status_counts: dict[str, int] = {}
+    for path in sorted(_glob.glob(_os.path.join(out_dir, "_commit_*.json"))):
+        with open(path) as fh:
+            rep = _j.load(fh)
+        for cat, n in (rep.get("outcome_counts") or {}).items():
+            status = _PROM_STATUS_MAP.get(cat, cat)
+            status_counts[status] = status_counts.get(status, 0) + int(n)
+    lines.append(
+        "# HELP quickwit_indexing_processed_docs_total Number of processed "
+        "docs by index, source and processed status in [valid, schema_error, "
+        "parse_error, transform_error]"
+    )
+    lines.append("# TYPE quickwit_indexing_processed_docs_total counter")
+    for status in sorted(status_counts):
+        lines.append(
+            f'quickwit_indexing_processed_docs_total{{index="{esc(index_id)}",'
+            f'source="{esc(source_id)}",docs_processed_status="{esc(status)}"}} '
+            f"{status_counts[status]}"
+        )
+
+    # ---- published splits (same labels on all four — metrics.rs:80-101) --
+    splits = _list(spark, out_dir, split_states=["Published"])
+    by_labels: dict[tuple, dict[str, int]] = {}
+    for s in splits:
+        md = s["split_metadata"]
+        key = (md["source_id"] or source_id, md["num_merge_ops"])
+        agg = by_labels.setdefault(
+            key, {"splits": 0, "docs": 0, "bytes": 0, "uncompressed": 0}
+        )
+        agg["splits"] += 1
+        agg["docs"] += md["num_docs"]
+        agg["uncompressed"] += md["uncompressed_docs_size_in_bytes"]
+        bits = md["split_id"].split("/")
+        leaf = _os.path.join(out_dir, "sinks", f"commit={bits[0]}", f"sink={bits[1]}")
+        if len(bits) > 2:
+            leaf = _os.path.join(leaf, f"partition_bucket={bits[2]}")
+        for root, _dirs, files in _os.walk(leaf):
+            agg["bytes"] += sum(
+                _os.path.getsize(_os.path.join(root, f)) for f in files
+            )
+    series = (
+        ("published_splits_total", "splits",
+         "Number of successfully published splits."),
+        ("published_split_docs_total", "docs",
+         "Documents in successfully published splits."),
+        ("published_split_bytes_total", "bytes",
+         "Compressed bytes in successfully published splits."),
+        ("published_split_uncompressed_bytes_total", "uncompressed",
+         "Uncompressed document bytes in successfully published splits."),
+    )
+    for name, field, help_ in series:
+        lines.append(f"# HELP quickwit_indexing_{name} {help_}")
+        lines.append(f"# TYPE quickwit_indexing_{name} counter")
+        for (src, ops) in sorted(by_labels):
+            lines.append(
+                f'quickwit_indexing_{name}{{index="{esc(index_id)}",'
+                f'source="{esc(src)}",merge_ops="{ops}"}} '
+                f"{by_labels[(src, ops)][field]}"
+            )
+    return "\n".join(lines) + "\n"
+
+
 _COMMIT_TYPES = ("auto", "wait_for", "force")
 
 

@@ -301,3 +301,48 @@ def test_describe_index(spark, tiny_dir, index_dir):
     desc2 = api.describe_index(spark, index_dir, "events-index")
     assert desc2["num_published_splits"] == len(splits) - 1
     assert desc2["num_published_docs"] == _events_count(tiny_dir) - victim["num_docs"]
+
+
+def test_prometheus_metrics_exposition(spark, tiny_dir, index_dir):
+    import json
+
+    # fabricate two per-commit outcome reports (runner's _commit_*.json)
+    with open(os.path.join(index_dir, "_commit_a.json"), "w") as fh:
+        json.dump({"outcome_counts": {"valid": 90, "doc_mapper_error": 7}}, fh)
+    with open(os.path.join(index_dir, "_commit_b.json"), "w") as fh:
+        json.dump({"outcome_counts": {"valid": 10, "json_parse_error": 3}}, fh)
+
+    text = api.prometheus_metrics(spark, index_dir, "events-index", "events")
+    metrics = {}
+    for line in text.splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        name, val = line.rsplit(" ", 1)
+        metrics[name] = float(val)
+
+    pfx = 'quickwit_indexing_processed_docs_total{index="events-index",source="events"'
+    assert metrics[pfx + ',docs_processed_status="valid"}'] == 100
+    assert metrics[pfx + ',docs_processed_status="schema_error"}'] == 7
+    assert metrics[pfx + ',docs_processed_status="parse_error"}'] == 3
+
+    splits = list_splits(spark, index_dir, split_states=["Published"])
+    lbl = '{index="events-index",source="events",merge_ops="0"}'
+    assert metrics["quickwit_indexing_published_splits_total" + lbl] == len(splits)
+    assert metrics["quickwit_indexing_published_split_docs_total" + lbl] == sum(
+        s["split_metadata"]["num_docs"] for s in splits
+    )
+    assert metrics["quickwit_indexing_published_split_bytes_total" + lbl] > 0
+    # HELP/TYPE headers precede every series (text exposition format)
+    for name in ("processed_docs_total", "published_splits_total"):
+        assert f"# HELP quickwit_indexing_{name} " in text
+        assert f"# TYPE quickwit_indexing_{name} counter" in text
+
+    # marked splits drop out of the published counters
+    victim = splits[0]["split_metadata"]
+    mark_splits_for_deletion(spark, index_dir, [victim["split_id"]])
+    text2 = api.prometheus_metrics(spark, index_dir, "events-index", "events")
+    line = next(
+        l for l in text2.splitlines()
+        if l.startswith("quickwit_indexing_published_splits_total")
+    )
+    assert float(line.rsplit(" ", 1)[1]) == len(splits) - 1
