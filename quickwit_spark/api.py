@@ -1540,6 +1540,32 @@ def describe_index(
     }
 
 
+def describe_index_rest(
+    spark,
+    out_dir: str,
+    index_id: str,
+    index_uri: str | None = None,
+    ts_field: str | None = "ts",
+) -> dict[str, Any]:
+    """``GET /api/v1/indexes/{index_id}/describe`` — the REST IndexStats
+    shape (index_api/index_resource.rs:91-108: flat min/max timestamps, no
+    descriptive-stats tables), a projection of the CLI
+    :func:`describe_index`."""
+    full = describe_index(spark, out_dir, index_id, index_uri, ts_field)
+    ts = full["timestamp_range"]
+    return {
+        "index_id": full["index_id"],
+        "index_uri": full["index_uri"],
+        "num_published_splits": full["num_published_splits"],
+        "size_published_splits": full["size_published_splits"],
+        "num_published_docs": full["num_published_docs"],
+        "size_published_docs_uncompressed": full["size_published_docs_uncompressed"],
+        "timestamp_field_name": full["timestamp_field_name"],
+        "min_timestamp": ts[0] if ts else None,
+        "max_timestamp": ts[1] if ts else None,
+    }
+
+
 def cat_indices(
     spark,
     indexes: dict[str, str],

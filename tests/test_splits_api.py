@@ -346,3 +346,16 @@ def test_prometheus_metrics_exposition(spark, tiny_dir, index_dir):
         if l.startswith("quickwit_indexing_published_splits_total")
     )
     assert float(line.rsplit(" ", 1)[1]) == len(splits) - 1
+
+
+def test_describe_index_rest_projection(spark, index_dir):
+    full = api.describe_index(spark, index_dir, "events-index")
+    rest = api.describe_index_rest(spark, index_dir, "events-index")
+    assert set(rest) == {
+        "index_id", "index_uri", "num_published_splits",
+        "size_published_splits", "num_published_docs",
+        "size_published_docs_uncompressed", "timestamp_field_name",
+        "min_timestamp", "max_timestamp",
+    }
+    assert rest["num_published_docs"] == full["num_published_docs"]
+    assert (rest["min_timestamp"], rest["max_timestamp"]) == full["timestamp_range"]
