@@ -169,3 +169,68 @@ def test_parse_field_name_escape_round_trip(parts):
 def test_parse_field_name_rejects_empty_components(bad):
     with pytest.raises(ValueError):
         parse_field_name(bad)
+
+
+# ---------------------------------------------------------------------------
+# doc-mapper parse path never crashes, never desyncs, always categorizes
+# ---------------------------------------------------------------------------
+
+_json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**64 - 1),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=20),
+)
+_json_values = st.recursive(
+    _json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(min_size=1, max_size=8), children, max_size=4),
+    ),
+    max_leaves=10,
+)
+_raw_doc = st.one_of(
+    # well-formed JSON object with arbitrary content
+    st.dictionaries(st.text(min_size=1, max_size=8), _json_values, max_size=5).map(
+        lambda d: __import__("json").dumps(d)
+    ),
+    # arbitrary garbage bytes-as-text
+    st.text(max_size=40),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_raw_doc, min_size=1, max_size=8))
+def test_docmapper_parse_batch_total_function(docs):
+    """The ingest parse path is a TOTAL function over arbitrary input
+    (doc_processor.rs: a bad document increments a counter, it never
+    crashes the pipeline): parse_batch on any mix of valid objects,
+    deep nesting, huge ints and non-JSON garbage must return one
+    row-aligned frame with every row categorized."""
+    import pandas as pd
+
+    from quickwit_spark.operators.docmapper import DocMapper, DocMapping, FieldMapping
+
+    mapper = DocMapper(
+        DocMapping(
+            field_mappings=[
+                FieldMapping("message", "text"),
+                FieldMapping("count", "u64"),
+                FieldMapping("ts", "datetime"),
+            ],
+            mode="dynamic",
+        )
+    )
+    out = mapper.parse_batch(pd.Series(docs))
+    assert len(out) == len(docs)
+    cats = set(out["_error_category"])
+    assert cats <= {
+        "valid", "json_parse_error", "doc_mapper_error", "transform_error",
+    }, cats
+    # garbage rows carry an error message; valid rows don't
+    for cat, err in zip(out["_error_category"], out["_error"]):
+        if cat == "valid":
+            assert err is None or err != err  # None/NaN
+        else:
+            assert err is not None
