@@ -744,6 +744,13 @@ def _q_text_c4(spark, sf_dir):
     )
 
 
+def _q_curation_funnel(spark, sf_dir):
+    """The composed cleanup funnel: exact-dedup → C4 → Gopher applied
+    cumulatively, whole funnel from ONE flags pass + one aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    return CP.curation_funnel(docs)
+
+
 def _q_dsir_weights_hashed(spark, sf_dir):
     """DSIR in the hashed-bucket SCALE mode (65536 xxhash64 buckets —
     bounded histograms regardless of corpus size). Rows-only: the bucket
@@ -1087,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "stratified_sample": _q_stratified_sample,
         "text_c4": _q_text_c4,
+        "curation_funnel": _q_curation_funnel,
         # rows-only tail (non-SQL-expressible)
         "text_fingerprint": _q_text_fingerprint,
         "dsir_weights_hashed": _q_dsir_weights_hashed,
@@ -1920,6 +1928,62 @@ def oracle_sql() -> dict[str, str]:
                     AND lower(text) NOT LIKE '%lorem ipsum%'
                     AND text NOT LIKE '%{%') AS keep
             FROM c
+        """,
+        # curation funnel: per-doc flags (first occurrence per exact text,
+        # C4 page keep, Gopher keep on rounded features) → cumulative
+        # conditional counts, restating the text_c4 / text_gopher oracle
+        # fragments as row-level booleans
+        "curation_funnel": r"""
+            WITH l AS (
+              SELECT doc_id, text,
+                     (doc_id = min(doc_id) OVER (PARTITION BY text)) AS first,
+                     [trim(x) for x in string_split(text, chr(10))
+                      if trim(x) <> ''] AS lines,
+                     list_filter(str_split_regex(trim(text), '\s+'),
+                                 x -> len(x) > 0) AS words,
+                     str_split_regex(lower(trim(text)), '\W+') AS lw
+              FROM documents
+            ), c AS (
+              SELECT doc_id, text, first, lines, words, lw,
+                     coalesce(array_to_string(
+                       [x for x in lines
+                        if regexp_matches(x, '[.!?"”]$')
+                           and len([w for w in regexp_split_to_array(x, '\s+')
+                                    if len(w) > 0]) >= 5
+                           and not regexp_matches(lower(x), '\bjavascript\b')
+                       ], chr(10)), '') AS clean_text
+              FROM l
+            ), g AS (
+              SELECT doc_id, first,
+                     (len([s for s in regexp_split_to_array(clean_text, '[.!?]')
+                           if trim(s) <> '']) >= 3
+                      AND lower(text) NOT LIKE '%lorem ipsum%'
+                      AND text NOT LIKE '%{%') AS c4,
+                     (len(words) BETWEEN 50 AND 100000)
+                     AND (round(coalesce(list_sum(list_transform(words,
+                              x -> len(x)::DOUBLE)), 0)
+                          / greatest(len(words), 1), 6) BETWEEN 3.0 AND 10.0)
+                     AND (round(((len(text) - len(regexp_replace(text, '#', '', 'g')))
+                           + (len(str_split_regex(text, '\.\.\.')) - 1))
+                          / greatest(len(words), 1)::DOUBLE, 6) <= 0.1)
+                     AND (round(len(list_filter(lines,
+                              x -> regexp_matches(x, '^([\-\*•])')))
+                          / greatest(len(lines), 1)::DOUBLE, 6) <= 0.9)
+                     AND (round(len(list_filter(lines,
+                              x -> regexp_matches(x, '\.\.\.$')))
+                          / greatest(len(lines), 1)::DOUBLE, 6) <= 0.3)
+                     AND (len(list_filter(lw, x -> list_contains(
+                          ['the','be','to','of','and','that','have','with'], x)))
+                          >= 2) AS gopher
+              FROM c
+            )
+            SELECT 0 AS stage_idx, 'input' AS stage, count(*) AS n_docs FROM g
+            UNION ALL
+            SELECT 1, 'after_exact_dedup', count(*) FILTER (first) FROM g
+            UNION ALL
+            SELECT 2, 'after_c4', count(*) FILTER (first AND c4) FROM g
+            UNION ALL
+            SELECT 3, 'curated', count(*) FILTER (first AND c4 AND gopher) FROM g
         """,
         # exact-quota stratified sample: same LCG mix as mixture_plan's
         # realization rule, rank within source, keep rank <= 10

@@ -438,3 +438,73 @@ def stratified_sample(
         F.row_number().over(w).alias("sample_rank"),
     )
     return ranked.filter(F.col("sample_rank") <= quota)
+
+
+def _curation_flags(df: DataFrame, text_col: str, id_col: str):
+    """One-pass per-doc survival flags for the curation funnel: exact-dup
+    first-occurrence (lowest id per exact text — dedup_exact's rule), C4
+    page keep, Gopher keep. The only shuffle is the dedup rank on
+    (xxhash64(text), text); every quality flag is a codegen Column."""
+    from pyspark.sql import Window
+
+    from quickwit_spark.functions.text import c4_keep_col, gopher_keep_col
+
+    t = F.col(text_col)
+    w = Window.partitionBy(F.xxhash64(t), t).orderBy(F.col(id_col))
+    return df.select(
+        F.col(id_col),
+        t.alias(text_col),
+        (F.row_number().over(w) == 1).alias("_first"),
+        c4_keep_col(t).alias("_c4"),
+        gopher_keep_col(t).alias("_gopher"),
+    )
+
+
+def curation_funnel(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The composed corpus-cleanup FUNNEL — how many documents survive each
+    stage of the standard curation sequence exact-dedup → C4 → Gopher,
+    applied cumulatively (every production data report leads with this
+    table). Returns (stage_idx, stage, n_docs).
+
+    Scale shape: flags in one pass (:func:`_curation_flags` — one text
+    shuffle for the dedup rank), then ONE aggregation emits the whole
+    funnel; adding a stage adds a conditional sum, never another scan.
+    """
+    flags = _curation_flags(df, text_col, id_col)
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("input"),
+        cnt(F.col("_first")).alias("after_exact_dedup"),
+        cnt(F.col("_first") & F.col("_c4")).alias("after_c4"),
+        cnt(F.col("_first") & F.col("_c4") & F.col("_gopher")).alias("curated"),
+    )
+    stages = ("input", "after_exact_dedup", "after_c4", "curated")
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("stage_idx"),
+                        F.lit(s).alias("stage"),
+                        F.col(s).alias("n_docs"),
+                    )
+                    for i, s in enumerate(stages)
+                ]
+            )
+        ).alias("f")
+    ).select("f.*")
+
+
+def curate_corpus(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The rows that survive the whole curation funnel (same flags, same
+    single pass as :func:`curation_funnel`) — the input you'd hand to the
+    mixture/packing stages."""
+    flags = _curation_flags(df, text_col, id_col)
+    return (
+        flags.filter(F.col("_first") & F.col("_c4") & F.col("_gopher"))
+        .drop("_first", "_c4", "_gopher")
+    )

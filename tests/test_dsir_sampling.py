@@ -137,3 +137,32 @@ def test_stratified_sample_quota_larger_than_stratum(spark):
     assert {(r["stratum"], r["sample_rank"]) for r in out} == {
         ("x", 1), ("x", 2), ("y", 1),
     }
+
+
+def test_curation_funnel_matches_individual_ops(spark, tiny_dir):
+    """The one-pass funnel must agree with applying each op separately."""
+    import os
+
+    from quickwit_spark.functions.text import c4_keep_col, gopher_keep_col
+    from quickwit_spark.operators.dedup import dedup_exact
+
+    docs = spark.read.parquet(os.path.join(tiny_dir, "documents.parquet"))
+    funnel = {r["stage"]: r["n_docs"] for r in CP.curation_funnel(docs).collect()}
+    assert funnel["input"] == docs.count()
+
+    uniq = dedup_exact(docs)
+    assert funnel["after_exact_dedup"] == uniq.count()
+
+    c4 = uniq.filter(c4_keep_col(F.col("text")))
+    assert funnel["after_c4"] == c4.count()
+    assert funnel["curated"] == c4.filter(gopher_keep_col(F.col("text"))).count()
+
+    # funnel is monotone non-increasing and ordered by stage_idx
+    rows = sorted(CP.curation_funnel(docs).collect(), key=lambda r: r["stage_idx"])
+    ns = [r["n_docs"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+
+    # curate_corpus returns exactly the surviving rows
+    kept = CP.curate_corpus(docs)
+    assert kept.count() == funnel["curated"]
+    assert set(kept.columns) == {"doc_id", "text"}
