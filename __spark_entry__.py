@@ -744,6 +744,13 @@ def _q_text_c4(spark, sf_dir):
     )
 
 
+def _q_corpus_stats(spark, sf_dir):
+    """One-row corpus summary: doc/token counts, exact length quartiles,
+    whitespace vocab size, type-token ratio."""
+    docs = _t(spark, sf_dir, "documents")
+    return CP.corpus_stats(docs)
+
+
 def _q_curation_funnel(spark, sf_dir):
     """The composed cleanup funnel: exact-dedup → C4 → Gopher applied
     cumulatively, whole funnel from ONE flags pass + one aggregation."""
@@ -1095,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "text_c4": _q_text_c4,
         "curation_funnel": _q_curation_funnel,
+        "corpus_stats": _q_corpus_stats,
         # rows-only tail (non-SQL-expressible)
         "text_fingerprint": _q_text_fingerprint,
         "dsir_weights_hashed": _q_dsir_weights_hashed,
@@ -1928,6 +1936,37 @@ def oracle_sql() -> dict[str, str]:
                     AND lower(text) NOT LIKE '%lorem ipsum%'
                     AND text NOT LIKE '%{%') AS keep
             FROM c
+        """,
+        # corpus summary: whitespace tokens (trim+lower+split, empties
+        # dropped), exact linear-interpolation quartiles (quantile_cont ==
+        # Spark `percentile`), distinct whitespace vocab
+        "corpus_stats": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(str_split_regex(trim(lower(text)), '\s+'),
+                                 x -> len(x) > 0) AS w
+              FROM documents
+            ), per AS (
+              SELECT doc_id, len(w) AS n_tokens FROM t
+            ), v AS (
+              SELECT count(DISTINCT x) AS vocab_size
+              FROM (SELECT unnest(w) AS x FROM t) WHERE len(x) > 0
+            )
+            SELECT count(*) AS n_docs,
+                   -- DuckDB sum() yields HUGEINT; pin to BIGINT so the
+                   -- driver's pandas canonicalizer sees int64, not float64
+                   -- (the pack_sequences r3 lesson)
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   round(avg(n_tokens), 6) AS mean_tokens,
+                   min(n_tokens) AS min_tokens,
+                   round(quantile_cont(n_tokens, 0.25), 6) AS p25_tokens,
+                   round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+                   round(quantile_cont(n_tokens, 0.75), 6) AS p75_tokens,
+                   max(n_tokens) AS max_tokens,
+                   (SELECT vocab_size FROM v) AS vocab_size,
+                   round((SELECT vocab_size FROM v) / sum(n_tokens)::DOUBLE, 6)
+                     AS type_token_ratio
+            FROM per
         """,
         # curation funnel: per-doc flags (first occurrence per exact text,
         # C4 page keep, Gopher keep on rounded features) → cumulative

@@ -508,3 +508,52 @@ def curate_corpus(
         flags.filter(F.col("_first") & F.col("_c4") & F.col("_gopher"))
         .drop("_first", "_c4", "_gopher")
     )
+
+
+def corpus_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One-row corpus summary — the "know your corpus" numbers every
+    curation run starts and ends with: document count, total/mean token
+    counts, exact doc-length quartiles, whitespace-vocabulary size and
+    type-token ratio.
+
+    Scale shape: per-doc token counts are one codegen pass; the length
+    quartiles use exact ``percentile`` (linear interpolation — engine-
+    portable for the oracle); vocab size is one explode + distinct-count
+    aggregation (map-side partial). Corpus text is read twice, nothing is
+    driver-sized but the one result row. At the 10^12-doc tier swap
+    ``percentile`` → ``percentile_approx`` (mergeable t-digest, no
+    per-group value buffer) and ``countDistinct`` →
+    ``approx_count_distinct``; the plan shape is unchanged.
+    """
+    toks = _tokens(F.col(text_col))
+    per_doc = df.select(
+        F.col(id_col),
+        F.size(F.filter(toks, lambda w: F.length(w) > 0)).alias("n_tokens"),
+    )
+    base = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.expr("percentile(n_tokens, 0.25)").alias("p25_tokens"),
+        F.expr("percentile(n_tokens, 0.5)").alias("p50_tokens"),
+        F.expr("percentile(n_tokens, 0.75)").alias("p75_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+    vocab = (
+        df.select(F.explode(toks).alias("w"))
+        .filter(F.length("w") > 0)
+        .agg(F.countDistinct("w").alias("vocab_size"))
+    )
+    return base.crossJoin(vocab).select(
+        "n_docs", "total_tokens", "mean_tokens", "min_tokens",
+        F.round("p25_tokens", 6).alias("p25_tokens"),
+        F.round("p50_tokens", 6).alias("p50_tokens"),
+        F.round("p75_tokens", 6).alias("p75_tokens"),
+        "max_tokens", "vocab_size",
+        F.round(F.col("vocab_size") / F.col("total_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+    )

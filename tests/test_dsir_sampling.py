@@ -166,3 +166,17 @@ def test_curation_funnel_matches_individual_ops(spark, tiny_dir):
     kept = CP.curate_corpus(docs)
     assert kept.count() == funnel["curated"]
     assert set(kept.columns) == {"doc_id", "text"}
+
+
+def test_corpus_stats_hand_checked(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a a"), (3, "d")], ["doc_id", "text"]
+    )
+    row = CP.corpus_stats(df).collect()[0]
+    assert row["n_docs"] == 3
+    assert row["total_tokens"] == 6          # 3 + 2 + 1
+    assert row["mean_tokens"] == 2.0
+    assert (row["min_tokens"], row["max_tokens"]) == (1, 3)
+    assert row["p50_tokens"] == 2.0
+    assert row["vocab_size"] == 4            # a b c d
+    assert row["type_token_ratio"] == pytest.approx(4 / 6, abs=1e-6)
