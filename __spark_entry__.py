@@ -744,6 +744,14 @@ def _q_text_c4(spark, sf_dir):
     )
 
 
+def _q_pack_nocross(spark, sf_dir):
+    """Boundary-respecting best-fit-decreasing packing (rows-only: the
+    per-shard greedy is sequential, not SQL-expressible; invariants are
+    pytest-enforced — capacity, contiguous offsets, determinism)."""
+    docs = _t(spark, sf_dir, "documents")
+    return CP.pack_sequences_nocross(docs, context_len=256, num_shards=4)
+
+
 def _q_corpus_stats(spark, sf_dir):
     """One-row corpus summary: doc/token counts, exact length quartiles,
     whitespace vocab size, type-token ratio."""
@@ -1106,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only tail (non-SQL-expressible)
         "text_fingerprint": _q_text_fingerprint,
         "dsir_weights_hashed": _q_dsir_weights_hashed,
+        "pack_nocross": _q_pack_nocross,
         # transcripts pipeline (SURVEY §2.1-2.4; rows-only)
         "pipeline_route_counts": _q_pipeline_route_counts,
         "pipeline_outcomes": _q_pipeline_outcomes,

@@ -557,3 +557,96 @@ def corpus_stats(
             "type_token_ratio"
         ),
     )
+
+
+def pack_sequences_nocross(
+    df: DataFrame,
+    context_len: int = 2048,
+    num_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Doc-boundary-respecting packing: no document crosses a chunk
+    boundary (the padding-vs-concat trade-off's other side —
+    :func:`pack_sequences` is the zero-padding concat-and-chunk form).
+    Docs are deterministically sharded (same LCG mix as pack_sequences),
+    then each shard runs BEST-FIT-DECREASING over (n_tokens desc, id):
+    each doc goes to the fullest chunk it still fits in, else opens a new
+    chunk. Over-long docs take a chunk alone, truncated to
+    ``context_len`` and flagged. Returns
+    (id, shard, n_tokens, chunk, offset, truncated); chunk ids are dense
+    per shard and offsets are within-chunk.
+
+    Determinism: shard and packing order are pure functions of (id,
+    n_tokens) — reproducible across runs and partitionings. Scale shape:
+    ONE shuffle (groupBy shard → applyInPandas); the greedy is sequential
+    per shard, so shards are the parallelism unit, exactly like a real
+    tokenizer-packer fan-out. Bin search is a sorted-remaining-capacity
+    bisect — O(n log n) per shard.
+    """
+    import bisect
+
+    import pandas as pd
+
+    mix = (F.col(id_col) * 40503 + 2531011) % 65536
+    toks = F.size(F.filter(_tokens(F.col(text_col)), lambda w: F.length(w) > 0))
+    base = df.select(
+        F.col(id_col),
+        (mix % num_shards).cast("int").alias("shard"),
+        toks.alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        # parallel sorted lists: remaining capacity (asc) + chunk id
+        rem: list[int] = []
+        rem_chunk: list[int] = []
+        filled: dict[int, int] = {}
+        next_chunk = 0
+        out_chunk, out_offset, out_trunc, out_ntok = [], [], [], []
+        for n in pdf["n_tokens"].tolist():
+            take = min(int(n), context_len)
+            trunc = int(n) > context_len
+            # fullest chunk that still fits == smallest remaining >= take
+            i = bisect.bisect_left(rem, take)
+            if i < len(rem) and not trunc:
+                chunk = rem_chunk.pop(i)
+                r = rem.pop(i)
+                off = filled[chunk]
+                filled[chunk] = off + take
+                r -= take
+                j = bisect.bisect_left(rem, r)
+                rem.insert(j, r)
+                rem_chunk.insert(j, chunk)
+            else:
+                chunk = next_chunk
+                next_chunk += 1
+                off = 0
+                filled[chunk] = take
+                if not trunc:
+                    r = context_len - take
+                    j = bisect.bisect_left(rem, r)
+                    rem.insert(j, r)
+                    rem_chunk.insert(j, chunk)
+            out_chunk.append(chunk)
+            out_offset.append(off)
+            out_trunc.append(trunc)
+            out_ntok.append(take)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "shard": pdf["shard"],
+                "n_tokens": out_ntok,
+                "chunk": out_chunk,
+                "offset": out_offset,
+                "truncated": out_trunc,
+            }
+        )
+
+    schema = (
+        f"{id_col} long, shard int, n_tokens int, chunk long, "
+        "offset long, truncated boolean"
+    )
+    return base.groupBy("shard").applyInPandas(pack, schema=schema)

@@ -180,3 +180,53 @@ def test_corpus_stats_hand_checked(spark):
     assert row["p50_tokens"] == 2.0
     assert row["vocab_size"] == 4            # a b c d
     assert row["type_token_ratio"] == pytest.approx(4 / 6, abs=1e-6)
+
+
+def test_pack_nocross_invariants(spark, tiny_dir):
+    import os
+
+    docs = spark.read.parquet(os.path.join(tiny_dir, "documents.parquet"))
+    CTX = 64
+    out = CP.pack_sequences_nocross(docs, context_len=CTX, num_shards=4).collect()
+    assert len(out) == docs.count()
+    assert {r["doc_id"] for r in out} == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
+    by_chunk = {}
+    for r in out:
+        by_chunk.setdefault((r["shard"], r["chunk"]), []).append(r)
+    for (shard, chunk), members in by_chunk.items():
+        total = sum(r["n_tokens"] for r in members)
+        assert total <= CTX, (shard, chunk, total)
+        # offsets tile [0, total) contiguously — no overlap, no hole
+        ivs = sorted((r["offset"], r["offset"] + r["n_tokens"]) for r in members)
+        assert ivs[0][0] == 0
+        for (a0, a1), (b0, _b1) in zip(ivs, ivs[1:]):
+            assert a1 == b0, (shard, chunk, ivs)
+        # a truncated doc sits alone in its chunk at full width
+        if any(r["truncated"] for r in members):
+            assert len(members) == 1 and members[0]["n_tokens"] == CTX
+
+    # truncation flag matches the real token count
+    ntok = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n"),
+        ).collect()
+    }
+    for r in out:
+        assert r["truncated"] == (ntok[r["doc_id"]] > CTX)
+
+    # deterministic and partitioning-independent
+    again = CP.pack_sequences_nocross(
+        docs.repartition(13), context_len=CTX, num_shards=4
+    ).collect()
+    key = lambda rows: sorted(
+        (r["doc_id"], r["shard"], r["chunk"], r["offset"]) for r in rows
+    )
+    assert key(again) == key(out)
+
+    # padding economics: BFD should beat one-doc-per-chunk by a wide margin
+    n_chunks = len(by_chunk)
+    assert n_chunks < len(out)
