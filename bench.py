@@ -56,6 +56,7 @@ HEADLINE = [
     "multimodal_text_extract",
     "text_fingerprint",
     "dsir_weights_hashed",
+    "curation_funnel",
 ]
 
 
