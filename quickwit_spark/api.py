@@ -2436,6 +2436,151 @@ def delete_source(indexes: dict[str, Any], index_id: str, source_id: str) -> Non
     getattr(mapping, "source_checkpoints", {}).pop(source_id, None)
 
 
+_INDEX_PATTERN_RE = None
+
+
+def _validate_index_id_pattern(pattern: str, allow_negative: bool = True) -> None:
+    """validate_index_id_pattern (quickwit-config/src/lib.rs:158-196):
+    glob identifier charset, no `**`, and a no-wildcard pattern must be a
+    full valid index id (≥3 chars)."""
+    import re as _re
+
+    global _INDEX_PATTERN_RE
+    if _INDEX_PATTERN_RE is None:
+        _INDEX_PATTERN_RE = (
+            _re.compile(r"^-?[a-zA-Z\*][a-zA-Z0-9-_\.\*]{0,254}$"),
+            _re.compile(r"^[a-zA-Z\*][a-zA-Z0-9-_\.\*]{0,254}$"),
+        )
+    rx = _INDEX_PATTERN_RE[0] if allow_negative else _INDEX_PATTERN_RE[1]
+    if not rx.match(pattern):
+        raise ValueError(f"index ID pattern `{pattern}` is invalid")
+    if "**" in pattern:
+        raise ValueError(
+            f"index ID pattern `{pattern}` is invalid: no consecutive `*`"
+        )
+    if "*" not in pattern and len(pattern.lstrip("-")) < 3:
+        raise ValueError(f"index ID pattern `{pattern}` is invalid: too short")
+
+
+def _validate_index_template(config: dict[str, Any]) -> dict[str, Any]:
+    """IndexTemplate::validate (quickwit-config/src/index_template/mod.rs:
+    84-101): template id identifier rule, non-empty valid patterns, and the
+    same doc-mapping / search-settings / retention validation as
+    create_index. Returns the normalized template dict."""
+    from quickwit_spark.operators.docmapper import (
+        DocMapping,
+        validate_default_search_fields,
+        validate_tag_fields,
+    )
+
+    template_id = config.get("template_id")
+    if not template_id or not _INDEX_ID_RE.match(template_id):
+        raise ValueError(f"invalid template id [{template_id}]")
+    patterns = config.get("index_id_patterns") or []
+    if not patterns:
+        raise ValueError("`index_id_patterns` must not be empty")
+    for p in patterns:
+        _validate_index_id_pattern(p)
+    mapping = DocMapping.from_config(config.get("doc_mapping", {}))
+    validate_tag_fields(mapping)
+    dsf = tuple((config.get("search_settings") or {}).get("default_search_fields") or ())
+    validate_default_search_fields(mapping, dsf)
+    _validate_index_settings(config, mapping)
+    out = dict(config)
+    out.setdefault("priority", 0)
+    return out
+
+
+def create_index_template(
+    templates: dict[str, Any],
+    config: dict[str, Any],
+    overwrite: bool = False,
+) -> dict[str, Any]:
+    """``POST /api/v1/templates`` (template_api/rest_handler.rs:59-106):
+    validate + register; a duplicate id without ``overwrite`` is an
+    AlreadyExists error."""
+    tpl = _validate_index_template(config)
+    tid = tpl["template_id"]
+    if tid in templates and not overwrite:
+        raise ValueError(f"index template `{tid}` already exists")
+    templates[tid] = tpl
+    return dict(tpl)
+
+
+def get_index_template(templates: dict[str, Any], template_id: str) -> dict[str, Any]:
+    """``GET /api/v1/templates/{id}`` — NotFound if absent."""
+    if template_id not in templates:
+        raise IndexNotFoundError(f"index template `{template_id}` not found")
+    return dict(templates[template_id])
+
+
+def update_index_template(
+    templates: dict[str, Any], config: dict[str, Any]
+) -> dict[str, Any]:
+    """``PUT /api/v1/templates/{id}`` — validate + upsert (the reference
+    update path re-creates with ``overwrite: true``)."""
+    return create_index_template(templates, config, overwrite=True)
+
+
+def delete_index_template(templates: dict[str, Any], template_id: str) -> None:
+    """``DELETE /api/v1/templates/{id}`` — NotFound if absent."""
+    if template_id not in templates:
+        raise IndexNotFoundError(f"index template `{template_id}` not found")
+    del templates[template_id]
+
+
+def list_index_templates(templates: dict[str, Any]) -> list[dict[str, Any]]:
+    """``GET /api/v1/templates`` — all templates, sorted by id."""
+    return [dict(templates[t]) for t in sorted(templates)]
+
+
+def find_matching_template(
+    templates: dict[str, Any], index_id: str
+) -> dict[str, Any] | None:
+    """The auto-create lookup (metastore find_index_template_matches):
+    among templates whose positive patterns glob-match ``index_id`` (and
+    no negative pattern excludes it), the highest ``priority`` wins; ties
+    break on template id for determinism."""
+    import fnmatch
+
+    best = None
+    for tid in sorted(templates):
+        tpl = templates[tid]
+        pats = tpl.get("index_id_patterns", [])
+        pos = [p for p in pats if not p.startswith("-")]
+        neg = [p[1:] for p in pats if p.startswith("-")]
+        if not any(fnmatch.fnmatch(index_id, p) for p in pos):
+            continue
+        if any(fnmatch.fnmatch(index_id, p) for p in neg):
+            continue
+        if best is None or tpl.get("priority", 0) > best.get("priority", 0):
+            best = tpl
+    return dict(best) if best else None
+
+
+def apply_template(
+    indexes: dict[str, Any], templates: dict[str, Any], index_id: str
+) -> dict[str, Any] | None:
+    """Auto-create ``index_id`` from the best-matching template
+    (IndexTemplate::apply_template, index_template/mod.rs:57-82): the
+    template's doc_mapping / settings become the new index's config.
+    Returns the create_index result, or None when no template matches."""
+    tpl = find_matching_template(templates, index_id)
+    if tpl is None:
+        return None
+    cfg = {
+        "index_id": index_id,
+        "doc_mapping": tpl.get("doc_mapping", {}),
+        "search_settings": tpl.get("search_settings") or {},
+        "indexing_settings": tpl.get("indexing_settings") or {},
+    }
+    if tpl.get("retention"):
+        cfg["retention"] = tpl["retention"]
+    if tpl.get("index_root_uri"):
+        cfg["index_uri"] = f"{tpl['index_root_uri'].rstrip('/')}/{index_id}"
+    return create_index(indexes, cfg)
+
+
 def reset_source_checkpoint(
     indexes: dict[str, Any], index_id: str, source_id: str
 ) -> None:
