@@ -2038,6 +2038,51 @@ def prometheus_metrics(
     return "\n".join(lines) + "\n"
 
 
+def _otlp_ingest(spark, body, fmt: str, kind: str):
+    from pyspark.sql.types import (
+        BinaryType, StringType, StructField, StructType,
+    )
+
+    from quickwit_spark.sources import files as _files
+
+    if fmt not in ("json", "protobuf"):
+        raise ValueError(f"unsupported OTLP content format [{fmt}]")
+    if fmt == "json":
+        payload = body.decode() if isinstance(body, (bytes, bytearray)) else str(body)
+        req = spark.createDataFrame(
+            [(payload,)], StructType([StructField("value", StringType())])
+        )
+        parse = getattr(_files, f"parse_otlp_{kind}_json")
+    else:
+        if not isinstance(body, (bytes, bytearray)):
+            raise ValueError("protobuf OTLP body must be bytes")
+        req = spark.createDataFrame(
+            [(bytes(body),)], StructType([StructField("value", BinaryType())])
+        )
+        parse = getattr(_files, f"parse_otlp_{kind}_protobuf")
+    return parse(req)
+
+
+def otlp_ingest_logs(spark, body, fmt: str = "json") -> tuple[dict[str, Any], DataFrame]:
+    """``POST /api/v1/otlp/v1/logs`` (otlp_api/rest_handler.rs:66-128):
+    one Export request body (JSON or protobuf wire bytes — decoded by the
+    same pure-Python proto3 reader as the file source) → LogRecord rows.
+    Returns (ExportLogsServiceResponse, parsed DataFrame): the response is
+    the reference's ``partialSuccess`` shape with the rejected count (0
+    here — malformed bodies raise, matching the handler's 400)."""
+    df = _otlp_ingest(spark, body, fmt, "logs")
+    return {"partialSuccess": {"rejectedLogRecords": 0}}, df
+
+
+def otlp_ingest_traces(
+    spark, body, fmt: str = "json"
+) -> tuple[dict[str, Any], DataFrame]:
+    """``POST /api/v1/otlp/v1/traces`` — span rows + the
+    ExportTraceServiceResponse ``partialSuccess`` shape."""
+    df = _otlp_ingest(spark, body, fmt, "traces")
+    return {"partialSuccess": {"rejectedSpans": 0}}, df
+
+
 _COMMIT_TYPES = ("auto", "wait_for", "force")
 
 

@@ -389,3 +389,41 @@ def test_otlp_out_of_range_enums_map_to_unspecified(spark):
     row = parse_otlp_traces_json(df).collect()[0]
     assert "UNSPECIFIED" in row["span_kind"].upper() or row["span_kind"] == "unspecified"
     assert "UNSET" in row["span_status_code"].upper() or "UNSPECIFIED" in row["span_status_code"].upper()
+
+
+def test_otlp_rest_ingest_endpoints(spark):
+    """api.otlp_ingest_logs/traces — the OTLP HTTP ingest wrapper
+    (otlp_api/rest_handler.rs): Export request body in → parsed rows +
+    partialSuccess response out; json and protobuf agree."""
+    import json
+
+    from quickwit_spark import api
+
+    req = {
+        "resourceLogs": [{
+            "resource": {"attributes": [
+                {"key": "service.name", "value": {"stringValue": "web"}}
+            ]},
+            "scopeLogs": [{
+                "scope": {"name": "s1"},
+                "logRecords": [
+                    {"timeUnixNano": "1700000000000000001",
+                     "severityText": "INFO", "severityNumber": 9,
+                     "body": {"stringValue": "started"}},
+                    {"timeUnixNano": "1700000000000000002",
+                     "severityText": "WARN", "severityNumber": 13,
+                     "body": {"stringValue": "slow"}},
+                ],
+            }],
+        }]
+    }
+    resp, df = api.otlp_ingest_logs(spark, json.dumps(req), fmt="json")
+    assert resp == {"partialSuccess": {"rejectedLogRecords": 0}}
+    rows = sorted(df.collect(), key=lambda r: r["timestamp_nanos"])
+    assert [r["severity_text"] for r in rows] == ["INFO", "WARN"]
+    assert rows[0]["body"] == "started"
+
+    with pytest.raises(ValueError, match="unsupported OTLP content format"):
+        api.otlp_ingest_logs(spark, "{}", fmt="xml")
+    with pytest.raises(ValueError, match="must be bytes"):
+        api.otlp_ingest_logs(spark, "{}", fmt="protobuf")
