@@ -1638,6 +1638,41 @@ def resolve_index(indexes: dict[str, str], patterns: str | list[str]) -> dict[st
     }
 
 
+def health_livez() -> bool:
+    """``GET /health/livez`` (health_check_api/handler.rs:44): the process
+    answers, so it is live — constant true."""
+    return True
+
+
+def health_readyz(indexes: dict[str, str] | None = None) -> bool:
+    """``GET /health/readyz``: ready when the metadata plane is reachable
+    — here, when every registered index directory exists (the single-node
+    analog of the reference's cluster-readiness check)."""
+    import os as _os
+
+    return all(_os.path.isdir(d) for d in (indexes or {}).values())
+
+
+def node_version(engine_version: str = "0.1.0") -> dict[str, Any]:
+    """``GET /api/v1/version`` (node_info_handler.rs:39-59): build +
+    runtime info. Build fields carry this engine's identity; the
+    compat version string mirrors the reference's ES-compat constant
+    (es_info's 7.17 line)."""
+    import sys as _sys
+
+    return {
+        "build": {
+            "version": engine_version,
+            "commit_date": "",
+            "build_target": f"pyspark-{_sys.platform}",
+        },
+        "runtime": {
+            "num_cpus": __import__("os").cpu_count() or 1,
+            "python_version": _sys.version.split()[0],
+        },
+    }
+
+
 def nodes_info(
     node_id: str = "node-1", publish_address: str = "127.0.0.1:7280"
 ) -> dict[str, Any]:

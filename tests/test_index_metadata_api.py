@@ -131,3 +131,13 @@ def test_es_count_and_clear_scroll(spark):
     )
     assert got == {"count": 2}
     assert api.clear_scroll() == {"succeeded": True, "num_freed": 0}
+
+
+def test_health_and_version(tmp_path):
+    assert api.health_livez() is True
+    assert api.health_readyz({}) is True
+    assert api.health_readyz({"a": str(tmp_path)}) is True
+    assert api.health_readyz({"a": str(tmp_path / "missing")}) is False
+    v = api.node_version()
+    assert set(v) == {"build", "runtime"}
+    assert v["build"]["version"] and v["runtime"]["num_cpus"] >= 1
