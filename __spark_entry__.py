@@ -761,9 +761,28 @@ def _q_corpus_stats(spark, sf_dir):
 
 def _q_curation_funnel(spark, sf_dir):
     """The composed cleanup funnel: exact-dedup → C4 → Gopher applied
-    cumulatively, whole funnel from ONE flags pass + one aggregation."""
-    docs = _t(spark, sf_dir, "documents")
-    return CP.curation_funnel(docs)
+    cumulatively, whole funnel from ONE flags pass + one aggregation.
+
+    The synthetic documents are single unpunctuated lines, which C4
+    rightly drops wholesale — so the entry derives a richer corpus
+    DETERMINISTICALLY (restated identically in the oracle): planted
+    exact duplicates (doc_id%7, +100000 — the simhash entry's trick) and,
+    for even ids, a three-sentence rewrite `t. t! t?` so every funnel
+    stage has a non-trivial count."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    rich = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.col("text"), F.lit(". "), F.col("text"), F.lit("! "),
+            F.col("text"), F.lit("?"),
+        ),
+    ).otherwise(F.col("text"))
+    return CP.curation_funnel(aug.select("doc_id", rich.alias("text")))
 
 
 def _q_dsir_weights_hashed(spark, sf_dir):
@@ -1982,7 +2001,17 @@ def oracle_sql() -> dict[str, str]:
         # conditional counts, restating the text_c4 / text_gopher oracle
         # fragments as row-level booleans
         "curation_funnel": r"""
-            WITH l AS (
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+            ), rich AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN text || '. ' || text || '! ' || text || '?'
+                          ELSE text END AS text
+              FROM aug
+            ), l AS (
               SELECT doc_id, text,
                      (doc_id = min(doc_id) OVER (PARTITION BY text)) AS first,
                      [trim(x) for x in string_split(text, chr(10))
@@ -1990,7 +2019,7 @@ def oracle_sql() -> dict[str, str]:
                      list_filter(str_split_regex(trim(text), '\s+'),
                                  x -> len(x) > 0) AS words,
                      str_split_regex(lower(trim(text)), '\W+') AS lw
-              FROM documents
+              FROM rich
             ), c AS (
               SELECT doc_id, text, first, lines, words, lw,
                      coalesce(array_to_string(
