@@ -727,9 +727,24 @@ def _q_text_c4(spark, sf_dir):
     """C4 cleaning rules (Raffel et al. 2020 §2.2): line-level keep
     (terminal punctuation, ≥5 words, no 'javascript'), cleaned text,
     surviving-sentence count, page-level keep (≥3 sentences, no
-    'lorem ipsum', no curly brace)."""
+    'lorem ipsum', no curly brace).
+
+    The raw fixture is single unpunctuated lines (everything drops), so
+    the entry deterministically enriches it — even ids become three
+    sentences, odd ids split into multiple lines at ' the ' — making
+    every output column (kept lines, clean text, sentence count, keep)
+    vary; the oracle applies the identical rewrite."""
     docs = _t(spark, sf_dir, "documents")
-    out = docs.select("doc_id", *TX.c4_features(F.col("text")))
+    rich = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.col("text"), F.lit(". "), F.col("text"), F.lit("! "),
+            F.col("text"), F.lit("?"),
+        ),
+    ).otherwise(F.regexp_replace(F.col("text"), " the ", "\nthe "))
+    out = docs.select("doc_id", rich.alias("text")).select(
+        "doc_id", *TX.c4_features(F.col("text"))
+    )
     return out.select(
         "doc_id",
         F.col("n_lines").cast("long").alias("n_lines"),
@@ -1934,11 +1949,19 @@ def oracle_sql() -> dict[str, str]:
         # punct + >=5 words + no 'javascript', page keep = >=3 surviving
         # sentences and no lorem-ipsum / curly-brace poison
         "text_c4": r"""
-            WITH l AS (
+            WITH rich AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN text || '. ' || text || '! ' || text || '?'
+                          ELSE regexp_replace(text, ' the ',
+                                              chr(10) || 'the ', 'g')
+                          END AS text
+              FROM documents
+            ), l AS (
               SELECT doc_id, text,
                      [trim(x) for x in string_split(text, chr(10))
                       if trim(x) <> ''] AS lines
-              FROM documents
+              FROM rich
             ), k AS (
               SELECT doc_id, text, lines,
                      [x for x in lines
