@@ -234,3 +234,108 @@ def test_docmapper_parse_batch_total_function(docs):
             assert err is None or err != err  # None/NaN
         else:
             assert err is not None
+
+
+# ---------------------------------------------------------------------------
+# merge policies: the reference's own proptest invariants
+# (quickwit-indexing/src/merge_policy/mod.rs:418-443 proptest +
+#  stable_log_merge_policy.rs:126-143 check_is_valid)
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def _split(draw, idx):
+    from quickwit_spark.pipeline.merge_policy import SplitMeta
+
+    return SplitMeta(
+        split_id=f"s{idx}-{draw(st.integers(0, 10**6))}",
+        num_docs=draw(st.integers(min_value=1, max_value=9_999)),
+        time_range_end=draw(st.one_of(st.none(), st.integers(0, 10_000))),
+        create_timestamp=draw(st.integers(0, 100)),
+        num_merge_ops=draw(st.integers(0, 3)),
+        # None = Mature; a large period = still immature at now=200
+        maturation_period_secs=draw(st.sampled_from([None, 10_000.0])),
+    )
+
+
+@st.composite
+def _splits(draw):
+    n = draw(st.integers(0, 60))
+    return [draw(_split(i)) for i in range(n)]
+
+
+def _op_ids(ops):
+    # canonical multiset of operations: each op as a sorted id tuple
+    # (frozensets don't totally order under <, which is subset comparison)
+    return sorted(tuple(sorted(s.split_id for s in op)) for op in ops)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_splits(), st.integers(0, 2**32 - 1))
+def test_merge_policy_proptest_invariants(splits, shuffle_seed):
+    import random
+
+    from quickwit_spark.pipeline.merge_policy import (
+        ConstWriteAmplificationMergePolicy,
+        NoMergePolicy,
+        StableLogMergePolicy,
+        _cmp_by_reverse_time_end,
+    )
+
+    NOW = 200.0
+    policies = [
+        StableLogMergePolicy(
+            merge_factor=4, max_merge_factor=6, min_level_num_docs=100,
+            split_num_docs_target=10_000,
+        ),
+        ConstWriteAmplificationMergePolicy(
+            merge_factor=4, max_merge_factor=6, max_merge_ops=4,
+            split_num_docs_target=10_000,
+        ),
+        NoMergePolicy(),
+    ]
+    for policy in policies:
+        pool = list(splits)
+        shuffled = list(splits)
+        random.Random(shuffle_seed).shuffle(shuffled)
+
+        ops = policy.operations(pool, now_secs=NOW)
+        ops_shuffled = policy.operations(shuffled, now_secs=NOW)
+
+        # 1. order independence (mod.rs:426-428)
+        assert _op_ids(ops) == _op_ids(ops_shuffled)
+
+        # 2. no split lost (mod.rs:430-435): merged + remaining == original
+        merged_ids = {s.split_id for op in ops for s in op}
+        remaining_ids = {s.split_id for s in pool}
+        assert merged_ids | remaining_ids == {s.split_id for s in splits}
+        assert not (merged_ids & remaining_ids)
+        assert sum(len(op) for op in ops) + len(pool) == len(splits)
+
+        # 3. mature splits are never merged
+        for op in ops:
+            for s in op:
+                assert not s.is_mature(NOW)
+
+        if isinstance(policy, NoMergePolicy):
+            assert ops == []
+        for op in ops:
+            assert 2 <= len(op) <= policy.max_merge_factor
+        if isinstance(policy, StableLogMergePolicy):
+            # stable_log check_is_valid: an under-merge_factor op must have
+            # reached the docs target, and dropping its youngest member
+            # must fall back under it
+            import functools
+
+            for op in ops:
+                if len(op) < policy.merge_factor:
+                    docs = sum(s.num_docs for s in op)
+                    youngest = min(
+                        op, key=functools.cmp_to_key(_cmp_by_reverse_time_end)
+                    )
+                    assert docs >= policy.split_num_docs_target
+                    assert docs - youngest.num_docs < policy.split_num_docs_target
+        if isinstance(policy, ConstWriteAmplificationMergePolicy):
+            # const_write_amplification: one op never mixes merge-op counts
+            for op in ops:
+                assert len({s.num_merge_ops for s in op}) == 1
