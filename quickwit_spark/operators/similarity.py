@@ -737,3 +737,63 @@ def pq_codebooks_from_rows(
                     cent[c] = pts.mean(axis=0)
         books[j] = cent
     return books
+
+
+def knn_recall(
+    truth: DataFrame,
+    approx: DataFrame,
+    k: int,
+    qid_col: str = "qid",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of an approximate neighbor result against exact ground
+    truth — the measurement that justifies every ANN shortcut in this
+    module (LSH table/bit trade-offs, IVF nprobe, PQ distortion). Both
+    inputs are (qid, vec_id[, ...]) frames, ``truth`` holding the exact
+    top-k per query (e.g. :func:`knn_join`) and ``approx`` the candidate
+    result. Returns one summary row
+    (n_queries, mean_recall, min_recall, p50_recall) plus a per-query
+    frame is available via ``knn_recall_per_query``.
+
+    Scale shape: one hash join on (qid, id) over two already-small top-k
+    frames (≤ k rows per query each) + one two-level aggregation —
+    evaluation cost is independent of corpus size.
+    """
+    per = knn_recall_per_query(truth, approx, k, qid_col, id_col)
+    return per.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("recall"), 6).alias("mean_recall"),
+        F.round(F.min("recall"), 6).alias("min_recall"),
+        F.round(F.expr("percentile(recall, 0.5)"), 6).alias("p50_recall"),
+    )
+
+
+def knn_recall_per_query(
+    truth: DataFrame,
+    approx: DataFrame,
+    k: int,
+    qid_col: str = "qid",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(qid, n_hits, recall) — |approx ∩ truth| / min(k, |truth|) per
+    query. Queries the approximate method returned NOTHING for still
+    appear (recall 0) via the left join from the truth side."""
+    t = truth.select(F.col(qid_col).alias("qid"), F.col(id_col).alias("_id"))
+    a = approx.select(
+        F.col(qid_col).alias("qid"), F.col(id_col).alias("_id"), F.lit(1).alias("_hit")
+    ).dropDuplicates(["qid", "_id"])
+    joined = t.join(a, ["qid", "_id"], "left")
+    return (
+        joined.groupBy("qid")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
+            F.count(F.lit(1)).alias("_n_truth"),
+        )
+        .select(
+            "qid",
+            "n_hits",
+            F.round(
+                F.col("n_hits") / F.least(F.lit(k), F.col("_n_truth")), 6
+            ).alias("recall"),
+        )
+    )

@@ -1003,3 +1003,58 @@ def test_pq_encode_and_adc_topk(spark, sf_dir):
     for i, v in rows:
         expected = round(float(((np.asarray(v) - qv) ** 2).sum()), 6)
         assert abs(got[i] - expected) < 1e-4
+
+
+class TestKnnRecall:
+    """knn_recall — the measured recall@k harness over exact ground truth."""
+
+    def test_hand_computed(self, spark):
+        from quickwit_spark.operators.similarity import (
+            knn_recall, knn_recall_per_query,
+        )
+
+        truth = spark.createDataFrame(
+            [("q1", 1), ("q1", 2), ("q1", 3), ("q2", 7), ("q2", 8), ("q2", 9)],
+            ["qid", "vec_id"],
+        )
+        approx = spark.createDataFrame(
+            # q1: 2/3 right; q2: nothing returned
+            [("q1", 1), ("q1", 3), ("q1", 99)], ["qid", "vec_id"],
+        )
+        per = {r["qid"]: r for r in knn_recall_per_query(truth, approx, k=3).collect()}
+        assert per["q1"]["n_hits"] == 2 and per["q1"]["recall"] == pytest.approx(2 / 3)
+        assert per["q2"]["n_hits"] == 0 and per["q2"]["recall"] == 0.0
+        summary = knn_recall(truth, approx, k=3).collect()[0]
+        assert summary["n_queries"] == 2
+        assert summary["mean_recall"] == pytest.approx(1 / 3, abs=1e-6)
+        assert summary["min_recall"] == 0.0
+
+    def test_ivf_recall_measured_against_brute_force(self, spark, sf_dir):
+        import os
+
+        import numpy as np
+
+        from quickwit_spark.operators.similarity import (
+            cosine_topk, ivf_topk, knn_recall,
+        )
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        centroids = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        qrow = emb.filter(F.col("vec_id") == 3).collect()[0]
+        q = list(qrow["embedding"])
+
+        truth = cosine_topk(emb, q, k=10).select(
+            F.lit("q").alias("qid"), "vec_id"
+        )
+        # probing EVERY cell must reproduce the exact result (recall 1)
+        full = ivf_topk(emb, q, centroids, k=10, n_probe=len(centroids)).select(
+            F.lit("q").alias("qid"), "vec_id"
+        )
+        assert knn_recall(truth, full, k=10).collect()[0]["mean_recall"] == 1.0
+        # a 2-cell probe is lossy-but-useful: strictly positive recall
+        part = ivf_topk(emb, q, centroids, k=10, n_probe=2).select(
+            F.lit("q").alias("qid"), "vec_id"
+        )
+        r = knn_recall(truth, part, k=10).collect()[0]["mean_recall"]
+        assert 0.0 < r <= 1.0
