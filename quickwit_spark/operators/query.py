@@ -876,10 +876,16 @@ class _QParser:
         if value == "*":
             return Exists(field)
         if value.startswith("IN"):
+            if "[" not in value or "]" not in value:
+                raise ValueError(f"invalid IN set syntax: {value!r}")
             inner = value[value.index("[") + 1 : value.rindex("]")]
             return TermSet(field, tuple(v for v in inner.split() if v))
         if value.startswith('"'):
             m = re.match(r'^"((?:[^"\\]|\\.)*)"(~(\d+)|\*)?$', value)
+            if m is None:
+                # unterminated / malformed phrase — the reference parser's
+                # structured 400, never a crash
+                raise ValueError(f"invalid phrase syntax: {value!r}")
             text = m.group(1).replace('\\"', '"')
             if m.group(2) == "*":
                 return PhrasePrefix(field, text)

@@ -339,3 +339,29 @@ def test_merge_policy_proptest_invariants(splits, shuffle_seed):
             # const_write_amplification: one op never mixes merge-op counts
             for op in ops:
                 assert len({s.num_merge_ops for s in op}) == 1
+
+
+# ---------------------------------------------------------------------------
+# query-string parser: total over garbage (AST or ValueError, never a crash)
+# ---------------------------------------------------------------------------
+
+_query_chars = st.text(
+    alphabet=st.sampled_from(list("abc:()[]{}*?\"'~^+-&| .\\/<>=_0123456789TOANDORT")),
+    max_size=40,
+)
+
+
+@settings(max_examples=500, deadline=None)
+@given(_query_chars)
+def test_query_parser_total_over_garbage(q):
+    """The REST 400 path: any input either parses to an AST or raises
+    ValueError — no other exception type ever escapes (the reference's
+    query parser returns a structured error for every malformed string)."""
+    from quickwit_spark.operators.query import QueryCompiler
+
+    qc = QueryCompiler({"a": "text", "b": "numeric"}, default_fields=("a",))
+    try:
+        ast = qc.parse(q)
+    except ValueError:
+        return
+    assert ast is not None
