@@ -1059,17 +1059,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # janitor_retention_count (same janitor count shape as the in-window
     # janitor_delete_count) and agg_histogram_value (fixed-interval binning
     # ⊂ agg_date_histogram's calendar binning).
+    #
+    # Round-5 rotation (VERDICT r4 item 5): promoted kmeans_step
+    # (iterative Lloyd assignment+update), ann_pq (product-quantization
+    # ADC — compressed-domain search, no other window entry touches it),
+    # text_c4 (line-level cleaning rules), curation_funnel (composed
+    # multi-stage survival counts) and dsir_weights (importance-resampling
+    # log-ratio estimator); displaced the near-duplicates q_ip_term (⊂
+    # q_ip_range's u128 ordering), agg_extended_stats_value (moment family
+    # ⊂ agg_percentiles + CI'd stats), agg_date_histogram_gapfill (gap fill
+    # ⊂ in-window agg_date_histogram + CI), ann_topk (brute cosine top-k ≈
+    # in-window knn_join's per-query exact scan) and text_repetition
+    # (duplicate-line/ngram ratios ⊂ text_quality + text_c4 coverage).
     return {
         # aggregations (SURVEY §2.7)
         "agg_date_histogram": _q_agg_date_histogram,
         "agg_terms_event_type": _q_agg_terms_event_type,
         "agg_multi_terms": _q_agg_multi_terms,
         "agg_cardinality_exact": _q_agg_cardinality_exact,
-        "agg_extended_stats_value": _q_agg_extended_stats_value,
         "agg_percentiles_value": _q_agg_percentiles_value,
         "agg_range_value": _q_agg_range_value,
         "agg_composite_after": _q_agg_composite_after,
-        "agg_date_histogram_gapfill": _q_agg_date_histogram_gapfill,
         "agg_top_hits": _q_agg_top_hits,
         "agg_find_trace_ids": _q_agg_find_trace_ids,
         # query operators (SURVEY §2.6)
@@ -1082,7 +1092,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fulltext_and": _q_fulltext_and,
         "q_phrase": _q_phrase,
         "q_json_extract": _q_json_extract,
-        "q_ip_term": _q_ip_term,
         "q_ip_range": _q_ip_range,
         "q_score_bm25": _q_score_bm25,
         # sorts / pagination (SURVEY §2.8)
@@ -1108,16 +1117,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": _q_bigram_lm,
         "mixture_plan": _q_mixture_plan,
         "pack_sequences": _q_pack_sequences,
-        "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
+        "ann_pq": _q_ann_pq,
+        "kmeans_step": _q_kmeans_step,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
-        "text_repetition": _q_text_repetition,
+        "text_c4": _q_text_c4,
+        "curation_funnel": _q_curation_funnel,
+        "dsir_weights": _q_dsir_weights,
         "knn_join": _q_knn_join,
         "multimodal_text_extract": _q_multimodal_text_extract,
         "multimodal_image_features": _q_multimodal_image_features,
         # oracle-backed overflow (see note above; gapfill/range_ts/pii/url
         # semantics are each also covered by in-window entries or pytest)
+        "agg_extended_stats_value": _q_agg_extended_stats_value,
+        "agg_date_histogram_gapfill": _q_agg_date_histogram_gapfill,
+        "q_ip_term": _q_ip_term,
+        "ann_topk": _q_ann_topk,
+        "text_repetition": _q_text_repetition,
         "agg_histogram_value": _q_agg_histogram_value,
         "agg_terms_topk": _q_agg_terms_topk,
         "q_termset": _q_termset,
@@ -1134,16 +1151,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": _q_epoch_shuffle,
         "text_normalize": _q_text_normalize,
         "text_gopher": _q_text_gopher,
-        "ann_pq": _q_ann_pq,
         "q_snippet": _q_snippet,
-        "kmeans_step": _q_kmeans_step,
         "agg_stats_value": _q_agg_stats_value,
         "from_size": _q_from_size,
         "count_only": _q_count_only,
-        "dsir_weights": _q_dsir_weights,
         "stratified_sample": _q_stratified_sample,
-        "text_c4": _q_text_c4,
-        "curation_funnel": _q_curation_funnel,
         "corpus_stats": _q_corpus_stats,
         # rows-only tail (non-SQL-expressible)
         "text_fingerprint": _q_text_fingerprint,
@@ -1750,12 +1762,19 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 15
         """,
         "pack_sequences": r"""
-            WITH b AS (
-              SELECT doc_id,
-                     ((doc_id * 40503 + 2531011) % 65536) % 4 AS shard,
-                     (doc_id * 40503 + 2531011) % 65536 AS _mix,
-                     len(str_split_regex(trim(text), '\s+')) AS n_tokens
+            WITH k AS (
+              SELECT doc_id, text,
+                     (doc_id % 2147483647 + 1) * 48271 % 2147483647 AS k1,
+                     (doc_id % 2147483629 + 1) * 16807 % 2147483629 AS k2
               FROM documents
+            ), b AS (
+              SELECT doc_id,
+                     (((2147483629 * k1 + k2) % 2147483647 + 1) * 48271
+                       % 2147483647) % 4 AS shard,
+                     ((2147483629 * k1 + k2) % 2147483647 + 1) * 48271
+                       % 2147483647 AS _mix,
+                     len(str_split_regex(trim(text), '\s+')) AS n_tokens
+              FROM k
             ), c AS (
               SELECT doc_id, shard, n_tokens,
                      sum(n_tokens) OVER (PARTITION BY shard ORDER BY _mix, doc_id
@@ -1815,7 +1834,8 @@ def oracle_sql() -> dict[str, str]:
             kept AS (
               SELECT d.src_tier, count(*) AS n_kept
               FROM docs2 d JOIN plan p ON d.src_tier = p.src_tier
-              WHERE (d.doc_id * 40503 + 2531011) % 65536 < p.rate * 65536
+              WHERE (d.doc_id % 2147483647 + 1) * 48271 % 2147483647
+                    < p.rate * 2147483647
               GROUP BY d.src_tier
             )
             SELECT p.src_tier, p.n_docs, round(nat_share, 6) AS nat_share,
@@ -2085,14 +2105,24 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 3, 'curated', count(*) FILTER (first AND c4 AND gopher) FROM g
         """,
-        # exact-quota stratified sample: same LCG mix as mixture_plan's
-        # realization rule, rank within source, keep rank <= 10
+        # exact-quota stratified sample: same Lehmer-pair mix as
+        # mixture_plan's realization rule (sample_mix_cols), rank within
+        # source, keep rank <= 10. The oracle ranks the FULL stratum —
+        # equal to the guarded Spark path because the viral-stratum
+        # pre-filter is lossless (and not even triggered at oracle scale).
         "stratified_sample": """
             SELECT doc_id, stratum, sample_rank FROM (
               SELECT doc_id, source AS stratum,
                      row_number() OVER (
                        PARTITION BY source
-                       ORDER BY (doc_id * 40503 + 2531011) % 65536, doc_id
+                       ORDER BY
+                         ((2147483629 *
+                            ((doc_id % 2147483647 + 1) * 48271 % 2147483647)
+                           + (doc_id % 2147483629 + 1) * 16807 % 2147483629)
+                          % 2147483647 + 1) * 48271 % 2147483647,
+                         (doc_id % 2147483647 + 1) * 48271 % 2147483647,
+                         (doc_id % 2147483629 + 1) * 16807 % 2147483629,
+                         doc_id
                      ) AS sample_rank
               FROM documents
             ) WHERE sample_rank <= 10

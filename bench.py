@@ -65,6 +65,81 @@ def _force(df) -> int:
     return df._jdf.queryExecution().executedPlan().executeCollect().length
 
 
+R3_COMMIT = "ff042cc"  # round-3 bench commit (recorded pipeline_e2e 1.53 s)
+R3_RECORDED_PIPE_SEC = 1.53
+
+_AB_SCRIPT = r"""
+import json, os, sys, time
+worktree, cache, cpus = sys.argv[1], sys.argv[2], int(sys.argv[3])
+sys.path.insert(0, worktree)
+from quickwit_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark(app_name="r3_ab", master=f"local[{cpus}]",
+                  shuffle_partitions=cpus)
+from quickwit_spark.pipeline.runner import PipelineConfig, build_dag
+t = spark.read.parquet(os.path.join(cache, "transcripts.parquet"))
+d = spark.read.parquet(os.path.join(cache, "tenants.parquet"))
+def one():
+    t0 = time.time()
+    routed = build_dag(t, d, PipelineConfig())
+    agg = (routed.filter(F.col("_error_category") == "valid")
+        .groupBy("sink", F.window(F.col("ts").cast("timestamp"),
+                                  "1 day").start.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("doc_count"),
+             F.approx_count_distinct("tenant_id").alias("tenant_card"),
+             F.avg("latency_ms").alias("avg_latency")))
+    agg._jdf.queryExecution().executedPlan().executeCollect().length
+    return time.time() - t0
+one()  # warm
+samples = [one() for _ in range(5)]
+print(json.dumps({"samples": [round(s, 3) for s in samples],
+                  "min": round(min(samples), 3)}))
+"""
+
+
+def _r3_pipeline_ab(head_pipe_sec: float) -> dict | None:
+    """Same-artifact interference control (VERDICT r4 item 1): when the
+    HEAD pipeline measures >25% over the r3-recorded 1.53 s, time the
+    UNTOUCHED r3-commit pipeline code (git worktree of R3_COMMIT) in a
+    fresh subprocess on the same cached input, same harness, same minute.
+    r3 code measuring ≈ HEAD under contemporary load proves the paper
+    regression is host environment, not a code change."""
+    import subprocess
+    import tempfile
+
+    if os.environ.get("QS_BENCH_NO_AB"):
+        return None
+    repo = os.path.dirname(os.path.abspath(__file__))
+    wt = "/tmp/qs_r3_ab_worktree"
+    try:
+        if not os.path.isdir(os.path.join(wt, "quickwit_spark")):
+            subprocess.run(
+                ["git", "worktree", "add", "--detach", "-f", wt, R3_COMMIT],
+                cwd=repo, check=True, capture_output=True, timeout=60,
+            )
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".py", delete=False
+        ) as fh:
+            fh.write(_AB_SCRIPT)
+            script = fh.name
+        out = subprocess.run(
+            [sys.executable, script, wt, PIPE_CACHE, str(CPUS)],
+            capture_output=True, text=True, timeout=900, cwd=wt,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        r3 = json.loads(line)
+        return {
+            "r3_commit": R3_COMMIT,
+            "r3_recorded_sec": R3_RECORDED_PIPE_SEC,
+            "r3_code_now_sec": r3["min"],
+            "r3_code_now_samples": r3["samples"],
+            "head_now_sec": round(head_pipe_sec, 3),
+            "head_vs_r3_code_now": round(head_pipe_sec / r3["min"], 3),
+        }
+    except Exception as e:  # never fail the bench artifact over the control
+        return {"error": f"{type(e).__name__}: {e}"}
+
+
 def main() -> None:
     from quickwit_spark.session import get_spark
     import __spark_entry__ as entry_mod
@@ -106,9 +181,16 @@ def main() -> None:
     # total runtime stays predictable.
     hot_sleep_budget = 120.0
 
+    # per-query raw evidence embedded in the output JSON: every sample, the
+    # calibration-probe time taken right after it (the steal metric — a hot
+    # probe means that sample's window was contaminated by external load),
+    # and whether the reported min came from a clean window.
+    detail: dict[str, dict] = {}
+
     for name in HEADLINE:
         fn = qs[name]
         samples: list[float] = []
+        probes: list[float] = []
         clean_flags: list[bool] = []
         slept = False
         i = 0
@@ -118,6 +200,7 @@ def main() -> None:
             df.count()
             samples.append(time.time() - t0)
             p = probe()
+            probes.append(p)
             probe_best = min(probe_best, p)
             hot = p > probe_best * 1.5
             clean_flags.append(not hot)
@@ -131,7 +214,13 @@ def main() -> None:
                 hot_sleep_budget -= 20.0
                 slept = True
             i += 1
-        timings[name] = round(min(samples), 3)
+        best = min(range(len(samples)), key=samples.__getitem__)
+        timings[name] = round(samples[best], 3)
+        detail[name] = {
+            "samples": [round(s, 3) for s in samples],
+            "probes": [round(p, 3) for p in probes],
+            "min_sample_clean_window": clean_flags[best],
+        }
 
     # transcripts pipeline end-to-end (no sink write: DAG + per-sink aggregate)
     from quickwit_spark.pipeline.runner import PipelineConfig, build_dag
@@ -164,11 +253,13 @@ def main() -> None:
     # with ~0 local steal%); min over 6 fresh-plan passes rides them out,
     # with the same bounded hot-window wait as the query loop
     pipe_samples: list[float] = []
+    pipe_probes: list[float] = []
     slept = False
     i = 0
     while i < (8 if slept else 6):
         pipe_samples.append(pipeline_pass())
         p = probe()
+        pipe_probes.append(p)
         probe_best = min(probe_best, p)
         if (
             p > probe_best * 1.5
@@ -181,6 +272,20 @@ def main() -> None:
         i += 1
     pipe_sec = min(pipe_samples)
     timings["pipeline_e2e"] = round(pipe_sec, 3)
+    detail["pipeline_e2e"] = {
+        "samples": [round(s, 3) for s in pipe_samples],
+        "probes": [round(p, 3) for p in pipe_probes],
+        "min_sample_clean_window": pipe_probes[
+            min(range(len(pipe_samples)), key=pipe_samples.__getitem__)
+        ]
+        <= probe_best * 1.5,
+    }
+
+    r3_ab = (
+        _r3_pipeline_ab(pipe_sec)
+        if pipe_sec > R3_RECORDED_PIPE_SEC * 1.25
+        else None
+    )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -193,6 +298,18 @@ def main() -> None:
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                 "pipeline_turns_per_sec": round(n_turns / pipe_sec, 1),
                 "cpus": CPUS,
+                # steal/contention evidence: `probe_best_sec` is the fastest
+                # observed time of a fixed JVM-only calibration job; each
+                # query's `probes` entry is that job's time right after each
+                # sample. probe >> probe_best ⇒ the host was externally
+                # loaded during that sample window, so compare mins, and
+                # trust `min_sample_clean_window`.
+                "probe_best_sec": round(probe_best, 3),
+                "detail": detail,
+                # present only when the pipeline measured >25% over the
+                # r3-recorded number: the r3 commit's own code timed in the
+                # same run (see _r3_pipeline_ab)
+                **({"r3_ab": r3_ab} if r3_ab else {}),
             }
         )
     )

@@ -16,6 +16,38 @@ def _tokens(text_col):
     return F.split(F.trim(F.lower(text_col)), r"\s+")
 
 
+# --- deterministic engine-portable pseudo-random rank keys -----------------
+#
+# Two Lehmer (multiplicative-congruential) streams over coprime prime moduli.
+# Each stream is a bijection on its residue class, and by CRT the PAIR
+# (k1, k2) is injective for ids below M1*M2 ≈ 4.6e18 — i.e. collision-free
+# over the practical int64 id space, so rank ties (and the low-id tie bias a
+# small-modulus mix would have) cannot occur. k3 re-mixes the pair back into
+# one 31-bit key that stays well-spread if EITHER residue varies, which is
+# what threshold pre-filters compare against. All intermediates fit in int64
+# ((M1-18)*k1 + k2 < 2^63), so DuckDB restates the same arithmetic verbatim
+# — unlike xxhash64, which has no DuckDB equivalent.
+#
+# This replaces the earlier 16-bit LCG ((id*40503+2531011) % 65536), whose
+# 65,536 distinct keys biased >65k-row strata toward low ids on rank ties.
+
+_MIX_M1, _MIX_A1 = 2147483647, 48271  # Park–Miller minimal standard (2^31-1)
+_MIX_M2, _MIX_A2 = 2147483629, 16807  # second prime-modulus stream
+
+
+def sample_mix_cols(id_col: str):
+    """(k1, k2, k3) deterministic rank-key Columns for ``id_col`` (int64).
+
+    Order by (k3, k1, k2) for a total, collision-free pseudo-random order;
+    threshold on k3 (uniform-ish on [0, M1)) for hash-fraction pre-filters.
+    """
+    c = F.col(id_col)
+    k1 = (c % _MIX_M1 + 1) * _MIX_A1 % _MIX_M1
+    k2 = (c % _MIX_M2 + 1) * _MIX_A2 % _MIX_M2
+    k3 = ((F.lit(_MIX_M1 - 18) * k1 + k2) % _MIX_M1 + 1) * _MIX_A1 % _MIX_M1
+    return k1, k2, k3
+
+
 def bigram_lm_scores(
     df: DataFrame,
     text_col: str = "text",
@@ -146,11 +178,12 @@ def mixture_plan(
     (source, n_docs, nat_share, target_share, rate, n_kept).
 
     Realization is a DETERMINISTIC per-doc keep rule — keep iff
-    ``(id * 40503 + 2531011) mod 65536 < rate * 65536`` — an LCG-mixed
-    decision that is reproducible across runs/engines and independent of
-    partitioning (the production-size variant swaps the LCG for
-    xxhash64(id, salt); same plan shape). Rates are capped at 1 (a source
-    cannot be up-sampled without replication, which is a separate op).
+    ``k1(id) < rate * (2^31 - 1)`` with k1 the shared Lehmer mix of
+    :func:`sample_mix_cols` — reproducible across runs/engines and
+    independent of partitioning, with 2^31-1 distinct decision keys (the
+    earlier 16-bit LCG quantized rates to 1/65536 and correlated the keep
+    set with id low bits). Rates are capped at 1 (a source cannot be
+    up-sampled without replication, which is a separate op).
 
     Scale shape: one groupBy(source) for counts (tiny result), the plan
     computed on that aggregate, then one broadcast-joined filter pass for
@@ -175,9 +208,7 @@ def mixture_plan(
             (F.col("_w") / F.lit(wsum)) * F.lit(budget_frac * total) / F.col("n_docs"),
         ).alias("rate"),
     )
-    keep = (
-        (F.col(id_col) * 40503 + 2531011) % 65536
-    ) < (F.col("rate") * 65536)
+    keep = sample_mix_cols(id_col)[0] < (F.col("rate") * _MIX_M1)
     kept = (
         df.select(F.col(id_col), F.col(source_col))
         .join(F.broadcast(plan.select(source_col, "rate")), source_col)
@@ -212,16 +243,18 @@ def pack_sequences(
     (id, shard, n_tokens, offset, chunk_start, chunk_end): the chunk range
     each document's tokens land in.
 
-    Determinism: shard and intra-shard order come from an LCG mix of the id
-    (reproducible across runs, partitionings and engines — same rationale
-    as mixture_plan's realization rule). Scale shape: ONE shuffle
+    Determinism: shard and intra-shard order come from the shared Lehmer
+    mix of :func:`sample_mix_cols` (reproducible across runs, partitionings
+    and engines — same rationale as mixture_plan's realization rule; k3's
+    2^31-1 key space keeps >65k-doc shards free of the low-id ordering bias
+    a 16-bit mix would have). Scale shape: ONE shuffle
     (hash-partition by shard) and a running-sum window per shard; shards
     are the packing parallelism unit, exactly how a real tokenizer-packer
     fans out at 10^12 docs.
     """
     from pyspark.sql import Window
 
-    mix = (F.col(id_col) * 40503 + 2531011) % 65536
+    mix = sample_mix_cols(id_col)[2]
     toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     base = df.select(
         F.col(id_col),
@@ -404,37 +437,81 @@ def dsir_weights(
     )
 
 
+def _stratified_survivors(
+    df: DataFrame,
+    quota: int,
+    strata_col: str,
+    id_col: str,
+    guard_min_stratum: int,
+) -> DataFrame:
+    """Census-driven hash-fraction pre-filter for viral strata: strata with
+    more than ``guard_min_stratum`` rows keep only rows whose k3 mix falls
+    below ``cap/n_s`` of the key space, where cap = 16*quota + 64. The
+    survivor set contains the true top-``quota`` rows unless fewer than
+    ``quota`` of a stratum's n_s uniform-ish 31-bit keys land in a window
+    holding 16·quota+64 of them in expectation — a >10-sigma deviation even
+    at quota=1 (mean 80 survivors, need <1). Small strata pass untouched.
+    Returns (id, stratum, _k1, _k2, _k3)."""
+    k1, k2, k3 = sample_mix_cols(id_col)
+    base = df.select(
+        F.col(id_col),
+        F.col(strata_col).alias("stratum"),
+        k1.alias("_k1"),
+        k2.alias("_k2"),
+        k3.alias("_k3"),
+    )
+    cap = 16 * quota + 64
+    viral = (
+        base.groupBy("stratum")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > F.lit(max(guard_min_stratum, cap)))
+        .select(
+            "stratum",
+            F.ceil(F.lit(float(cap * _MIX_M1)) / F.col("_n"))
+            .cast("long")
+            .alias("_t"),
+        )
+    )
+    return base.join(F.broadcast(viral), "stratum", "left").filter(
+        F.col("_t").isNull() | (F.col("_k3") < F.col("_t"))
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     quota: int,
     strata_col: str = "source",
     id_col: str = "doc_id",
+    guard_min_stratum: int = 200_000,
 ) -> DataFrame:
     """EXACT-quota stratified sampling: keep precisely ``min(quota, n_s)``
     rows per stratum, chosen by a deterministic pseudo-random rank (the
-    same LCG mix as :func:`mixture_plan`'s realization rule — reproducible
-    across runs, partitionings and engines). Returns
-    (id, stratum, sample_rank) for the kept rows.
+    shared Lehmer-pair mix of :func:`sample_mix_cols` — reproducible across
+    runs, partitionings and engines, collision-free over int64 ids).
+    Returns (id, stratum, sample_rank) for the kept rows.
 
     This is the exact-count companion to :func:`mixture_plan`'s rate-based
     realization: rates give E[n]=quota, this gives n=quota — what a
     train/val split or a per-domain evaluation set needs.
 
-    Scale shape: one hash shuffle on the stratum + a per-stratum
-    row_number window. The window makes each stratum one ordering unit —
-    fine up to ~10^8 rows per stratum; for a viral stratum at 10^12-doc
-    scale, pre-filter with the stateless hash-fraction rule (keep iff
-    mix(id) < k·quota/n_s for small k, no shuffle) and rank only the
-    survivors — the same census+cap pattern as semantic_dedup's hot
-    clusters.
+    Scale shape: one cheap census agg (map-side combine, stratum-count
+    rows), a hash-fraction PRE-FILTER on strata above ``guard_min_stratum``
+    rows (keep iff k3 < (16·quota+64)·M/n_s — the same census+cap pattern
+    as semantic_dedup's hot clusters), then one hash shuffle on the stratum
+    + a per-stratum row_number window over the SURVIVORS only. Every window
+    unit is therefore bounded: ≤ guard_min_stratum rows for small strata,
+    ~16·quota+64 rows for viral ones — a 10^12-row single-domain stratum
+    ranks ~quota·16 rows, not 10^12.
     """
     from pyspark.sql import Window
 
-    mix = (F.col(id_col) * 40503 + 2531011) % 65536
-    w = Window.partitionBy(strata_col).orderBy(mix, F.col(id_col))
-    ranked = df.select(
+    survivors = _stratified_survivors(
+        df, quota, strata_col, id_col, guard_min_stratum
+    )
+    w = Window.partitionBy("stratum").orderBy("_k3", "_k1", "_k2", id_col)
+    ranked = survivors.select(
         F.col(id_col),
-        F.col(strata_col).alias("stratum"),
+        "stratum",
         F.row_number().over(w).alias("sample_rank"),
     )
     return ranked.filter(F.col("sample_rank") <= quota)
@@ -588,7 +665,7 @@ def pack_sequences_nocross(
 
     import pandas as pd
 
-    mix = (F.col(id_col) * 40503 + 2531011) % 65536
+    mix = sample_mix_cols(id_col)[2]
     toks = F.size(F.filter(_tokens(F.col(text_col)), lambda w: F.length(w) > 0))
     base = df.select(
         F.col(id_col),

@@ -39,7 +39,12 @@ def rowset(rows, colnames):
 
 def main(only: list[str] | None = None, sf_dir: str | None = None):
     """Runs every queries() entry against its oracle; returns the failure
-    list (empty = green) so tests/test_oracle_all.py can gate on it."""
+    list (empty = green) so tests/test_oracle_all.py can gate on it.
+
+    Full-registry sweeps (no ``only`` filter) also write
+    ``CORRECTNESS_full.json`` at the repo root — the same per-entry
+    rows/schema/hash schema as the driver's 50-entry gate, so the round
+    artifact itself shows the whole registry, not 50/50 plus a claim."""
     from quickwit_spark.session import get_spark
 
     import __spark_entry__ as entry_mod
@@ -55,6 +60,7 @@ def main(only: list[str] | None = None, sf_dir: str | None = None):
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -65,10 +71,12 @@ def main(only: list[str] | None = None, sf_dir: str | None = None):
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
+            results[name] = {"error": f"spark: {e}"}
             print(f"[FAIL] {name}: spark error: {e}")
             continue
         if name not in oracles:
             print(f"[rows-only] {name}: {len(srows)} rows, cols={scols} ({time.time()-t0:.1f}s)")
+            results[name] = {"rows_only": True, "rows": len(srows)}
             if len(srows) == 0 and not name.startswith("q_"):
                 print(f"  WARNING: zero rows")
             continue
@@ -78,9 +86,15 @@ def main(only: list[str] | None = None, sf_dir: str | None = None):
             orows = cur.fetchall()
         except Exception as e:
             failures.append((name, f"ORACLE ERROR: {e}"))
+            results[name] = {"error": f"oracle: {e}"}
             print(f"[FAIL] {name}: oracle error: {e}")
             continue
         ok = True
+        results[name] = {
+            "rows_match": len(srows) == len(orows),
+            "schema_match": sorted(scols) == sorted(ocols),
+            "hash_match": False,
+        }
         if sorted(scols) != sorted(ocols):
             failures.append((name, f"schema: spark={sorted(scols)} oracle={sorted(ocols)}"))
             ok = False
@@ -118,8 +132,23 @@ def main(only: list[str] | None = None, sf_dir: str | None = None):
                             f"numeric-class mismatch col {sorted(scols)[ci]}: "
                             f"spark={sk} oracle={okk} (CAST the oracle column)"))
                         ok = False
+        results[name]["hash_match"] = ok and results[name]["rows_match"]
         status = "ok" if ok else "FAIL"
         print(f"[{status}] {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+    if not only:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "CORRECTNESS_full.json",
+        )
+        import json
+
+        with open(sidecar, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "entries": len(results), "results": results},
+                f,
+                indent=1,
+            )
+        print(f"wrote {sidecar} ({len(results)} entries)")
     print()
     if failures:
         print(f"{len(failures)} FAILURES:")

@@ -3,7 +3,8 @@
 DSIR (Xie et al. 2023, "Data Selection for Language Models via Importance
 Resampling", public) — hashed unigram+bigram bag-of-words importance
 weights log p̂(x)/q̂(x). stratified_sample — deterministic per-stratum
-rank-and-cut with the mixture_plan LCG mix.
+rank-and-cut with the shared Lehmer-pair mix (sample_mix_cols), with a
+census-driven hash-fraction pre-filter bounding viral strata.
 """
 
 import math
@@ -116,8 +117,14 @@ def test_stratified_sample_exact_quota_and_determinism(spark, tiny_dir):
     want = {}
     for r in rows:
         want.setdefault(r["source"], []).append(r["doc_id"])
+    def _mix(i: int) -> tuple[int, int, int]:
+        k1 = (i % 2147483647 + 1) * 48271 % 2147483647
+        k2 = (i % 2147483629 + 1) * 16807 % 2147483629
+        k3 = ((2147483629 * k1 + k2) % 2147483647 + 1) * 48271 % 2147483647
+        return (k3, k1, k2)
+
     for s in want:
-        want[s] = sorted(want[s], key=lambda i: ((i * 40503 + 2531011) % 65536, i))[:7]
+        want[s] = sorted(want[s], key=lambda i: (*_mix(i), i))[:7]
     got = {s: sorted(r["doc_id"] for r in members) for s, members in per.items()}
     assert got == {s: sorted(v) for s, v in want.items()}
 
@@ -230,3 +237,74 @@ def test_pack_nocross_invariants(spark, tiny_dir):
     # padding economics: BFD should beat one-doc-per-chunk by a wide margin
     n_chunks = len(by_chunk)
     assert n_chunks < len(out)
+
+
+def test_stratified_sample_viral_stratum_guard(spark):
+    """A planted 10^6-row stratum must (a) never become one unbounded
+    window ordering unit — the census-driven hash-fraction pre-filter keeps
+    ~16*quota+64 survivors before any ranking — and (b) produce EXACTLY the
+    same kept set as the unguarded full rank (the pre-filter is lossless)."""
+    df = spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 995_000, F.lit("viral"))
+        .otherwise(F.concat(F.lit("s"), (F.col("id") % 7).cast("string")))
+        .alias("source"),
+    )
+    quota = 5
+    cap = 16 * quota + 64
+
+    surv = CP._stratified_survivors(
+        df, quota, "source", "doc_id", guard_min_stratum=200_000
+    )
+    per = {
+        r["stratum"]: r["n"]
+        for r in surv.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # viral stratum's window unit is bounded near cap (binomial around cap),
+    # small strata pass through whole
+    assert per["viral"] <= 3 * cap
+    assert per["viral"] >= quota
+    for s, n in per.items():
+        if s != "viral":
+            assert n <= 5_000 // 7 + 1
+
+    guarded = sorted(
+        (r["doc_id"], r["stratum"], r["sample_rank"])
+        for r in CP.stratified_sample(
+            df, quota, strata_col="source", guard_min_stratum=200_000
+        ).collect()
+    )
+    unguarded = sorted(
+        (r["doc_id"], r["stratum"], r["sample_rank"])
+        for r in CP.stratified_sample(
+            df, quota, strata_col="source", guard_min_stratum=10**12
+        ).collect()
+    )
+    assert guarded == unguarded
+    assert len([g for g in guarded if g[1] == "viral"]) == quota
+
+
+def test_stratified_sample_mix_uniformity(spark):
+    """The 62-bit Lehmer-pair mix must sample uniformly across the id range
+    of a >65k-row stratum — the regression the old 16-bit LCG failed (only
+    65,536 distinct keys, rank ties broken by ascending id biased samples
+    toward low ids). Chi-square-ish check: 10k kept out of 200k ids, 20
+    equal id-range buckets, each within 6 binomial sigmas of 500."""
+    n, quota, buckets = 200_000, 10_000, 20
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("one").alias("source")
+    )
+    kept = CP.stratified_sample(
+        df, quota, strata_col="source", guard_min_stratum=10**12
+    )
+    counts = (
+        kept.groupBy((F.col("doc_id") / (n // buckets)).cast("int").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    per = {r["b"]: r["c"] for r in counts}
+    mean = quota / buckets
+    sigma = math.sqrt(quota * (1 / buckets) * (1 - 1 / buckets))
+    assert set(per) == set(range(buckets))
+    for b, c in per.items():
+        assert abs(c - mean) < 6 * sigma, (b, c)
