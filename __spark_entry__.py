@@ -1834,7 +1834,10 @@ def oracle_sql() -> dict[str, str]:
             kept AS (
               SELECT d.src_tier, count(*) AS n_kept
               FROM docs2 d JOIN plan p ON d.src_tier = p.src_tier
-              WHERE (d.doc_id % 2147483647 + 1) * 48271 % 2147483647
+              WHERE ((2147483629 *
+                        ((d.doc_id % 2147483647 + 1) * 48271 % 2147483647)
+                      + (d.doc_id % 2147483629 + 1) * 16807 % 2147483629)
+                     % 2147483647 + 1) * 48271 % 2147483647
                     < p.rate * 2147483647
               GROUP BY d.src_tier
             )

@@ -178,11 +178,15 @@ def mixture_plan(
     (source, n_docs, nat_share, target_share, rate, n_kept).
 
     Realization is a DETERMINISTIC per-doc keep rule — keep iff
-    ``k1(id) < rate * (2^31 - 1)`` with k1 the shared Lehmer mix of
+    ``k3(id) < rate * (2^31 - 1)`` with k3 the re-mixed Lehmer-pair key of
     :func:`sample_mix_cols` — reproducible across runs/engines and
     independent of partitioning, with 2^31-1 distinct decision keys (the
     earlier 16-bit LCG quantized rates to 1/65536 and correlated the keep
-    set with id low bits). Rates are capped at 1 (a source cannot be
+    set with id low bits; the raw k1 stream is unusable here because it is
+    LINEAR without wraparound for ids < M1/A1 ≈ 44k, so a small
+    consecutive-id source would keep a contiguous prefix instead of a
+    uniform subset — k3's big-stride re-mix equidistributes even tiny id
+    blocks). Rates are capped at 1 (a source cannot be
     up-sampled without replication, which is a separate op).
 
     Scale shape: one groupBy(source) for counts (tiny result), the plan
@@ -208,7 +212,7 @@ def mixture_plan(
             (F.col("_w") / F.lit(wsum)) * F.lit(budget_frac * total) / F.col("n_docs"),
         ).alias("rate"),
     )
-    keep = sample_mix_cols(id_col)[0] < (F.col("rate") * _MIX_M1)
+    keep = sample_mix_cols(id_col)[2] < (F.col("rate") * _MIX_M1)
     kept = (
         df.select(F.col(id_col), F.col(source_col))
         .join(F.broadcast(plan.select(source_col, "rate")), source_col)

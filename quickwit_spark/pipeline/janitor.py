@@ -335,6 +335,25 @@ def garbage_collect(
             shutil.move(trashed[0], commit_dir)
             restored.append(commit)
 
+    # lineage-adoption pass: a delete rewrite that crashed between removing
+    # the old lineage entry and moving the staged one in leaves the commit
+    # with live (post-delete) data but NO lineage — orphaning it from the
+    # metadata plane (time/tag pruning, merge planning). The staged lineage
+    # is always the forward state for live post-op data, so adopt it.
+    lineage_adopted = []
+    for staged_lin in glob.glob(
+        os.path.join(out_dir, ".staging", "*-lineage", "commit_id=*")
+    ):
+        commit = os.path.basename(staged_lin).split("=", 1)[1]
+        lin_dir = os.path.join(out_dir, "_lineage", f"commit_id={commit}")
+        if os.path.isdir(lin_dir):
+            continue
+        if os.path.isdir(os.path.join(sinks, f"commit={commit}")):
+            shutil.move(staged_lin, lin_dir)
+            lineage_adopted.append(commit)
+    # adopted commits are back on the metadata plane — never dangling
+    live |= set(lineage_adopted)
+
     removed = []
     for commit_dir in _commit_dirs(out_dir):
         commit = os.path.basename(commit_dir).split("=", 1)[1]
@@ -354,6 +373,7 @@ def garbage_collect(
                 shutil.rmtree(p, ignore_errors=True)
                 swept += 1
     return {"dangling_commits_removed": removed, "restored": restored,
+            "lineage_adopted": lineage_adopted,
             "merges_repaired": merges_repaired,
             "retention_repaired": retention_repaired, "tmp_swept": swept}
 
