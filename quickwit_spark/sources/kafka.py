@@ -33,36 +33,66 @@ def partition_key(topic: str, partition: int) -> str:
 
 def offsets_to_delta(
     current: dict[str, str], latest: dict[int, int], topic: str
-) -> dict[str, tuple[int, int]]:
+) -> dict[str, tuple[int | None, int]]:
     """``(current, latest]`` per partition with anything new.
 
-    ``current``: CheckpointStore positions (20-digit strings; '' = beginning
-    → Kafka offset -2 semantics, we start at 0). ``latest``: partition →
-    next-offset-to-produce (Kafka's endOffsets convention, exclusive)."""
-    delta: dict[str, tuple[int, int]] = {}
+    ``current``: CheckpointStore positions (20-digit strings; '' = Beginning).
+    ``latest``: partition → next-offset-to-produce (Kafka's endOffsets
+    convention, exclusive).
+
+    A never-committed partition yields ``from=None`` — Position::Beginning,
+    NOT offset 0 (kafka_source.rs:616-618 previous_position_for_offset and
+    :364 Position::Beginning → Offset::Beginning). The distinction matters
+    on a real cluster: a retention-truncated topic has log-start > 0, where
+    an explicit offset 0 is out-of-range but Beginning reads from log-start.
+    It also keeps the checkpoint compat check quiet ('' == '' is no gap;
+    from=0 over an empty checkpoint would warn a spurious gap)."""
+    delta: dict[str, tuple[int | None, int]] = {}
     for part, end in sorted(latest.items()):
         pid = partition_key(topic, part)
         cur = current.get(pid, "")
-        frm = int(cur) if cur else 0
-        if end > frm:
+        frm = int(cur) if cur else None
+        if end > (frm or 0):
             delta[pid] = (frm, end)
     return delta
 
 
 def delta_to_spark_offsets(
-    delta: dict[str, tuple[int, int]], topic: str
+    delta: dict[str, tuple[int | None, int]], topic: str
 ) -> tuple[str, str]:
     """Delta → (startingOffsets, endingOffsets) JSON for Spark's Kafka batch
     source. Spark offsets are [start, end) — our delta is (from, to], and
     both store "the next offset to read" at the low end, so start = from and
-    end = to."""
+    end = to. ``from=None`` (Beginning) maps to -2, Spark's per-partition
+    "earliest" sentinel in the offsets JSON — the exact equivalent of
+    rdkafka's Offset::Beginning (kafka_source.rs:364)."""
     starting = {topic: {}}
     ending = {topic: {}}
     for pid, (frm, to) in delta.items():
         part = int(pid.rsplit(":", 1)[1])
-        starting[topic][str(part)] = frm
+        starting[topic][str(part)] = -2 if frm is None else frm
         ending[topic][str(part)] = to
     return json.dumps(starting), json.dumps(ending)
+
+
+def spark_read_options(
+    bootstrap_servers: str, topic: str, delta: dict[str, tuple[int | None, int]]
+) -> dict[str, str]:
+    """The EXACT options dict handed to ``spark.read.format("kafka")`` for a
+    checkpoint-planned batch — pure and golden-tested (the sandbox has no
+    spark-sql-kafka on the classpath, so this contract is what pins the
+    cluster wiring against kafka_source.rs's startingOffsets semantics)."""
+    starting, ending = delta_to_spark_offsets(delta, topic)
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting,
+        "endingOffsets": ending,
+        # exactly-once is OUR checkpoint's job; a missing broker offset must
+        # surface, not silently skip (kafka_source.rs treats out-of-range as
+        # an error, not a reset)
+        "failOnDataLoss": "true",
+    }
 
 
 class FileKafkaBroker:
@@ -118,7 +148,8 @@ class FileKafkaBroker:
         start_map = json.loads(starting)[topic]
         end_map = json.loads(ending)[topic]
         specs = [
-            (self._path(topic, int(p)), str(int(p)), int(frm), int(end_map[p]))
+            # -2 = earliest; this broker's log always starts at line 0
+            (self._path(topic, int(p)), str(int(p)), max(0, int(frm)), int(end_map[p]))
             for p, frm in start_map.items()
         ]
         return read_line_slices(spark, specs).select(
@@ -173,10 +204,7 @@ class KafkaTailSource:
         try:
             return (
                 self.spark.read.format("kafka")
-                .option("kafka.bootstrap.servers", self.servers)
-                .option("subscribe", self.topic)
-                .option("startingOffsets", starting)
-                .option("endingOffsets", ending)
+                .options(**spark_read_options(self.servers, self.topic, delta))
                 .load()
                 .selectExpr(
                     "CAST(value AS STRING) AS value",

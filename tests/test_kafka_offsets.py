@@ -13,30 +13,78 @@ from quickwit_spark.sources.kafka import (
 
 
 def test_offsets_to_delta_from_beginning_and_resume():
-    # nothing consumed yet → read [0, end) on every partition with data
+    # nothing consumed yet → Beginning (from=None), never an explicit 0:
+    # kafka_source.rs:616-618 previous_position_for_offset → Beginning, and
+    # a retention-truncated topic's log-start may be > 0
     d = offsets_to_delta({}, {0: 100, 1: 0, 2: 7}, "logs")
-    assert d == {"logs:00000": (0, 100), "logs:00002": (0, 7)}
-    # resume: only the new tail of each partition
+    assert d == {"logs:00000": (None, 100), "logs:00002": (None, 7)}
+    # resume: only the new tail of each partition; a NEW partition appearing
+    # mid-stream (rebalance/assignment growth) reads from Beginning
     current = {"logs:00000": "%020d" % 100, "logs:00002": "%020d" % 7}
     d2 = offsets_to_delta(current, {0: 150, 1: 3, 2: 7}, "logs")
-    assert d2 == {"logs:00000": (100, 150), "logs:00001": (0, 3)}
+    assert d2 == {"logs:00000": (100, 150), "logs:00001": (None, 3)}
 
 
 def test_delta_to_spark_offsets_json():
     import json
 
     starting, ending = delta_to_spark_offsets(
-        {"logs:00000": (100, 150), "logs:00002": (0, 7)}, "logs"
+        {"logs:00000": (100, 150), "logs:00002": (None, 7)}, "logs"
     )
-    assert json.loads(starting) == {"logs": {"0": 100, "2": 0}}
+    # Beginning → -2, Spark's per-partition "earliest" sentinel
+    assert json.loads(starting) == {"logs": {"0": 100, "2": -2}}
     assert json.loads(ending) == {"logs": {"0": 150, "2": 7}}
+
+
+def test_spark_read_options_golden():
+    """VERDICT r4 item 7: the exact spark.read.format("kafka") options dict
+    produced from a checkpoint, golden-pinned so a cluster deploy (where
+    spark-sql-kafka IS on the classpath) cannot silently diverge from
+    kafka_source.rs's startingOffsets semantics. Three states: fresh
+    checkpoint (all Beginning), steady resume (all explicit), and a mixed
+    rebalance (resumed partition explicit + new partition Beginning)."""
+    import json
+
+    from quickwit_spark.sources.kafka import spark_read_options
+
+    # fresh checkpoint → every partition starts at -2 (earliest/Beginning)
+    fresh = spark_read_options(
+        "b1:9092,b2:9092", "logs", offsets_to_delta({}, {0: 100, 1: 50}, "logs")
+    )
+    assert fresh == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "logs",
+        "startingOffsets": json.dumps({"logs": {"0": -2, "1": -2}}),
+        "endingOffsets": json.dumps({"logs": {"0": 100, "1": 50}}),
+        "failOnDataLoss": "true",
+    }
+
+    # steady state → explicit next-offset-to-read on every partition
+    cur = {"logs:00000": "%020d" % 100, "logs:00001": "%020d" % 50}
+    steady = spark_read_options(
+        "b1:9092", "logs", offsets_to_delta(cur, {0: 130, 1: 80}, "logs")
+    )
+    assert json.loads(steady["startingOffsets"]) == {"logs": {"0": 100, "1": 50}}
+    assert json.loads(steady["endingOffsets"]) == {"logs": {"0": 130, "1": 80}}
+
+    # rebalance: assignment grows mid-stream — old partition resumes at its
+    # committed offset, the new one reads from Beginning
+    mixed = spark_read_options(
+        "b1:9092", "logs",
+        offsets_to_delta({"logs:00000": "%020d" % 100}, {0: 130, 7: 9}, "logs"),
+    )
+    assert json.loads(mixed["startingOffsets"]) == {"logs": {"0": 100, "7": -2}}
+    assert json.loads(mixed["endingOffsets"]) == {"logs": {"0": 130, "7": 9}}
+    # exactly-once is the checkpoint's job: missing broker offsets must fail
+    # loudly, never silently reset
+    assert mixed["failOnDataLoss"] == "true"
 
 
 def test_kafka_commit_is_exactly_once(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("kafka_ckpt"))
     src = KafkaTailSource(spark, "broker:9092", "logs", out)
     delta = src.plan({0: 100, 1: 50})
-    assert delta == {"logs:00000": (0, 100), "logs:00001": (0, 50)}
+    assert delta == {"logs:00000": (None, 100), "logs:00001": (None, 50)}
     src.commit(delta, commit_id="batch0")
     # replaying the same delta is rejected (overlap) — exactly-once publish
     with pytest.raises(IncompatibleCheckpointDelta):
@@ -106,7 +154,7 @@ def test_kafka_e2e_kill_and_resume_with_file_broker(spark, tmp_path_factory):
     produce(2, 6)
     df2, delta2 = src.poll()
     assert delta2["turns:00000"] == (5, 9)
-    assert delta2["turns:00002"] == (0, 6)
+    assert delta2["turns:00002"] == (None, 6)  # new partition = Beginning
     write_sink(df2, commit_id_for(delta2))
     # CRASH planted here: sink written, commit never happened.
 
