@@ -150,3 +150,83 @@ def test_vrl_round2_ops(spark):
 
     assert out["user_hash"] == hashlib.sha256(b"alice").hexdigest()
     assert out["_transform_error"] is None
+
+
+def test_vrl_round5_ops(spark):
+    """set_expr (derived fields), default (`.x ?? v`), parse_timestamp,
+    and `where` guards — the VRL conditional/expression layer
+    (vrl_processing.rs:50-96 behavior; declarative Spark re-expression)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.operators.transforms import apply_transforms
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, None, "2024-03-05 06:07:08", "ERROR"),
+            (2, 20, "keep", "2024-03-06 07:08:09", "INFO"),
+        ],
+        "id long, n long, note string, ts_raw string, level string",
+    )
+    out = {
+        r["id"]: r
+        for r in apply_transforms(
+            df,
+            [
+                {"op": "set_expr", "field": "n2", "expr": "n * 2 + id"},
+                {"op": "default", "field": "note", "value": "none"},
+                {"op": "default", "field": "brand_new", "value": "x"},
+                {"op": "parse_timestamp", "field": "ts_raw", "to": "ts",
+                 "format": "yyyy-MM-dd HH:mm:ss"},
+                # guard: only ERROR rows get flagged; others keep old value
+                {"op": "set", "field": "flag", "value": "alert",
+                 "where": "level = 'ERROR'"},
+                {"op": "uppercase", "field": "note", "where": "id = 2"},
+            ],
+        ).collect()
+    }
+    assert out[1]["n2"] == 21 and out[2]["n2"] == 42
+    assert out[1]["note"] == "none"        # null → default
+    assert out[2]["note"] == "KEEP"        # guarded uppercase hit id=2 only
+    assert out[1]["brand_new"] == "x"      # default creates missing columns
+    assert out[1]["ts"] == datetime(2024, 3, 5, 6, 7, 8)
+    assert out[1]["flag"] == "alert" and out[2]["flag"] is None
+    assert out[1]["_transform_error"] is None
+
+
+def test_grok_presets(spark):
+    """Library presets: apache_common and syslog_line parse canonical lines
+    into typed fields without hand-written regex."""
+    from quickwit_spark.operators.transforms import apply_transforms
+
+    df = spark.createDataFrame(
+        [('127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+          '"GET /apache_pb.gif HTTP/1.0" 200 2326',)],
+        "line string",
+    )
+    r = apply_transforms(
+        df,
+        [{"op": "grok", "field": "line", "preset": "apache_common",
+          "groups": {"status": "int", "bytes": "long"}}],
+    ).first()
+    assert r["client_ip"] == "127.0.0.1"
+    assert r["auth"] == "frank"
+    assert r["method"] == "GET" and r["path"] == "/apache_pb.gif"
+    assert r["status"] == 200 and r["bytes"] == 2326
+    assert r["_transform_error"] is None
+
+    df2 = spark.createDataFrame(
+        [("Dec 10 06:55:46 web-01 sshd[3541]: Accepted publickey for root",),
+         ("Dec 10 06:55:47 web-01 cron: session opened",)],
+        "line string",
+    )
+    rows = apply_transforms(
+        df2, [{"op": "grok", "field": "line", "preset": "syslog_line",
+               "groups": {"pid": "int"}}],
+    ).collect()
+    assert rows[0]["host"] == "web-01" and rows[0]["program"] == "sshd"
+    assert rows[0]["pid"] == 3541
+    assert rows[0]["message"] == "Accepted publickey for root"
+    assert rows[1]["program"] == "cron" and rows[1]["pid"] is None
+    assert rows[1]["_transform_error"] is None
