@@ -921,6 +921,7 @@ def search_index(
     field_types: dict[str, str] | None = None,
     default_fields: tuple[str, ...] = (),
     ts_field: str = "ts",
+    cache: "SearchCache | None" = None,
 ) -> dict[str, Any]:
     """ES `_search` over a janitor-managed index with AUTOMATIC query →
     time-bounds split pruning (quickwit-search/src/root.rs:1230-1245: the
@@ -930,9 +931,22 @@ def search_index(
 
     Metadata-plane only before the read: at 10^12 turns a one-day query over
     a year of day-aligned splits opens ~1/365 of the files, without the
-    caller passing any bounds."""
-    df, _ = pruned_index_df(spark, out_dir, body, field_types, default_fields, ts_field)
-    return es_search(df, body, field_types, default_fields)
+    caller passing any bounds.
+
+    Pass a ``SearchCache`` to get the reference's leaf/result-cache behavior
+    (quickwit-search/src/leaf_cache.rs semantics): a repeated body over an
+    unchanged index returns the cached response; any publish/merge/delete/
+    retention changes the index epoch and forces recompute."""
+
+    def _run() -> dict[str, Any]:
+        df, _ = pruned_index_df(
+            spark, out_dir, body, field_types, default_fields, ts_field
+        )
+        return es_search(df, body, field_types, default_fields)
+
+    if cache is not None:
+        return cache.get_or_compute(out_dir, body, _run, scope="search_index")
+    return _run()
 
 
 def pruned_index_df(
