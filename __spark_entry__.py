@@ -515,6 +515,48 @@ def _q_text_fingerprint(spark, sf_dir):
     return docs.select("doc_id", TX.fingerprint_col(F.col("text")).alias("fingerprint"))
 
 
+def _q_vrl_transform(spark, sf_dir):
+    """The r5 VRL expression layer end-to-end (vrl_processing.rs:50-96
+    behavior): synthesize an apache_common access-log line from events
+    columns (set_expr), grok it back with the preset library (typed
+    groups), apply a where-guarded mutation (the VRL conditional), a
+    default (`.tag ?? 'cold'`), and parse_timestamp round-trip to epoch.
+    All steps stay in whole-stage codegen; the oracle restates the
+    semantics (what grok must extract from that line) directly over the
+    source columns."""
+    from quickwit_spark.operators.transforms import apply_transforms
+
+    events = _t(spark, sf_dir, "events")
+    steps = [
+        {"op": "set_expr", "field": "line", "expr": (
+            "concat('10.0.', cast(user_id % 256 as string), '.1 - frank "
+            "[10/Oct/2024:13:55:36 +0000] \"GET /', event_type, "
+            "' HTTP/1.1\" ', cast(200 + (event_id % 5) as string), ' ', "
+            "cast(cast(floor(value * 100) as bigint) as string))"
+        )},
+        {"op": "grok", "field": "line", "preset": "apache_common",
+         "groups": {"status": "long"}},
+        # VRL: if .status >= 203 { .path = upcase(.path) }
+        {"op": "uppercase", "field": "path", "where": "status >= 203"},
+        # VRL: .tag = .tag ?? "cold"
+        {"op": "set_expr", "field": "tag",
+         "expr": "case when event_id % 3 = 0 then 'hot' end"},
+        {"op": "default", "field": "tag", "value": "cold"},
+        # VRL: .parsed = parse_timestamp!(.ts_str, format: ...)
+        {"op": "set_expr", "field": "ts_str",
+         "expr": "date_format(ts, 'yyyy-MM-dd HH:mm:ss')"},
+        {"op": "parse_timestamp", "field": "ts_str", "to": "parsed",
+         "format": "yyyy-MM-dd HH:mm:ss"},
+        {"op": "set_expr", "field": "parsed_epoch",
+         "expr": "unix_timestamp(parsed)"},
+    ]
+    out = apply_transforms(events, steps)
+    return out.select(
+        "event_id", "client_ip", "method", "path", "status",
+        F.col("bytes").alias("bytes_out"), "tag", "parsed_epoch",
+    )
+
+
 def _q_dedup_paragraphs(spark, sf_dir):
     """C4-style paragraph dedup over deterministic synthetic paragraphs
     (doc_id arithmetic forces cross-document repeats: 5 paras per doc drawn
@@ -1157,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_only": _q_count_only,
         "stratified_sample": _q_stratified_sample,
         "corpus_stats": _q_corpus_stats,
+        "vrl_transform": _q_vrl_transform,
         # rows-only tail (non-SQL-expressible)
         "text_fingerprint": _q_text_fingerprint,
         "dsir_weights_hashed": _q_dsir_weights_hashed,
@@ -2014,6 +2057,19 @@ def oracle_sql() -> dict[str, str]:
         # corpus summary: whitespace tokens (trim+lower+split, empties
         # dropped), exact linear-interpolation quartiles (quantile_cont ==
         # Spark `percentile`), distinct whitespace vocab
+        "vrl_transform": """
+            SELECT event_id,
+                   '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.1' AS client_ip,
+                   'GET' AS method,
+                   CASE WHEN 200 + (event_id % 5) >= 203
+                        THEN upper('/' || event_type)
+                        ELSE '/' || event_type END AS path,
+                   CAST(200 + (event_id % 5) AS BIGINT) AS status,
+                   CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) AS bytes_out,
+                   CASE WHEN event_id % 3 = 0 THEN 'hot' ELSE 'cold' END AS tag,
+                   CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS parsed_epoch
+            FROM events
+        """,
         "corpus_stats": r"""
             WITH t AS (
               SELECT doc_id,
