@@ -206,3 +206,42 @@ def test_dsir_hashed_plan_is_broadcast_and_jvm_only(spark, sf_dir):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     # per-doc sum is a hash aggregate with a map-side partial
     assert "HashAggregate" in p
+
+
+def test_vrl_transform_is_single_codegen_stage(spark, events):
+    """The whole VRL step DSL (set_expr + grok + where-guard + default +
+    parse_timestamp) compiles to ONE narrow whole-stage-codegen projection:
+    no shuffle, no Python eval, filters/columns still prunable. At 100 TB
+    the transform layer adds zero extra stages to the scan."""
+    from quickwit_spark.operators.transforms import apply_transforms
+
+    steps = [
+        {"op": "set_expr", "field": "line", "expr": (
+            "concat('10.0.', cast(user_id % 256 as string), '.1 - frank "
+            "[10/Oct/2024:13:55:36 +0000] \"GET /', event_type, "
+            "' HTTP/1.1\" ', cast(200 + (event_id % 5) as string), ' 17')"
+        )},
+        {"op": "grok", "field": "line", "preset": "apache_common",
+         "groups": {"status": "long"}},
+        {"op": "uppercase", "field": "path", "where": "status >= 203"},
+        {"op": "default", "field": "tool", "value": "none"},
+        {"op": "set_expr", "field": "ts_str",
+         "expr": "date_format(ts, 'yyyy-MM-dd HH:mm:ss')"},
+        {"op": "parse_timestamp", "field": "ts_str", "to": "parsed",
+         "format": "yyyy-MM-dd HH:mm:ss"},
+    ]
+    out = apply_transforms(events, steps).select(
+        "event_id", "client_ip", "path", "status", "parsed"
+    )
+    p = plan_of(out)
+    assert "Exchange" not in p, "VRL layer must not shuffle"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
+        "VRL layer must stay JVM-side"
+    )
+    # codegen marker is `*(n)` in the simple plan string
+    assert "*(1) Project" in p or "WholeStageCodegen" in p
+    # one stage total: the whole layer fused into stage 1
+    assert "*(2)" not in p
+    # and it executes: grok round-trips the synthesized line
+    row = out.orderBy("event_id").first()
+    assert row.client_ip.startswith("10.0.") and row.path.startswith("/")
