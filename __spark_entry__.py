@@ -515,6 +515,48 @@ def _q_text_fingerprint(spark, sf_dir):
     return docs.select("doc_id", TX.fingerprint_col(F.col("text")).alias("fingerprint"))
 
 
+def _q_join_asof(spark, sf_dir):
+    """Backward as-of join (latest-state temporal enrich): every event
+    picks up the tier from a slowly-changing per-user dimension (3 epochs
+    at deterministic offsets) active at-or-before its timestamp; events
+    before a user's first epoch keep a null tier (left semantics). One
+    shuffle + one window, no join node (operators/joins.py). Oracle:
+    DuckDB's native ASOF LEFT JOIN."""
+    from quickwit_spark.operators.joins import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    # parquet ts is TIMESTAMP_NTZ (no direct → long cast); session tz is
+    # pinned UTC so the ltz hop is value-preserving
+    facts = events.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_e"),
+    )
+    dim = (
+        events.select("user_id").distinct()
+        .select(
+            "user_id",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k"),
+        )
+        .select(
+            "user_id",
+            (
+                F.lit(1704067200)
+                + F.col("k") * F.lit(9 * 86400)
+                + (F.col("user_id") % 24) * F.lit(3600)
+            ).alias("eff_ts"),
+            F.element_at(
+                F.array(F.lit("bronze"), F.lit("silver"), F.lit("gold")),
+                (F.col("k") + 1).cast("int"),
+            ).alias("tier"),
+        )
+    )
+    return asof_join(
+        facts, dim, on="user_id", ts_fact="ts_e", ts_dim="eff_ts",
+        payload_cols=["tier"],
+    )
+
+
 def _q_vrl_transform(spark, sf_dir):
     """The r5 VRL expression layer end-to-end (vrl_processing.rs:50-96
     behavior): synthesize an apache_common access-log line from events
@@ -1200,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "corpus_stats": _q_corpus_stats,
         "vrl_transform": _q_vrl_transform,
+        "join_asof": _q_join_asof,
         # rows-only tail (non-SQL-expressible)
         "text_fingerprint": _q_text_fingerprint,
         "dsir_weights_hashed": _q_dsir_weights_hashed,
@@ -2069,6 +2112,23 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 3 = 0 THEN 'hot' ELSE 'cold' END AS tag,
                    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS parsed_epoch
             FROM events
+        """,
+        "join_asof": """
+            WITH facts AS (
+              SELECT event_id, user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_e
+              FROM events
+            ), users AS (SELECT DISTINCT user_id FROM events),
+            dim AS (
+              SELECT user_id,
+                     1704067200 + k * 777600 + (user_id % 24) * 3600 AS eff_ts,
+                     CASE k WHEN 0 THEN 'bronze' WHEN 1 THEN 'silver'
+                            ELSE 'gold' END AS tier
+              FROM users CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) ks
+            )
+            SELECT f.event_id, f.user_id, f.ts_e, d.tier
+            FROM facts f ASOF LEFT JOIN dim d
+              ON f.user_id = d.user_id AND f.ts_e >= d.eff_ts
         """,
         "corpus_stats": r"""
             WITH t AS (

@@ -1,0 +1,164 @@
+"""Temporal joins: as-of (latest-state) enrichment and interval range join.
+
+Log/telemetry pipelines constantly enrich facts with *time-varying*
+dimension state — "which tenant tier was active when this turn arrived?".
+The reference enriches at ingest with a static broadcast map
+(qw/quickwit-indexing/src/actors/doc_processor.rs VRL enrich — behavior
+contract only); at 100 TB with slowly-changing dimensions the static map
+becomes an as-of join. Spark has no native ASOF JOIN (Flink/QuestDB/DuckDB
+do), so this module re-expresses it Spark-first:
+
+**Design (one shuffle, no join node).** Union the dimension updates and the
+facts into one tall frame tagged by source, hash-partition on the key, and
+run a single window ``last(payload, ignorenulls=True)`` over
+``(key) ORDER BY (ts, is_fact)`` — every fact row picks up the most recent
+dimension values at-or-before its timestamp, in one Exchange + one sort,
+with whole-stage codegen and zero Python. This beats the naive
+range-condition join (which Spark executes as a broadcast-nested-loop or a
+cartesian-within-key) by orders of magnitude at scale, and it never
+materializes per-fact candidate sets.
+
+**Skew.** A hot key (one tenant emitting 10^9 turns) serializes into one
+task, as in any per-key ordered computation. The scale path is
+``time_buckets``: split the window into per-(key, bucket) units and carry
+each bucket's closing dimension state forward one bucket via a tiny
+bucket-boundary frame that is broadcast back — turning an unbounded
+per-key sort into bounded per-bucket sorts. Buckets only help when
+dimension updates are much rarer than facts (the slowly-changing case).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    ts_fact: str = "ts",
+    ts_dim: str = "ts",
+    payload_cols: list[str] | None = None,
+    how: str = "left",
+    suffix: str = "",
+) -> DataFrame:
+    """Backward as-of join: each fact row gets the payload of the LATEST
+    dim row with the same key and ``ts_dim <= ts_fact`` (inclusive — a
+    state change taking effect exactly at the fact's timestamp applies,
+    matching DuckDB/QuestDB ASOF semantics).
+
+    ``how="left"`` keeps facts with no prior dim state (payload null);
+    ``how="inner"`` drops them. Output = all fact columns + payload
+    columns (optionally suffixed).
+
+    One hash shuffle on ``on`` and one in-partition sort; no join node.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if payload_cols is None:
+        payload_cols = [c for c in dim.columns if c not in keys and c != ts_dim]
+    if not payload_cols:
+        raise ValueError("asof_join: dim has no payload columns")
+    overlap = set(payload_cols) & set(facts.columns)
+    if overlap and not suffix:
+        raise ValueError(
+            f"asof_join: payload columns {sorted(overlap)} collide with fact "
+            "columns; pass suffix="
+        )
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join: how must be left|inner, got {how!r}")
+
+    fact_cols = list(facts.columns)
+    out_names = [c + suffix for c in payload_cols]
+
+    # one tall frame: dim rows carry payload, fact rows carry the original
+    # row as a struct (so arbitrary fact schemas survive the union)
+    d = dim.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_dim).alias("__t"),
+        F.lit(0).alias("__is_fact"),
+        F.lit(None).cast(
+            facts.select(F.struct(*fact_cols).alias("s")).schema["s"].dataType
+        ).alias("__fact"),
+        *[F.col(c).alias(f"__p_{i}") for i, c in enumerate(payload_cols)],
+    )
+    f = facts.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_fact).alias("__t"),
+        F.lit(1).alias("__is_fact"),
+        F.struct(*fact_cols).alias("__fact"),
+        *[
+            F.lit(None).cast(dim.schema[c].dataType).alias(f"__p_{i}")
+            for i, c in enumerate(payload_cols)
+        ],
+    )
+    tall = d.unionByName(f)
+
+    # dim sorts BEFORE facts at equal __t (is_fact tiebreak) → inclusive <=
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col("__is_fact").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tall.select(
+        "__is_fact",
+        "__fact",
+        *[
+            F.last(F.col(f"__p_{i}"), ignorenulls=True).over(w).alias(f"__c_{i}")
+            for i in range(len(payload_cols))
+        ],
+    ).filter(F.col("__is_fact") == 1)
+
+    out = carried.select(
+        *[F.col("__fact")[c].alias(c) for c in fact_cols],
+        *[F.col(f"__c_{i}").alias(out_names[i]) for i in range(len(payload_cols))],
+    )
+    if how == "inner":
+        out = out.filter(F.col(out_names[0]).isNotNull())
+    return out
+
+
+def range_join_intervals(
+    facts: DataFrame,
+    intervals: DataFrame,
+    on: list[str] | str,
+    ts_fact: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    payload_cols: list[str] | None = None,
+    end_inclusive: bool = False,
+) -> DataFrame:
+    """Point-in-interval join for NON-overlapping intervals per key
+    (sessions, maintenance windows, config epochs): each fact picks up the
+    payload of the interval containing its timestamp, or nulls.
+
+    Re-expressed as TWO as-of carries in one window pass: carry the latest
+    interval start's payload forward, then null it out for facts past that
+    interval's end — still one shuffle, no range-condition join (which
+    Catalyst would execute as nested-loop within key). For OVERLAPPING
+    intervals use an explicit join; overlap makes the result multi-row per
+    fact and no longer an enrichment.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if payload_cols is None:
+        payload_cols = [
+            c for c in intervals.columns
+            if c not in keys and c not in (start_col, end_col)
+        ]
+    dim = intervals.select(
+        *keys, F.col(start_col).alias("__eff"), F.col(end_col).alias("__end"),
+        *payload_cols,
+    )
+    joined = asof_join(
+        facts, dim, on=keys, ts_fact=ts_fact, ts_dim="__eff",
+        payload_cols=["__end", *payload_cols],
+    )
+    t = F.col(ts_fact)
+    in_range = (t <= F.col("__end")) if end_inclusive else (t < F.col("__end"))
+    return joined.select(
+        *facts.columns,
+        *[
+            F.when(in_range, F.col(c)).otherwise(F.lit(None)).alias(c)
+            for c in payload_cols
+        ],
+    )
