@@ -557,6 +557,46 @@ def _q_join_asof(spark, sf_dir):
     )
 
 
+_BATCH_BM25_QUERIES = ["join hash", "merge vector scan", "filter row batch"]
+
+
+def _q_batch_bm25(spark, sf_dir):
+    """Batch BM25 retrieval (operators/scoring.py batch_bm25_search): all
+    queries scored in ONE job via the inverted-index join — corpus tokens
+    broadcast-filtered by the query-term set, tf/df over survivors only,
+    top-10 per query. Equality with the per-query bm25_topk scorer is
+    pytest-asserted; the oracle restates the full join formulation in
+    DuckDB."""
+    from pyspark.sql import Row
+
+    from quickwit_spark.operators.scoring import batch_bm25_search
+
+    docs = _t(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        [Row(query_id=i, query=q) for i, q in enumerate(_BATCH_BM25_QUERIES)]
+    )
+    out = batch_bm25_search(docs, qdf, field="text", id_col="doc_id", k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _q_sessionize(spark, sf_dir):
+    """Gap-based batch sessionization (6h gap) + per-session aggregates —
+    the batch analog of streaming conversation_sessions, one shuffle, two
+    stacked windows + groupBy (operators/joins.py). Oracle: identical
+    lag/running-sum window SQL in DuckDB."""
+    from quickwit_spark.operators.joins import session_stats
+
+    events = _t(spark, sf_dir, "events")
+    f = events.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_e"),
+    )
+    return session_stats(
+        f, on="user_id", ts_col="ts_e", gap=21600, order_tiebreak="event_id"
+    )
+
+
 def _q_vrl_transform(spark, sf_dir):
     """The r5 VRL expression layer end-to-end (vrl_processing.rs:50-96
     behavior): synthesize an apache_common access-log line from events
@@ -1243,6 +1283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "vrl_transform": _q_vrl_transform,
         "join_asof": _q_join_asof,
+        "sessionize": _q_sessionize,
+        "batch_bm25": _q_batch_bm25,
         # rows-only tail (non-SQL-expressible)
         "text_fingerprint": _q_text_fingerprint,
         "dsir_weights_hashed": _q_dsir_weights_hashed,
@@ -2112,6 +2154,70 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 3 = 0 THEN 'hot' ELSE 'cold' END AS tag,
                    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS parsed_epoch
             FROM events
+        """,
+        "batch_bm25": r"""
+            WITH q(query_id, query) AS (
+              VALUES (CAST(0 AS BIGINT), 'join hash'),
+                     (CAST(1 AS BIGINT), 'merge vector scan'),
+                     (CAST(2 AS BIGINT), 'filter row batch')
+            ), qt AS (
+              SELECT query_id,
+                     unnest(list_distinct(
+                       str_split_regex(lower(trim(query)), '\s+'))) AS term
+              FROM q
+            ), d AS (
+              SELECT doc_id, str_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), s AS (
+              SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM d
+            ), tok AS (
+              SELECT doc_id, len(t)::DOUBLE AS dl, unnest(t) AS term FROM d
+            ), tf AS (
+              SELECT term, doc_id, dl, count(*)::DOUBLE AS tf
+              FROM tok JOIN (SELECT DISTINCT term FROM qt) USING (term)
+              GROUP BY 1, 2, 3
+            ), dft AS (
+              SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+            ), sc AS (
+              SELECT qt.query_id, tf.doc_id,
+                     round(sum(
+                       ln(1 + (n - df + 0.5) / (df + 0.5))
+                       * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                     ), 6) AS _score
+              FROM tf JOIN dft USING (term) JOIN qt USING (term), s
+              GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id, _score, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY _score DESC, doc_id ASC) AS rank
+              FROM sc
+            ) WHERE rank <= 10
+        """,
+        "sessionize": """
+            WITH f AS (
+              SELECT event_id, user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_e
+              FROM events
+            ), marked AS (
+              SELECT user_id, event_id, ts_e,
+                     CASE WHEN lag(ts_e) OVER w IS NULL
+                               OR ts_e - lag(ts_e) OVER w > 21600
+                          THEN 1 ELSE 0 END AS is_new
+              FROM f
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_e, event_id)
+            ), sess AS (
+              SELECT user_id, ts_e,
+                     CAST(sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts_e, event_id
+                       ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+              FROM marked
+            )
+            SELECT user_id, session_idx,
+                   count(*) AS n_events,
+                   min(ts_e) AS session_start,
+                   max(ts_e) AS session_end,
+                   max(ts_e) - min(ts_e) AS duration
+            FROM sess GROUP BY 1, 2
         """,
         "join_asof": """
             WITH facts AS (

@@ -118,6 +118,64 @@ def asof_join(
     return out
 
 
+def sessionize(
+    events: DataFrame,
+    on: list[str] | str,
+    ts_col: str = "ts",
+    gap: int | float = 1800,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Gap-based batch sessionization: consecutive events of the same key
+    closer than ``gap`` (same units as ``ts_col``; seconds for epoch
+    columns) share a session. Adds ``session_idx`` (0-based per key, in
+    time order) — the batch analog of streaming/stateful.py's
+    ``conversation_sessions`` (applyInPandasWithState), same gap rule.
+
+    One shuffle on the key, two stacked window passes in the SAME sort
+    (lag → running sum), whole-stage codegen, no Python. At 10^12 events a
+    hot key serializes its own ordered scan — inherent to ordered
+    sessionization; salt upstream only if a single key exceeds a task.
+    ``order_tiebreak`` breaks equal timestamps deterministically.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    order = [F.col(ts_col).asc()] + (
+        [F.col(order_tiebreak).asc()] if order_tiebreak else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.col(ts_col) - prev) > F.lit(gap)), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.withColumn(
+        "session_idx", (F.sum(is_new).over(run) - F.lit(1)).cast("long")
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    on: list[str] | str,
+    ts_col: str = "ts",
+    gap: int | float = 1800,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-session aggregate rows over :func:`sessionize` output: event
+    count, start/end, duration. The groupBy reuses the sessionize shuffle's
+    partitioning on the key prefix (no second full shuffle of the events)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    s = sessionize(events, keys, ts_col, gap, order_tiebreak)
+    return s.groupBy(*keys, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (F.max(ts_col) - F.min(ts_col)).alias("duration"),
+    )
+
+
 def range_join_intervals(
     facts: DataFrame,
     intervals: DataFrame,

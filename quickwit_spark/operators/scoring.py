@@ -190,3 +190,102 @@ def bm25_topk(
     if id_col is not None:
         order.append(F.col(id_col).asc())
     return scored.orderBy(*order).limit(k)
+
+
+def batch_bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    field: str = "text",
+    id_col: str = "doc_id",
+    query_id: str = "query_id",
+    query_field: str = "query",
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Score MANY queries against the corpus in one job — the batch
+    retrieval path. ``bm25_topk`` compiles each query into a Column
+    expression (right for interactive single queries); at 10^6 queries
+    that is 10^6 corpus scans. This re-expresses the inverted index the
+    reference stores on disk (tantivy postings) as a DataFrame join:
+
+        corpus tokens ⋈broadcast query-term set → tf → score → top-k
+
+    Same formula as :func:`bm25_score_col` (OR semantics over deduped
+    query terms), identical scores.
+
+    Scale shape: the corpus never shuffles whole — tokens that match no
+    query term die in the SAME stage that explodes them (broadcast hash
+    join against the distinct query-term set), so the first shuffle
+    carries only matching (doc, term) tokens for tf counting; df(t) is a
+    tiny aggregate over those; the only other shuffles are
+    groupBy(qid, doc) on candidate pairs and the per-query top-k window.
+    Stopword-like query terms blow up the candidate set (df(t) rows
+    each) — ``max_df`` drops terms matching more than that many docs, the
+    same df-cap as ngram-jaccard's prefix filter (dedup.py:289); their
+    idf ≈ 0 so the ranking is unchanged while join volume stays bounded.
+
+    Returns (query_id, doc_id, _score, rank) — top-``k`` per query,
+    ranked by score desc then doc asc (the reference's stable tiebreak).
+    """
+    from pyspark.sql import Window
+
+    # one corpus tokenization: stats + token stream share it
+    toks = docs.select(
+        F.col(id_col).alias("__doc"), _tokens(F.col(field)).alias("__t")
+    )
+    row = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.size("__t")).alias("avgdl")
+    ).first()
+    n_docs, avg_dl = int(row["n"]), float(row["avgdl"] or 1.0)
+
+    q_terms = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.explode(F.array_distinct(_tokens(F.col(query_field)))).alias("__term"),
+    )
+    term_set = q_terms.select("__term").distinct()
+
+    # explode + broadcast-filter in ONE stage: non-query tokens never
+    # reach a shuffle. tf counts only the survivors.
+    hits = toks.select(
+        "__doc",
+        F.size("__t").cast("double").alias("__dl"),
+        F.explode("__t").alias("__term"),
+    ).join(F.broadcast(term_set), "__term")
+    tf = hits.groupBy("__term", "__doc", "__dl").agg(
+        F.count(F.lit(1)).cast("double").alias("__tf")
+    )
+
+    # df(t) = docs containing t; tf is unique per (term, doc) already
+    df_t = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    if max_df is not None:
+        df_t = df_t.filter(F.col("__df") <= max_df)
+    idf_c = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+
+    scored = (
+        tf.join(F.broadcast(df_t), "__term")
+        .join(F.broadcast(q_terms), "__term")  # fan out to the queries
+        .withColumn(
+            "__s", idf_c * _tf_norm(F.col("__tf"), F.col("__dl"), avg_dl, k1, b)
+        )
+        .groupBy("__qid", "__doc")
+        .agg(F.round(F.sum("__s"), 6).alias("_score"))
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("_score").desc(), F.col("__doc").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__doc").alias(id_col),
+            "_score",
+            "rank",
+        )
+    )

@@ -143,3 +143,40 @@ def test_asof_matches_naive_join_on_random_frames(spark):
     )
     slow = {r.fid: r.val for r in naive.collect()}
     assert fast == slow
+
+
+def test_sessionize_gap_rule(spark):
+    from quickwit_spark.operators.joins import session_stats, sessionize
+
+    ev = spark.createDataFrame(
+        [
+            Row(eid=1, key="u1", ts=0),
+            Row(eid=2, key="u1", ts=100),
+            Row(eid=3, key="u1", ts=1901),   # 1801 after prev → NEW (> gap)
+            Row(eid=4, key="u1", ts=1950),
+            Row(eid=5, key="u2", ts=0),      # keys independent
+            Row(eid=6, key="u1", ts=3750),   # exactly gap after 1950 → SAME
+        ]
+    )
+    s = sessionize(ev, on="key", ts_col="ts", gap=1800, order_tiebreak="eid")
+    got = {r.eid: r.session_idx for r in s.collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0, 6: 1}
+
+    st = session_stats(ev, on="key", ts_col="ts", gap=1800, order_tiebreak="eid")
+    rows = {(r.key, r.session_idx): (r.n_events, r.duration) for r in st.collect()}
+    assert rows == {
+        ("u1", 0): (2, 100),
+        ("u1", 1): (3, 1849),
+        ("u2", 0): (1, 0),
+    }
+
+
+def test_sessionize_plan_single_shuffle(spark):
+    from quickwit_spark.operators.joins import session_stats
+
+    ev = spark.createDataFrame([Row(eid=i, key=f"u{i%3}", ts=i * 7) for i in range(30)])
+    out = session_stats(ev, on="key", ts_col="ts", gap=10, order_tiebreak="eid")
+    p = out._jdf.queryExecution().executedPlan().toString()
+    # the groupBy reuses the window's hashpartitioning(key): ONE exchange
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -275,3 +275,51 @@ def test_search_after_with_score_cursor(corpus):
     ids2 = [h["_source"]["doc_id"] for h in page2["hits"]["hits"]]
     assert not set(ids1) & set(ids2)
     assert len(ids1 + ids2) == 3  # all three spark docs, no dup, no gap
+
+
+def test_batch_bm25_equals_per_query_scorer(corpus, spark):
+    """The inverted-index join path must reproduce bm25_topk exactly —
+    same scores, same ranking, same tiebreak — for every query at once."""
+    from pyspark.sql import Row
+
+    from quickwit_spark.operators.scoring import batch_bm25_search, bm25_topk
+
+    queries = ["spark merge", "fast spark", "merge split window"]
+    qdf = spark.createDataFrame(
+        [Row(query_id=i, query=q) for i, q in enumerate(queries)]
+    )
+    batch = batch_bm25_search(corpus, qdf, field="text", id_col="doc_id", k=10)
+    got = {(r.query_id, r.rank): (r.doc_id, r._score) for r in batch.collect()}
+    for qid, q in enumerate(queries):
+        solo = bm25_topk(corpus, q, field="text", k=10, id_col="doc_id")
+        rows = solo.select("doc_id", "_score").collect()
+        assert rows, q
+        for rank, r in enumerate(rows, start=1):
+            assert got[(qid, rank)] == (r.doc_id, r._score), (q, rank)
+        assert len([x for x in got if x[0] == qid]) == len(rows)
+
+
+def test_batch_bm25_max_df_cap(corpus, spark):
+    from pyspark.sql import Row
+
+    from quickwit_spark.operators.scoring import batch_bm25_search
+
+    qdf = spark.createDataFrame([Row(query_id=0, query="spark merge")])
+    assert batch_bm25_search(corpus, qdf, k=5, max_df=0).count() == 0
+    a = [tuple(r) for r in batch_bm25_search(corpus, qdf, k=5).collect()]
+    b = [tuple(r) for r in batch_bm25_search(corpus, qdf, k=5, max_df=10**9).collect()]
+    assert a == b and a
+
+
+def test_batch_bm25_plan_no_corpus_wide_shuffle(corpus, spark):
+    from pyspark.sql import Row
+
+    from quickwit_spark.operators.scoring import batch_bm25_search
+
+    qdf = spark.createDataFrame([Row(query_id=0, query="spark merge")])
+    out = batch_bm25_search(corpus, qdf, k=5)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    # the corpus-side token stream is filtered by a broadcast join in its
+    # own stage; nothing sort-merges and nothing goes cartesian
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 2
