@@ -289,3 +289,43 @@ def batch_bm25_search(
             "rank",
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009, public):
+    ``fused(d) = Σ_r 1/(k + rank_r(d))`` over the input ranked lists —
+    the standard way hybrid search engines merge a lexical (BM25) list
+    with a vector (ANN) list without score calibration. Elasticsearch's
+    ``rrf`` retriever implements the same formula; this is the engine's
+    hybrid-retrieval merge step.
+
+    Each input DataFrame carries (id, rank) with rank starting at 1; ids
+    absent from a list simply contribute nothing for it. Union → one
+    groupBy over Σ|lists| rows (top-k-sized inputs, so the shuffle is a
+    few thousand rows regardless of corpus size) → order by fused score
+    desc, id asc. ``topk`` limits the output via TakeOrdered."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(id_col).alias("__id"),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias(
+                "__contrib"
+            ),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("__id").agg(F.round(F.sum("__contrib"), 6).alias("rrf_score"))
+    out = fused.select(F.col("__id").alias(id_col), "rrf_score").orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return out.limit(topk) if topk is not None else out

@@ -739,6 +739,125 @@ def pq_codebooks_from_rows(
     return books
 
 
+def ivf_pq_build(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    residual: bool = True,
+) -> DataFrame:
+    """Build the IVF-PQ index table ``(id, cell, codes)`` in ONE scan — the
+    IVFADC layout of Jégou et al. 2011 (public; the structure behind FAISS
+    IndexIVFPQ). Each vector is assigned to its nearest coarse centroid,
+    then the RESIDUAL ``x − centroid[cell]`` (or ``x`` itself with
+    ``residual=False``) is product-quantized to ``m`` sub-codes.
+
+    Reference analog: the immutable per-split index structures the
+    reference builds once at indexing time so queries never touch raw
+    documents (quickwit-indexing split build); here the "split" is a
+    parquet table and the posting list is the cell.
+
+    Scale shape: one Arrow kernel per batch (one coarse matmul + m sub
+    matmuls), NO shuffle. Write the result ``partitionBy("cell")`` and a
+    probed query becomes file-level partition pruning — a 4096-cell,
+    n_probe=8 query reads ~0.2% of the index. Codes are m small ints per
+    vector instead of 4·d floats — the compression that lets a
+    10^12-vector index live in a scannable table."""
+    C = np.asarray(centroids, dtype=np.float64)  # (ncell, d)
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = B.shape
+    c_sq = (C * C).sum(axis=1)
+    b_sq = (B * B).sum(axis=2)  # (m, ksub)
+
+    out_t = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def build(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame(
+                {"cell": pd.Series([], dtype="int32"), "codes": pd.Series([], dtype=object)}
+            )
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        n = len(X)
+        # argmin ||x-c||² = argmin (||c||² - 2 x·c); ties → smallest index
+        cell = (c_sq[None, :] - 2.0 * (X @ C.T)).argmin(axis=1)
+        R = X - C[cell] if residual else X
+        codes = np.empty((n, m), dtype=np.int32)
+        for j in range(m):
+            sub = R[:, j * dsub : (j + 1) * dsub]
+            codes[:, j] = (b_sq[j][None, :] - 2.0 * (sub @ B[j].T)).argmin(axis=1)
+        return pd.DataFrame({"cell": cell.astype("int32"), "codes": list(codes)})
+
+    built = df.select(F.col(id_col), build(F.col(vec_col)).alias("_ix"))
+    return built.select(
+        id_col, F.col("_ix.cell").alias("cell"), F.col("_ix.codes").alias("codes")
+    )
+
+
+def ivf_pq_topk(
+    index: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    residual: bool = True,
+) -> DataFrame:
+    """Query an :func:`ivf_pq_build` table: probe the ``n_probe`` coarse
+    cells nearest the query, ADC-score ONLY their codes, take top-k.
+
+    Driver side: rank cells by ``||q − centroid||²`` and precompute ONE
+    (m × ksub) LUT per probed cell — ``LUT_c[j][code] =
+    ||(q − centroid_c)_j − codebook[j][code]||²`` (with ``residual=False``
+    the LUT is cell-independent). n_probe·m·ksub doubles: driver-trivial
+    at real sizes (8·16·256 = 32k).
+
+    Executor side: ``cell ∈ probed`` filters BEFORE anything else (file
+    pruning on a cell-partitioned table — unprobed cells are never read),
+    a broadcast of the tiny (cell → LUT) table, then the ADC sum is pure
+    codegen (element_at chains) — no Python at query time, raw vectors
+    never read. TakeOrdered(k) ends it: k rows per partition, no global
+    sort. Returns (id, adc) ascending (smaller = closer), ties by id."""
+    C = np.asarray(centroids, dtype=np.float64)
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = B.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    cell_d = ((C - q[None, :]) ** 2).sum(axis=1)
+    probed = [int(c) for c in np.argsort(cell_d, kind="stable")[:n_probe]]
+
+    lut_rows = []
+    for c in probed:
+        r = q - C[c] if residual else q
+        lut = []
+        for j in range(m):
+            diff = B[j] - r[j * dsub : (j + 1) * dsub][None, :]
+            lut.append([float(v) for v in (diff * diff).sum(axis=1)])
+        lut_rows.append((c, lut))
+    lut_df = index.sparkSession.createDataFrame(
+        lut_rows, schema="cell int, _lut array<array<double>>"
+    )
+
+    adc = F.lit(0.0)
+    for j in range(m):
+        adc = adc + F.element_at(
+            F.element_at(F.col("_lut"), j + 1), F.element_at(F.col("codes"), j + 1) + 1
+        )
+    return (
+        index.filter(F.col("cell").isin(probed))
+        .join(F.broadcast(lut_df), "cell")
+        .select(F.col(id_col), F.round(adc, 6).alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def knn_recall(
     truth: DataFrame,
     approx: DataFrame,

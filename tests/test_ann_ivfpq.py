@@ -1,0 +1,137 @@
+"""IVF-PQ (IVFADC, Jégou et al. 2011) build + query path
+(operators/similarity.py ivf_pq_build / ivf_pq_topk): numpy-reference
+parity, residual vs plain encoding, partition pruning on a
+cell-partitioned index table, and a no-Python-at-query-time plan assert."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from quickwit_spark.operators.similarity import (
+    ivf_pq_build,
+    ivf_pq_topk,
+    pq_codebooks_from_rows,
+)
+
+DIM, NCELL, M, KSUB = 16, 4, 4, 4
+
+
+def _fixture(seed=7, n=200):
+    rng = np.random.default_rng(seed)
+    centroids = rng.standard_normal((NCELL, DIM)) * 3.0
+    cells = rng.integers(0, NCELL, size=n)
+    X = centroids[cells] + rng.standard_normal((n, DIM)) * 0.5
+    codebooks = pq_codebooks_from_rows(X[:40], m=M, ksub=KSUB, iters=5, seed=3)
+    return X, centroids, codebooks
+
+
+def _numpy_index(X, centroids, codebooks, residual):
+    C, B = np.asarray(centroids), np.asarray(codebooks)
+    m, ksub, dsub = B.shape
+    cell = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    R = X - C[cell] if residual else X
+    codes = np.stack(
+        [
+            ((R[:, None, j * dsub : (j + 1) * dsub] - B[j][None, :, :]) ** 2)
+            .sum(axis=2)
+            .argmin(axis=1)
+            for j in range(m)
+        ],
+        axis=1,
+    )
+    return cell, codes
+
+
+def _numpy_adc(q, centroids, codebooks, cell, codes, probed, residual):
+    C, B = np.asarray(centroids), np.asarray(codebooks)
+    m, ksub, dsub = B.shape
+    out = {}
+    for i in range(len(cell)):
+        if cell[i] not in probed:
+            continue
+        r = q - C[cell[i]] if residual else q
+        d = 0.0
+        for j in range(m):
+            diff = r[j * dsub : (j + 1) * dsub] - B[j][codes[i, j]]
+            d += float((diff * diff).sum())
+        out[i] = round(d, 6)
+    return out
+
+
+@pytest.mark.parametrize("residual", [True, False])
+def test_build_matches_numpy(spark, residual):
+    X, centroids, codebooks = _fixture()
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: (r["cell"], tuple(r["codes"]))
+        for r in ivf_pq_build(df, centroids, codebooks, residual=residual).collect()
+    }
+    cell, codes = _numpy_index(X, centroids, codebooks, residual)
+    for i in range(len(X)):
+        assert got[i] == (cell[i], tuple(codes[i])), i
+
+
+@pytest.mark.parametrize("residual", [True, False])
+def test_topk_matches_numpy_probe_all(spark, residual):
+    X, centroids, codebooks = _fixture()
+    q = X[0] + 0.01
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))], "vec_id long, embedding array<double>"
+    )
+    index = ivf_pq_build(df, centroids, codebooks, residual=residual)
+    got = ivf_pq_topk(
+        index, list(q), centroids, codebooks, k=15, n_probe=NCELL, residual=residual
+    ).collect()
+
+    cell, codes = _numpy_index(X, centroids, codebooks, residual)
+    ref = _numpy_adc(q, centroids, codebooks, cell, codes, set(range(NCELL)), residual)
+    want = sorted(ref.items(), key=lambda kv: (kv[1], kv[0]))[:15]
+    assert [(r["vec_id"], r["adc"]) for r in got] == [(i, d) for i, d in want]
+
+
+def test_partial_probe_restricts_to_probed_cells(spark):
+    X, centroids, codebooks = _fixture()
+    q = X[3]
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))], "vec_id long, embedding array<double>"
+    )
+    index = ivf_pq_build(df, centroids, codebooks).cache()
+    cell, codes = _numpy_index(X, centroids, codebooks, True)
+    probe2 = set(np.argsort(((centroids - q) ** 2).sum(axis=1), kind="stable")[:2].tolist())
+
+    got = ivf_pq_topk(index, list(q), centroids, codebooks, k=10, n_probe=2).collect()
+    ref = _numpy_adc(q, centroids, codebooks, cell, codes, probe2, True)
+    want = sorted(ref.items(), key=lambda kv: (kv[1], kv[0]))[:10]
+    assert [(r["vec_id"], r["adc"]) for r in got] == [(i, d) for i, d in want]
+    # every candidate came from a probed cell
+    assert all(cell[r["vec_id"]] in probe2 for r in got)
+    index.unpersist()
+
+
+def test_cell_partitioned_scan_prunes_files(spark, tmp_path):
+    X, centroids, codebooks = _fixture()
+    q = X[5]
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))], "vec_id long, embedding array<double>"
+    )
+    out = os.path.join(str(tmp_path), "ivfpq")
+    ivf_pq_build(df, centroids, codebooks).write.partitionBy("cell").parquet(out)
+    index = spark.read.parquet(out)
+
+    probed = set(
+        int(c) for c in np.argsort(((centroids - q) ** 2).sum(axis=1), kind="stable")[:2]
+    )
+    topk = ivf_pq_topk(index, list(q), centroids, codebooks, k=10, n_probe=2)
+    topk.collect()
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    # the probe filter reaches the scan as a PARTITION filter: unprobed
+    # cell directories are never listed, let alone read
+    cells_sql = ",".join(str(c) for c in sorted(probed))
+    assert f"PartitionFilters: [cell#" in plan and f" IN ({cells_sql})" in plan, plan
+    # query over the pre-built table is pure JVM: no Python eval node
+    assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan

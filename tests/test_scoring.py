@@ -323,3 +323,47 @@ def test_batch_bm25_plan_no_corpus_wide_shuffle(corpus, spark):
     # own stage; nothing sort-merges and nothing goes cartesian
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_rrf_formula_matches_reference(spark):
+    """RRF = Σ 1/(k + rank): independent dict-based reference."""
+    from pyspark.sql import Row
+
+    from quickwit_spark.operators.scoring import rrf_fuse
+
+    lex = [(10, 1), (20, 2), (30, 3)]
+    vec = [(20, 1), (40, 2), (10, 3), (50, 4)]
+    a = spark.createDataFrame([Row(doc_id=d, rank=r) for d, r in lex])
+    b = spark.createDataFrame([Row(doc_id=d, rank=r) for d, r in vec])
+    got = [(r["doc_id"], r["rrf_score"]) for r in rrf_fuse([a, b], k=60).collect()]
+
+    ref = {}
+    for lst in (lex, vec):
+        for d, r in lst:
+            ref[d] = ref.get(d, 0.0) + 1.0 / (60 + r)
+    want = sorted(
+        ((d, round(s, 6)) for d, s in ref.items()), key=lambda t: (-t[1], t[0])
+    )
+    assert got == want
+    # both-list doc 20 and 10 outrank any single-list doc
+    assert [d for d, _ in got[:2]] == [20, 10]
+
+
+def test_rrf_topk_and_tiebreak(spark):
+    from pyspark.sql import Row
+
+    from quickwit_spark.operators.scoring import rrf_fuse
+
+    # two docs with identical contributions → tie broken by ascending id
+    a = spark.createDataFrame([Row(doc_id=7, rank=1), Row(doc_id=3, rank=1)])
+    got = rrf_fuse([a], k=60, topk=2).collect()
+    assert [r["doc_id"] for r in got] == [3, 7]
+    assert got[0]["rrf_score"] == got[1]["rrf_score"]
+    assert len(rrf_fuse([a], topk=1).collect()) == 1
+
+
+def test_rrf_requires_input(spark):
+    from quickwit_spark.operators.scoring import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
