@@ -579,6 +579,64 @@ def _q_batch_bm25(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-20 fused with exact-cosine vector
+    top-20 by reciprocal-rank fusion (operators/scoring.py rrf_fuse) — the
+    Elasticsearch ``rrf`` retriever shape, merging two uncalibrated score
+    scales via ranks alone. documents.doc_id and embeddings.vec_id share
+    the same 0..n-1 id space by construction, so both rankers address one
+    corpus. Each input list is k-sized, so the fusion union+groupBy moves
+    O(k) rows regardless of corpus size; the two retrievals themselves are
+    the already-gated scan shapes (codegen BM25 filter+TakeOrdered, codegen
+    cosine+TakeOrdered)."""
+    from quickwit_spark.operators.scoring import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, "spark merge", "text", k=20, id_col="doc_id").select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("_score").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    )
+    qv = emb.filter(F.col("vec_id") == 5).first()["embedding"]
+    vec = S.cosine_topk(emb, list(qv), k=20).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(W.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()))
+        .alias("rank"),
+    )
+    return rrf_fuse([lex, vec], id_col="doc_id", k=60, topk=20)
+
+
+def _q_ann_ivf_pq(spark, sf_dir):
+    """IVF-PQ / IVFADC (similarity.py ivf_pq_build + ivf_pq_topk) end to
+    end: coarse centroids = embeddings 0..3, PQ codebooks = embeddings
+    10..13 sliced into 4 × 16-dim subspaces (both deterministic and
+    DuckDB-restatable — the same derivation trick as ann_pq/kmeans_step),
+    query = embedding 5, residual encoding, n_probe=2 of 4 cells — a
+    genuinely PARTIAL probe (unlike ann_ivf's probe-all), so the oracle
+    restates cell assignment, residual PQ codes, the probed-cell filter
+    and the ADC sum itself rather than falling back to brute force."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.filter(
+            F.col("vec_id").isin(0, 1, 2, 3, 5, 10, 11, 12, 13)
+        ).collect()
+    }
+    centroids = np.stack([rows[i] for i in range(4)])
+    base = np.stack([rows[i] for i in (10, 11, 12, 13)])
+    m, dsub = 4, 16
+    codebooks = np.stack([base[:, j * dsub : (j + 1) * dsub] for j in range(m)])
+    index = S.ivf_pq_build(emb, centroids, codebooks)
+    return S.ivf_pq_topk(
+        index, [float(x) for x in rows[5]], centroids, codebooks, k=15, n_probe=2
+    )
+
+
 def _q_sessionize(spark, sf_dir):
     """Gap-based batch sessionization (6h gap) + per-session aggregates —
     the batch analog of streaming conversation_sessions, one shuffle, two
@@ -1285,6 +1343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_asof": _q_join_asof,
         "sessionize": _q_sessionize,
         "batch_bm25": _q_batch_bm25,
+        "hybrid_rrf": _q_hybrid_rrf,
+        "ann_ivf_pq": _q_ann_ivf_pq,
         # rows-only tail (non-SQL-expressible)
         "text_fingerprint": _q_text_fingerprint,
         "dsir_weights_hashed": _q_dsir_weights_hashed,
@@ -1298,6 +1358,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _DH_KEY = "CAST(floor(epoch_ms(ts) / 86400000) * 86400000 AS BIGINT)"
+
+
+def _ivfpq_oracle() -> str:
+    """DuckDB restatement of the full IVFADC path for ann_ivf_pq: cell =
+    argmin ||e − c||² (first-min tiebreak, mirroring the kernel's argmin),
+    residual PQ codes per 16-dim subspace against codebooks = embeddings
+    10..13, probe = the 2 cells nearest the query, ADC = Σ_j ||(q −
+    c_cell)_j − codebook_j[code_j]||². Codebook row k's subspace-j slice
+    sits at global indices 16j+1..16j+16 of embedding 10+k, so `i` indexes
+    document, centroid and codebook lists alike. The repetitive per-
+    subspace argmin/ADC fragments are generated here rather than written
+    out four times (same structure as the hand-written ann_pq oracle)."""
+
+    def d2(a, b, lo, hi):
+        return (
+            f"list_sum(list_transform(generate_series({lo}, {hi}), "
+            f"i -> ({a}[i] - {b}[i]) ** 2))"
+        )
+
+    codes = []
+    adc_terms = []
+    for j in range(4):
+        lo, hi = 16 * j + 1, 16 * j + 16
+        dist_list = (
+            f"list_transform(bl, b -> list_sum(list_transform("
+            f"generate_series({lo}, {hi}), i -> ((e[i] - cl[cell1][i]) - b[i]) ** 2)))"
+        )
+        codes.append(f"list_indexof({dist_list}, list_min({dist_list})) AS code{j + 1}")
+        adc_terms.append(
+            f"list_sum(list_transform(generate_series({lo}, {hi}), "
+            f"i -> ((qe[i] - cl[cell1][i]) - bl[code{j + 1}][i]) ** 2))"
+        )
+    cell_dist = "list_transform(cl, c -> " + d2("e", "c", 1, 64) + ")"
+    codes_sql = ",\n                 ".join(codes)
+    adc_sql = " + ".join(adc_terms)
+    return f"""
+        WITH cent AS (
+          SELECT list(c ORDER BY cid) AS cl FROM (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+            FROM embeddings WHERE vec_id < 4)
+        ), cb AS (
+          SELECT list(b ORDER BY bid) AS bl FROM (
+            SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS b
+            FROM embeddings WHERE vec_id BETWEEN 10 AND 13)
+        ), q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id = 5
+        ), probed AS (
+          SELECT cid FROM (
+            SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn FROM (
+              SELECT c.cid, {d2("q.qe", "c.c", 1, 64)} AS d
+              FROM (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+                    FROM embeddings WHERE vec_id < 4) c, q))
+          WHERE rn <= 2
+        ), asg AS (
+          SELECT v.vec_id, v.e, cent.cl, cb.bl, q.qe,
+                 list_indexof({cell_dist}, list_min({cell_dist})) AS cell1
+          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings) v, cent, cb, q
+        ), coded AS (
+          SELECT vec_id, e, cl, bl, qe, cell1,
+                 {codes_sql}
+          FROM asg
+          WHERE cell1 - 1 IN (SELECT cid FROM probed)
+        )
+        SELECT vec_id,
+               round({adc_sql}, 6) AS adc
+        FROM coded
+        ORDER BY adc ASC, vec_id ASC
+        LIMIT 15
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1831,6 +1962,67 @@ def oracle_sql() -> dict[str, str]:
                    AND (ellipsis_line_frac <= 0.3)
                    AND (stopword_hits >= 2) AS keep
             FROM f
+        """,
+        "ann_ivf_pq": _ivfpq_oracle(),
+        # RRF = Σ 1/(60 + rank) over the two k-sized rank lists; the BM25
+        # CTE chain is the q_score_bm25 oracle verbatim, the vector side is
+        # the ann_topk brute-cosine oracle with query = embedding 5 and
+        # cosine rounded to 6 BEFORE ranking (mirroring cosine_topk)
+        "hybrid_rrf": r"""
+            WITH d AS (
+              SELECT doc_id, str_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), s AS (
+              SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM d
+            ), dfs AS (
+              SELECT
+                sum(CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+                sum(CASE WHEN list_contains(t, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS df2
+              FROM d
+            ), sc AS (
+              SELECT doc_id,
+                     len(list_filter(t, x -> x = 'spark'))::DOUBLE AS f1,
+                     len(list_filter(t, x -> x = 'merge'))::DOUBLE AS f2,
+                     len(t)::DOUBLE AS dl
+              FROM d
+            ), lex20 AS (
+              SELECT doc_id,
+                     round(
+                       ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+                         * (f1 * 2.2) / (f1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                       + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+                         * (f2 * 2.2) / (f2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                     6) AS _score
+              FROM sc, s, dfs
+              WHERE f1 > 0 OR f2 > 0
+              ORDER BY _score DESC, doc_id ASC
+              LIMIT 20
+            ), lex AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY _score DESC, doc_id ASC) AS rank
+              FROM lex20
+            ), vec20 AS (
+              SELECT r.vec_id AS doc_id,
+                     round(list_cosine_similarity(
+                       CAST(r.embedding AS DOUBLE[]), q.emb), 6) AS cos
+              FROM embeddings r,
+                   (SELECT CAST(embedding AS DOUBLE[]) AS emb
+                    FROM embeddings WHERE vec_id = 5) q
+              ORDER BY cos DESC, r.vec_id ASC
+              LIMIT 20
+            ), vec AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rank
+              FROM vec20
+            ), u AS (
+              SELECT doc_id, 1.0 / (60 + rank) AS c FROM lex
+              UNION ALL
+              SELECT doc_id, 1.0 / (60 + rank) AS c FROM vec
+            )
+            SELECT doc_id, round(sum(c), 6) AS rrf_score
+            FROM u GROUP BY doc_id
+            ORDER BY rrf_score DESC, doc_id ASC
+            LIMIT 20
         """,
         "ann_pq": r"""
             WITH cb AS (
