@@ -141,20 +141,22 @@ def _signatures_with_shingles(
     )
 
 
-def lsh_candidate_pairs(
+def minhash_postings(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_bands: int = 16,
     num_perm: int = 64,
 ) -> DataFrame:
-    """Banded LSH: rows sharing any band bucket become candidate pairs.
-
-    One shuffle on (band, bucket); self-join within buckets only. Returns
-    distinct (a, b) with a < b. ``num_perm`` must match the signature width
-    (explicit — no driver-side ``.first()`` probe).
-    """
+    """(id, band, bucket) — the banded-LSH posting table derived from a
+    signature table, pure codegen (element_at + xxhash64; no UDF, no
+    shuffle). This IS the persistable index of the incremental path: write
+    it ``partitionBy("band")`` (or bucketed by (band, bucket)) and a new
+    batch probes it without the stored corpus ever being re-read or
+    re-hashed — the DataFrame re-expression of the reference's immutable
+    per-split index structures that make queries independent of raw
+    documents."""
     rows_per_band = num_perm // num_bands
-    banded = signatures.select(
+    return signatures.select(
         id_col,
         F.explode(
             F.array(
@@ -176,6 +178,21 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 16,
+    num_perm: int = 64,
+) -> DataFrame:
+    """Banded LSH: rows sharing any band bucket become candidate pairs.
+
+    One shuffle on (band, bucket); self-join within buckets only. Returns
+    distinct (a, b) with a < b. ``num_perm`` must match the signature width
+    (explicit — no driver-side ``.first()`` probe).
+    """
+    banded = minhash_postings(signatures, id_col, num_bands, num_perm)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -188,6 +205,132 @@ def lsh_candidate_pairs(
         .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
         .distinct()
     )
+
+
+def _sig_est_col(sig_a="sig_a", sig_b="sig_b"):
+    """Signature agreement ratio — the MinHash Jaccard estimator."""
+    agree = F.size(
+        F.filter(
+            F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return agree / F.size(sig_a)
+
+
+def minhash_dedup_incremental(
+    new_df: DataFrame,
+    index_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    shingle_size: int = 3,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    seed: int = 1,
+    broadcast_new: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Dedup a NEW batch against an already-deduped corpus without
+    re-reading the corpus — the continuous-ingestion shape. ``index_sigs``
+    is the persisted (id, signature) table from prior batches (build with
+    :func:`minhash_signatures`, same shingle/perm/seed params — signatures
+    are deterministic per seed, so estimates equal the batch-mode values).
+    Ids must be disjoint between the index and the new batch.
+
+    Returns ``(pairs, new_kept, updated_index)``:
+
+    - ``pairs`` — (a, b, est_jaccard, partner) with est ≥ threshold;
+      ``partner`` is ``old`` for new-vs-index matches (a = index id) and
+      ``new`` for matches inside the batch (a < b).
+    - ``new_kept`` — (id) new docs that survive: connected components over
+      all matched pairs (same min-id rule as :func:`near_dup_clusters`);
+      a component containing ANY index doc keeps no new doc (the corpus
+      copy is the canonical one), an all-new component keeps its min id.
+    - ``updated_index`` — ``index_sigs`` ∪ signatures of the survivors,
+      ready to persist for the next batch.
+
+    Equivalence: if the index corpus has no internal near-dups at the
+    threshold, (new_kept ∪ index ids) equals the kept set of a full-batch
+    ``minhash_dedup_pairs`` + ``near_dup_clusters`` run over old ∪ new —
+    pytest-asserted on planted fixtures.
+
+    Scale shape (the point of the operator): the 100 TB corpus contributes
+    ONLY its posting table — derived from stored signatures in pure
+    codegen, or read directly if :func:`minhash_postings` output was
+    persisted partitionBy(band). With ``broadcast_new`` (a batch is small
+    next to the corpus) the probe is a BroadcastHashJoin: the index side
+    streams map-side, zero shuffle of corpus data, plan-asserted in tests.
+    Old signatures are fetched for VERIFICATION only for matched candidate
+    ids (a semi-join-sized subset), never for the whole corpus. The
+    new-vs-new path is the ordinary banded self-join over the batch."""
+    new_sigs = minhash_signatures(
+        new_df, text_col, id_col, shingle_size, num_perm, seed
+    ).localCheckpoint()
+
+    new_post = minhash_postings(new_sigs, id_col, num_bands, num_perm)
+    old_post = minhash_postings(index_sigs, id_col, num_bands, num_perm)
+    probe = F.broadcast(new_post) if broadcast_new else new_post
+    nv_old = (
+        old_post.withColumnRenamed(id_col, "a")
+        .join(probe.withColumnRenamed(id_col, "b"), ["band", "bucket"])
+        .select("a", "b")
+        .distinct()
+    )
+    nv_old_scored = (
+        nv_old.join(
+            index_sigs.select(F.col(id_col).alias("a"), F.col("signature").alias("sig_a")),
+            "a",
+        )
+        .join(
+            new_sigs.select(F.col(id_col).alias("b"), F.col("signature").alias("sig_b")),
+            "b",
+        )
+        .select(
+            "a", "b", F.round(_sig_est_col(), 6).alias("est_jaccard"),
+            F.lit("old").alias("partner"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+    nv_new = lsh_candidate_pairs(new_sigs, id_col, num_bands, num_perm)
+    sl = new_sigs.select(F.col(id_col).alias("a"), F.col("signature").alias("sig_a"))
+    sr = new_sigs.select(F.col(id_col).alias("b"), F.col("signature").alias("sig_b"))
+    nv_new_scored = (
+        nv_new.join(sl, "a")
+        .join(sr, "b")
+        .select(
+            "a", "b", F.round(_sig_est_col(), 6).alias("est_jaccard"),
+            F.lit("new").alias("partner"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    pairs = nv_old_scored.unionByName(nv_new_scored).localCheckpoint()
+
+    new_ids = new_sigs.select(F.col(id_col))
+    if pairs.isEmpty():
+        kept = new_ids
+    else:
+        clusters = near_dup_clusters(pairs.select("a", "b"))
+        old_members = clusters.join(
+            index_sigs.select(F.col(id_col).alias("member")), "member", "semi"
+        ).select("cluster").distinct()
+        # min NEW member per cluster, unless the cluster touches the index
+        new_members = clusters.join(
+            new_ids.withColumnRenamed(id_col, "member"), "member", "semi"
+        )
+        cluster_keep = (
+            new_members.join(old_members, "cluster", "anti")
+            .groupBy("cluster")
+            .agg(F.min("member").alias(id_col))
+            .select(id_col)
+        )
+        matched = clusters.select(F.col("member").alias(id_col))
+        kept = new_ids.join(matched, id_col, "anti").unionByName(cluster_keep)
+
+    updated_index = index_sigs.unionByName(
+        new_sigs.join(kept, id_col, "semi")
+    )
+    return pairs, kept, updated_index
 
 
 def _shingle_sets(df: DataFrame, text_col: str, id_col: str, shingle_size: int) -> DataFrame:
@@ -270,12 +413,7 @@ def minhash_dedup_pairs(
     sl = sigs.select(F.col(id_col).alias("a"), F.col("signature").alias("sig_a"))
     sr = sigs.select(F.col(id_col).alias("b"), F.col("signature").alias("sig_b"))
     joined = cands.join(sl, "a").join(sr, "b")
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1
-        )
-    )
-    est = agree / F.size("sig_a")
+    est = _sig_est_col()
     return joined.select("a", "b", F.round(est, 6).alias("est_jaccard")).filter(
         F.col("est_jaccard") >= threshold
     )
