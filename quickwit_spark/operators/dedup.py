@@ -8,6 +8,8 @@ Arrow-vectorized pandas UDFs (hashing batches with numpy).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -218,6 +220,18 @@ def _sig_est_col(sig_a="sig_a", sig_b="sig_b"):
     return agree / F.size(sig_a)
 
 
+class IncrementalDedup(NamedTuple):
+    """Result of :func:`minhash_dedup_incremental`. ``kept_sigs`` is the
+    batch's contribution to the signature index (survivors only) — the
+    row set a streaming sink appends per epoch; ``updated_index`` is the
+    full next-batch index (``index_sigs ∪ kept_sigs``)."""
+
+    pairs: DataFrame
+    new_kept: DataFrame
+    kept_sigs: DataFrame
+    updated_index: DataFrame
+
+
 def minhash_dedup_incremental(
     new_df: DataFrame,
     index_sigs: DataFrame,
@@ -229,7 +243,7 @@ def minhash_dedup_incremental(
     num_bands: int = 16,
     seed: int = 1,
     broadcast_new: bool = True,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> IncrementalDedup:
     """Dedup a NEW batch against an already-deduped corpus without
     re-reading the corpus — the continuous-ingestion shape. ``index_sigs``
     is the persisted (id, signature) table from prior batches (build with
@@ -237,7 +251,7 @@ def minhash_dedup_incremental(
     are deterministic per seed, so estimates equal the batch-mode values).
     Ids must be disjoint between the index and the new batch.
 
-    Returns ``(pairs, new_kept, updated_index)``:
+    Returns an :class:`IncrementalDedup`:
 
     - ``pairs`` — (a, b, est_jaccard, partner) with est ≥ threshold;
       ``partner`` is ``old`` for new-vs-index matches (a = index id) and
@@ -246,8 +260,10 @@ def minhash_dedup_incremental(
       all matched pairs (same min-id rule as :func:`near_dup_clusters`);
       a component containing ANY index doc keeps no new doc (the corpus
       copy is the canonical one), an all-new component keeps its min id.
-    - ``updated_index`` — ``index_sigs`` ∪ signatures of the survivors,
-      ready to persist for the next batch.
+    - ``kept_sigs`` — survivors' (id, signature): the delta a streaming
+      sink appends per epoch (streaming/dedup_stream.py).
+    - ``updated_index`` — ``index_sigs ∪ kept_sigs``, ready to persist
+      whole for the next batch.
 
     Equivalence: if the index corpus has no internal near-dups at the
     threshold, (new_kept ∪ index ids) equals the kept set of a full-batch
@@ -327,10 +343,10 @@ def minhash_dedup_incremental(
         matched = clusters.select(F.col("member").alias(id_col))
         kept = new_ids.join(matched, id_col, "anti").unionByName(cluster_keep)
 
-    updated_index = index_sigs.unionByName(
-        new_sigs.join(kept, id_col, "semi")
+    kept_sigs = new_sigs.join(kept, id_col, "semi")
+    return IncrementalDedup(
+        pairs, kept, kept_sigs, index_sigs.unionByName(kept_sigs)
     )
-    return pairs, kept, updated_index
 
 
 def _shingle_sets(df: DataFrame, text_col: str, id_col: str, shingle_size: int) -> DataFrame:

@@ -50,7 +50,8 @@ def fixture(spark):
 
 def test_matches_full_batch_run(spark, fixture):
     old, new, index = fixture
-    pairs, kept, updated = minhash_dedup_incremental(new, index, **KW)
+    res = minhash_dedup_incremental(new, index, **KW)
+    pairs, kept, updated = res.pairs, res.new_kept, res.updated_index
 
     got_pairs = {(r["a"], r["b"]): r["est_jaccard"] for r in pairs.collect()}
     batch_pairs = {
@@ -82,7 +83,7 @@ def test_matches_full_batch_run(spark, fixture):
 def test_index_round_trip_two_batches(spark, fixture):
     """updated_index from batch 1 is a working index for batch 2."""
     old, new, index = fixture
-    _, _, updated = minhash_dedup_incremental(new, index, **KW)
+    updated = minhash_dedup_incremental(new, index, **KW).updated_index
     updated = updated.localCheckpoint()
 
     batch2 = _df(
@@ -93,7 +94,8 @@ def test_index_round_trip_two_batches(spark, fixture):
             (21, "yet another entirely novel subject like underwater basket weaving"),
         ],
     )
-    pairs2, kept2, updated2 = minhash_dedup_incremental(batch2, updated, **KW)
+    res2 = minhash_dedup_incremental(batch2, updated, **KW)
+    pairs2, kept2, updated2 = res2.pairs, res2.new_kept, res2.updated_index
     got = {(r["a"], r["b"]): r["partner"] for r in pairs2.collect()}
     assert (11, 20) in got and got[(11, 20)] == "old"
     assert sorted(r["doc_id"] for r in kept2.collect()) == [21]
@@ -108,7 +110,8 @@ def test_no_matches_keeps_everything(spark, fixture):
         spark,
         [(30, "zebra quantum lattice harmonics"), (31, "volcanic glacier erosion basalt")],
     )
-    pairs, kept, updated = minhash_dedup_incremental(fresh, index, **KW)
+    res = minhash_dedup_incremental(fresh, index, **KW)
+    pairs, kept, updated = res.pairs, res.new_kept, res.updated_index
     assert pairs.isEmpty()
     assert sorted(r["doc_id"] for r in kept.collect()) == [30, 31]
     assert updated.count() == len(OLD) + 2
