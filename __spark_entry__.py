@@ -697,6 +697,36 @@ def _q_vrl_transform(spark, sf_dir):
     )
 
 
+_VRL_PROGRAM = """
+# the textual VRL a reference user ships in source-config `transform:`
+.etype = upcase(string!(.event_type))
+.k = to_int!(parse_json!(.props)["k"])
+if .value >= 100.0 { .tier = "high" }
+else if .value >= 10.0 { .tier = "mid" }
+else { .tier = "low" }
+.user_tag = "u" + string!(.user_id)
+.day = format_timestamp(.ts, "%Y-%m-%d")
+.flag = contains(.event_type, "err") || .value < 0.0
+del(.props)
+"""
+
+
+def _q_vrl_program(spark, sf_dir):
+    """The VRL SOURCE compiler (operators/vrl.py) end-to-end: the program
+    text a reference user puts in their source config — locals, fallible
+    `!` calls, if/else-if chains, `??`-style string ops, parse_json map
+    reads, strptime formats, del() — compiled into ONE Catalyst projection
+    (vrl_processing.rs:50-96 + docs/configuration/source-config.md
+    semantics; plan shape pinned in tests/test_vrl.py)."""
+    from quickwit_spark.operators.vrl import apply_vrl
+
+    events = _t(spark, sf_dir, "events")
+    out = apply_vrl(events, _VRL_PROGRAM)
+    return out.filter(F.col("event_id") < 5000).select(
+        "event_id", "etype", "k", "tier", "user_tag", "day", "flag"
+    )
+
+
 def _q_dedup_paragraphs(spark, sf_dir):
     """C4-style paragraph dedup over deterministic synthetic paragraphs
     (doc_id arithmetic forces cross-document repeats: 5 paras per doc drawn
@@ -1340,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "corpus_stats": _q_corpus_stats,
         "vrl_transform": _q_vrl_transform,
+        "vrl_program": _q_vrl_program,
         "join_asof": _q_join_asof,
         "sessionize": _q_sessionize,
         "batch_bm25": _q_batch_bm25,
@@ -2346,6 +2377,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 3 = 0 THEN 'hot' ELSE 'cold' END AS tag,
                    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS parsed_epoch
             FROM events
+        """,
+        "vrl_program": """
+            SELECT event_id,
+                   upper(event_type) AS etype,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                   CASE WHEN value >= 100.0 THEN 'high'
+                        WHEN value >= 10.0 THEN 'mid'
+                        ELSE 'low' END AS tier,
+                   'u' || CAST(user_id AS VARCHAR) AS user_tag,
+                   strftime(ts, '%Y-%m-%d') AS day,
+                   (event_type LIKE '%err%') OR (value < 0.0) AS flag
+            FROM events
+            WHERE event_id < 5000
         """,
         "batch_bm25": r"""
             WITH q(query_id, query) AS (
