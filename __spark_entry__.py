@@ -727,6 +727,17 @@ def _q_vrl_program(spark, sf_dir):
     )
 
 
+def _q_text_tfidf(spark, sf_dir):
+    """Per-doc top-5 TF-IDF keywords (corpus.tfidf_keywords): smoothed-idf
+    ranking with deterministic term tie-break; one tokenize shuffle, df
+    derived from the deduplicated (doc,term) frame (text read once)."""
+    from quickwit_spark.operators.corpus import tfidf_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf_keywords(docs, text_col="text", id_col="doc_id", k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def _q_dedup_paragraphs(spark, sf_dir):
     """C4-style paragraph dedup over deterministic synthetic paragraphs
     (doc_id arithmetic forces cross-document repeats: 5 paras per doc drawn
@@ -1371,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "vrl_transform": _q_vrl_transform,
         "vrl_program": _q_vrl_program,
+        "text_tfidf": _q_text_tfidf,
         "join_asof": _q_join_asof,
         "sessionize": _q_sessionize,
         "batch_bm25": _q_batch_bm25,
@@ -2390,6 +2402,29 @@ def oracle_sql() -> dict[str, str]:
                    (event_type LIKE '%err%') OR (value < 0.0) AS flag
             FROM events
             WHERE event_id < 5000
+        """,
+        "text_tfidf": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(str_split_regex(lower(trim(text)), '\s+'),
+                                 w -> len(w) > 0) AS t
+              FROM documents
+            ), n AS (SELECT count(*)::DOUBLE AS n FROM d),
+            tf AS (
+              SELECT doc_id, term, count(*)::BIGINT AS tf
+              FROM (SELECT doc_id, unnest(t) AS term FROM d)
+              GROUP BY 1, 2
+            ), dfr AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+            sc AS (
+              SELECT doc_id, term, tf, df,
+                     round(tf * (ln((n.n + 1) / (df + 1)) + 1), 6) AS tfidf
+              FROM tf JOIN dfr USING (term) CROSS JOIN n
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+              FROM sc
+            )
+            SELECT doc_id, rank, term, tf, df, tfidf FROM r WHERE rank <= 5
         """,
         "batch_bm25": r"""
             WITH q(query_id, query) AS (

@@ -731,3 +731,58 @@ def pack_sequences_nocross(
         "offset long, truncated boolean"
     )
     return base.groupBy("shard").applyInPandas(pack, schema=schema)
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF — the classic corpus
+    summarization / topic-labeling pass of a training-data pipeline
+    (keyword metadata for mixture planning and quality triage).
+
+    score(term, doc) = tf · (ln((N+1)/(df+1)) + 1)   (smoothed idf, always
+    positive, so raw-count tf needs no per-doc normalization for ranking);
+    ties break by term ascending — fully deterministic.
+
+    Scale shape: one explode + groupBy(doc, term) with map-side combine
+    (the heavy shuffle, ~unique-terms-per-doc rows); df comes from a
+    SECOND aggregation over that same deduplicated frame (term cardinality
+    ≪ token count — never re-reads text) joined back on term (AQE
+    broadcast when vocab is small); top-k is a window partitioned by doc
+    — per-group state is bounded by the doc's vocabulary, no global sort.
+    Nothing is driver-sized.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(_tokens(F.col(text_col)), lambda w: F.length(w) > 0)
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n")).crossJoin(
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") >= min_df
+        )
+    )
+    scored = tf.join(n_docs, "term").select(
+        id_col,
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * (F.log((F.col("n") + 1) / (F.col("df") + 1)) + 1), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df", "tfidf")
+    )

@@ -533,3 +533,46 @@ def test_es_nodes_and_search_shards_constants():
     assert info["nodes"]["n1"]["http"]["publish_address"] == "10.0.0.1:7280"
     s = api.search_shards("logs", "n1")
     assert s == {"shards": [[{"index": "logs", "shard": 0, "primary": True, "node": "n1"}]]}
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    """3-doc fixture with a shared term and a unique term: unique terms
+    outrank corpus-wide ones; ties break by term ascending; min_df prunes."""
+    import math
+
+    from pyspark.sql import Row
+
+    from quickwit_spark.operators.corpus import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="apple apple banana common"),
+            Row(doc_id=1, text="banana cherry common"),
+            Row(doc_id=2, text="common common common"),
+        ]
+    )
+    out = tfidf_keywords(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    def idf(df_):
+        return math.log((3 + 1) / (df_ + 1)) + 1
+
+    # doc 0: apple tf=2 df=1 beats banana tf=1 df=2 and common tf=1 df=3
+    top0 = by_doc[0][0]
+    assert top0["term"] == "apple" and top0["tf"] == 2 and top0["df"] == 1
+    assert top0["tfidf"] == round(2 * idf(1), 6)
+    assert by_doc[0][1]["term"] == "banana"
+    # doc 1: cherry (unique) outranks banana (df=2) outranks common (df=3)
+    assert [r["term"] for r in by_doc[1]] == ["cherry", "banana"]
+    # doc 2: only one distinct term survives — k is a cap, not a quota
+    assert [r["term"] for r in by_doc[2]] == ["common"]
+    # deterministic tie-break: equal-score terms order ascending
+    tie = spark.createDataFrame([Row(doc_id=9, text="zz aa")])
+    got = [r["term"] for r in tfidf_keywords(tie, k=2).collect()]
+    assert got == ["aa", "zz"]
+    # min_df: terms appearing in fewer docs than the floor drop out
+    pruned = tfidf_keywords(docs, k=3, min_df=2).collect()
+    assert all(r["df"] >= 2 for r in pruned)
+    assert {r["term"] for r in pruned} == {"banana", "common"}
