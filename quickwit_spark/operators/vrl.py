@@ -34,6 +34,7 @@ https://vector.dev/docs/reference/vrl/):
   starts_with ends_with split replace slice round floor ceil abs
   string to_string to_int to_float sha2 md5 now exists is_null
   parse_json parse_csv parse_key_value parse_timestamp format_timestamp
+  parse_grok (named groups → map, transforms.py pattern library + presets)
   (fallible forms with `!` register error conditions instead of raising)
 
 Deliberate limits (documented, raise at compile time): assignment to
@@ -592,6 +593,30 @@ class _Compiler:
                 F.call_function("str_to_map", args[0].col.cast("string"), F.lit(" "), F.lit("=")),
                 lambda k, v: (k != "") & v.isNotNull(),
             )
+            return _Typed(out, "map")
+        if name == "parse_grok":
+            arity(2)
+            # VRL parse_grok!(.line, "%{IP:client} ...") returns an object;
+            # the columnar analog is a map<string,string> of the named
+            # groups (same pattern library as transforms.py — presets via
+            # transforms.GROK_PRESETS work because expand_grok handles both)
+            if not isinstance(node.args[1], Lit):
+                raise ValueError("VRL: parse_grok() pattern must be a literal")
+            from quickwit_spark.operators.transforms import expand_grok
+
+            pattern = expand_grok(node.args[1].value)
+            names = re.findall(r"\(\?<(\w+)>", pattern)
+            # positional extraction — Java regex rejects '_' in group names
+            pattern = re.sub(r"\(\?<\w+>", "(", pattern)
+            src = args[0].col.cast("string")
+            entries = []
+            for i, gname in enumerate(names, start=1):
+                extracted = F.regexp_extract(src, pattern, i)
+                entries += [F.lit(gname), F.when(extracted == "", None).otherwise(extracted)]
+            matched = F.coalesce(src.rlike(pattern), F.lit(False))
+            out = F.when(matched, F.create_map(*entries))
+            if node.fallible:
+                self._register_err(src, out, "parse_grok! failed")
             return _Typed(out, "map")
         if name == "parse_timestamp":
             src = args[0].col.cast("string")

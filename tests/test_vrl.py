@@ -231,3 +231,44 @@ def test_sequential_rebinding_reads_updated_value(spark):
     out = apply_vrl(df, '.a = downcase(.a)\n.b = upcase(.a)')
     r = out.collect()[0]
     assert r["a"] == "mixed" and r["b"] == "MIXED"
+
+
+def test_parse_grok_named_groups_to_map(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(line="10.1.2.3 GET /health 204"), Row(line="malformed !!")]
+    )
+    out = apply_vrl(
+        df,
+        """
+        .g = parse_grok!(.line, "%{IP:client} %{WORD:method} %{NOTSPACE:path} %{INT:status}")
+        .client = .g["client"]
+        .status = to_int!(.g["status"])
+        """,
+    ).orderBy("line")
+    good, bad = out.collect()[0], out.collect()[1]
+    assert good["client"] == "10.1.2.3" and good["status"] == 204
+    assert good["_transform_error"] is None
+    assert bad["g"] is None and bad["_transform_error"] == "parse_grok! failed"
+
+
+def test_parse_grok_apache_line(spark):
+    """The apache_common preset shape, written inline as a VRL program
+    (aliases + explicit named groups mixed, like the transforms preset)."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(line='1.2.3.4 - frank [10/Oct/2000:13:55:36 -0700] '
+                  '"GET /index.html HTTP/1.0" 200 2326')]
+    )
+    out = apply_vrl(
+        df,
+        '.g = parse_grok!(.line, "%{IP:client_ip} %{NOTSPACE:ident} '
+        '%{NOTSPACE:auth} \\[(?<http_ts>%{HTTPDATE})\\] \\"(?<method>\\w+) '
+        '%{NOTSPACE:path} HTTP/%{NUMBER:http_version}\\" %{INT:status} '
+        '%{NOTSPACE:bytes}")',
+    )
+    r = out.collect()[0]
+    assert r["g"]["client_ip"] == "1.2.3.4"
+    assert r["g"]["method"] == "GET" and r["g"]["status"] == "200"
