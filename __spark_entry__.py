@@ -535,6 +535,25 @@ def _q_dedup_incremental(spark, sf_dir):
     return kept.crossJoin(n_pairs).orderBy("doc_id")
 
 
+def _q_semantic_dedup_incremental(spark, sf_dir):
+    """Incremental EMBEDDING dedup (similarity.embedding_dedup_incremental):
+    even-id embeddings are the persisted survivor index, odd-id the new
+    batch; exact-cosine probe = broadcast batch + one index scan. Rows-only
+    (LSH tables + BLAS probe aren't SQL-expressible; batch-equivalence is
+    pytest-pinned in tests/test_embedding_incremental.py)."""
+    from quickwit_spark.operators.similarity import embedding_dedup_incremental
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    index = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    res = embedding_dedup_incremental(batch, index, threshold=0.9)
+    kept = res.new_kept.select("vec_id")
+    n_pairs = res.pairs.select(F.count(F.lit(1)).alias("n_pairs"))
+    return kept.crossJoin(n_pairs).orderBy("vec_id")
+
+
 def _q_text_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.fingerprint_col(F.col("text")).alias("fingerprint"))
@@ -1419,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq": _q_ann_ivf_pq,
         # rows-only tail (non-SQL-expressible)
         "dedup_incremental": _q_dedup_incremental,
+        "semantic_dedup_incremental": _q_semantic_dedup_incremental,
         "text_fingerprint": _q_text_fingerprint,
         "dsir_weights_hashed": _q_dsir_weights_hashed,
         "pack_nocross": _q_pack_nocross,

@@ -232,6 +232,34 @@ class IncrementalDedup(NamedTuple):
     updated_index: DataFrame
 
 
+def incremental_keep(
+    new_ids: DataFrame, index_ids: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """The incremental-dedup survivor rule, shared by the MinHash and
+    embedding variants: connected components over all matched pairs; a
+    component touching ANY index doc keeps no new doc (the corpus copy is
+    canonical), an all-new component keeps its min id; unmatched new docs
+    survive. ``pairs`` needs columns (a, b)."""
+    if pairs.isEmpty():
+        return new_ids
+    clusters = near_dup_clusters(pairs.select("a", "b"))
+    old_members = clusters.join(
+        index_ids.select(F.col(id_col).alias("member")), "member", "semi"
+    ).select("cluster").distinct()
+    # min NEW member per cluster, unless the cluster touches the index
+    new_members = clusters.join(
+        new_ids.withColumnRenamed(id_col, "member"), "member", "semi"
+    )
+    cluster_keep = (
+        new_members.join(old_members, "cluster", "anti")
+        .groupBy("cluster")
+        .agg(F.min("member").alias(id_col))
+        .select(id_col)
+    )
+    matched = clusters.select(F.col("member").alias(id_col))
+    return new_ids.join(matched, id_col, "anti").unionByName(cluster_keep)
+
+
 def minhash_dedup_incremental(
     new_df: DataFrame,
     index_sigs: DataFrame,
@@ -323,26 +351,7 @@ def minhash_dedup_incremental(
     pairs = nv_old_scored.unionByName(nv_new_scored).localCheckpoint()
 
     new_ids = new_sigs.select(F.col(id_col))
-    if pairs.isEmpty():
-        kept = new_ids
-    else:
-        clusters = near_dup_clusters(pairs.select("a", "b"))
-        old_members = clusters.join(
-            index_sigs.select(F.col(id_col).alias("member")), "member", "semi"
-        ).select("cluster").distinct()
-        # min NEW member per cluster, unless the cluster touches the index
-        new_members = clusters.join(
-            new_ids.withColumnRenamed(id_col, "member"), "member", "semi"
-        )
-        cluster_keep = (
-            new_members.join(old_members, "cluster", "anti")
-            .groupBy("cluster")
-            .agg(F.min("member").alias(id_col))
-            .select(id_col)
-        )
-        matched = clusters.select(F.col("member").alias(id_col))
-        kept = new_ids.join(matched, id_col, "anti").unionByName(cluster_keep)
-
+    kept = incremental_keep(new_ids, index_sigs.select(id_col), pairs, id_col)
     kept_sigs = new_sigs.join(kept, id_col, "semi")
     return IncrementalDedup(
         pairs, kept, kept_sigs, index_sigs.unionByName(kept_sigs)

@@ -916,3 +916,91 @@ def knn_recall_per_query(
             ).alias("recall"),
         )
     )
+
+
+def embedding_dedup_incremental(
+    new_df: DataFrame,
+    index_emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 11,
+    round_decimals: int = 6,
+):
+    """Semantic dedup of a NEW batch against an already-deduped embedding
+    index — the embedding analog of dedup.minhash_dedup_incremental, for
+    continuous ingestion with near-duplicate-by-meaning suppression.
+    ``index_emb`` is the persisted (id, embedding) table of prior
+    survivors; ids must be disjoint from the batch.
+
+    Returns the shared :class:`~quickwit_spark.operators.dedup.
+    IncrementalDedup` shape: pairs (a, b, cosine, partner old/new),
+    new_kept ids, kept_sigs = survivors' (id, embedding) rows (the
+    per-epoch index delta), updated_index = index ∪ delta. Survivor rule
+    is dedup.incremental_keep (corpus copy canonical, min-id within
+    all-new components).
+
+    Scale shape: the batch is collected and BROADCAST as one normalized
+    matrix (batches are driver-sized next to the corpus, same contract as
+    knn_join's query side); the index is scanned ONCE by a mapInPandas
+    kernel doing a single BLAS matmul per Arrow batch and emitting only
+    ≥-threshold pairs — the corpus never shuffles and the n_index × n_new
+    score matrix never materializes. In-batch pairs use the OR-amplified
+    LSH self-join (embedding_near_dup_pairs) over the batch alone.
+    """
+    from quickwit_spark.operators.dedup import IncrementalDedup, incremental_keep
+
+    base_new = new_df.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
+    rows = base_new.collect()
+    nd = int(round_decimals)
+    thr = float(threshold)
+    if rows:
+        bids = np.array([r[0] for r in rows], dtype=np.int64)
+        Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+        Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+        bc = new_df.sparkSession.sparkContext.broadcast((bids, Q.T.copy()))
+
+        def probe(batches):
+            pbids, QT = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                X /= np.linalg.norm(X, axis=1, keepdims=True)
+                S = np.round(X @ QT, nd)  # (index-batch, n_new)
+                iu, ju = np.nonzero(S >= thr)
+                yield pd.DataFrame(
+                    {
+                        "a": pdf[id_col].to_numpy()[iu],
+                        "b": pbids[ju],
+                        "cosine": S[iu, ju],
+                    }
+                )
+
+        nv_old = (
+            index_emb.select(F.col(id_col), F.col(vec_col))
+            .mapInPandas(probe, schema="a long, b long, cosine double")
+            .withColumn("partner", F.lit("old"))
+        )
+    else:
+        nv_old = new_df.sparkSession.createDataFrame(
+            [], "a long, b long, cosine double, partner string"
+        )
+    if rows:
+        nv_new = embedding_near_dup_pairs(
+            base_new, threshold=thr, vec_col=vec_col, id_col=id_col,
+            bits=bits, tables=tables, seed=seed,
+            dim=len(np.asarray(rows[0][1])),
+        ).withColumn("partner", F.lit("new"))
+        pairs = nv_old.unionByName(nv_new).localCheckpoint()
+    else:
+        pairs = nv_old
+
+    new_ids = base_new.select(id_col)
+    kept = incremental_keep(new_ids, index_emb.select(id_col), pairs, id_col)
+    kept_embs = base_new.join(kept, id_col, "semi")
+    return IncrementalDedup(
+        pairs, kept, kept_embs, index_emb.unionByName(kept_embs)
+    )

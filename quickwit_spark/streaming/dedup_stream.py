@@ -125,3 +125,90 @@ def stream_minhash_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_emb_index(
+    spark: SparkSession,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    before_epoch: int | None = None,
+) -> DataFrame:
+    """The accumulated embedding index (same epoch layout/pruning rules as
+    :func:`read_sig_index`)."""
+    if not os.path.isdir(index_dir) or not any(
+        e.startswith("epoch=") for e in os.listdir(index_dir)
+    ):
+        return spark.createDataFrame(
+            [], f"{id_col} long, {vec_col} array<double>"
+        )
+    df = spark.read.parquet(index_dir)
+    if before_epoch is not None:
+        df = df.filter(F.col("epoch") < before_epoch)
+    return df.select(id_col, vec_col)
+
+
+def stream_embedding_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    schema: str = "vec_id long, embedding array<double>",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 11,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming SEMANTIC dedup: every micro-batch of embeddings is deduped
+    against the accumulated survivor index by exact cosine (broadcast
+    batch, one index scan — similarity.embedding_dedup_incremental), with
+    the identical epoch-scoped exactly-once layout as
+    :func:`stream_minhash_dedup` (kept/, pairs/, emb_index/)."""
+    from quickwit_spark.operators.similarity import embedding_dedup_incremental
+
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(input_dir)
+
+    kept_dir = os.path.join(out_dir, "kept")
+    pairs_dir = os.path.join(out_dir, "pairs")
+    index_dir = os.path.join(out_dir, "emb_index")
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        index = read_emb_index(
+            spark, index_dir, id_col, vec_col, before_epoch=epoch_id
+        )
+        res = embedding_dedup_incremental(
+            batch_df,
+            index,
+            vec_col=vec_col,
+            id_col=id_col,
+            threshold=threshold,
+            bits=bits,
+            tables=tables,
+            seed=seed,
+        )
+        (
+            batch_df.join(res.new_kept, id_col, "semi")
+            .write.mode("overwrite")
+            .parquet(os.path.join(kept_dir, f"epoch={epoch_id}"))
+        )
+        res.pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"epoch={epoch_id}")
+        )
+        res.kept_sigs.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"epoch={epoch_id}")
+        )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", os.path.join(out_dir, "_dedup_checkpoint")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
