@@ -782,6 +782,68 @@ def _q_text_tfidf(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _q_text_quality_classifier(spark, sf_dir):
+    """fastText-style hashed-BoW quality scoring (operators/classifier.py):
+    pure-codegen inference — tokenize, portable polynomial hash, broadcast
+    1024-row weight table, one map-side-combined groupBy(doc_id). The
+    weight table here is the arithmetic formula_weights() so the DuckDB
+    oracle regenerates it from bucket ids (training itself is driver-side
+    and pytest-pinned in tests/test_classifier.py)."""
+    from quickwit_spark.operators.classifier import (
+        TextClassifier, formula_weights, score_text_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = TextClassifier(formula_weights(1024), bias=-0.05, buckets=1024)
+    out = score_text_classifier(docs, model, text_col="text", id_col="doc_id")
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+def _quality_hash_sql(tok: str, buckets: int) -> str:
+    """The classifier's portable token hash restated as DuckDB SQL (same
+    unrolled polynomial as classifier.hash_token_col)."""
+    pows = [pow(31, i, buckets) for i in range(12)]
+    terms = " + ".join(
+        f"(CASE WHEN length({tok}) >= {i + 1} THEN "
+        f"(ascii(substr({tok},{i + 1},1)) % 256) * {p} ELSE 0 END)"
+        for i, p in enumerate(pows)
+    )
+    return f"(({terms} + 7919 * (length({tok}) % 64)) % {buckets})"
+
+
+def _quality_classifier_oracle() -> str:
+    buckets, bias = 1024, -0.05
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, t AS tok
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+                FROM documents)
+          WHERE t <> ''
+        ), hashed AS (
+          SELECT doc_id, {_quality_hash_sql('tok', buckets)} AS bucket FROM tok
+        ), persum AS (
+          SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                 sum((((bucket * 1103515245 + 12345) % 2001) - 1000) / 1000.0) AS wsum
+          FROM hashed GROUP BY doc_id
+        ), alldocs AS (
+          SELECT d.doc_id,
+                 coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+                 coalesce(p.wsum, 0.0) AS wsum
+          FROM documents d LEFT JOIN persum p USING (doc_id)
+        ), z AS (
+          SELECT doc_id, n_tokens,
+                 {bias} + (CASE WHEN n_tokens > 0 THEN wsum / n_tokens ELSE 0.0 END) AS z
+          FROM alldocs
+        )
+        SELECT doc_id, n_tokens,
+               round(1.0 / (1.0 + exp(-z)), 6) AS score,
+               (CASE WHEN round(1.0 / (1.0 + exp(-z)), 6) >= 0.5
+                     THEN 1 ELSE 0 END)::INTEGER AS pred
+        FROM z
+    """
+
+
 def _q_dedup_paragraphs(spark, sf_dir):
     """C4-style paragraph dedup over deterministic synthetic paragraphs
     (doc_id arithmetic forces cross-document repeats: 5 paras per doc drawn
@@ -942,6 +1004,47 @@ def _q_ann_pq(spark, sf_dir):
     q = [float(x) for x in rows[5]]
     encoded = pq_encode(emb, codebooks)
     return pq_topk(encoded, q, codebooks, k=15, codes_col="codes")
+
+
+def _q_ann_sq8(spark, sf_dir):
+    """Scalar-quantized (SQ8) ANN: per-dim 8-bit codes (min/scale trained
+    in one posexplode agg pass), ADC scoring in pure codegen — the
+    no-codebook middle rung between exact float and PQ. Query = embedding
+    of vec_id 5, top-15 by approximate L2."""
+    from quickwit_spark.operators.similarity import sq8_encode, sq8_params, sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mins, scales = sq8_params(emb)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 5).first()["embedding"]]
+    return sq8_topk(sq8_encode(emb, mins, scales), q, mins, scales, k=15)
+
+
+def _ann_sq8_oracle(dim: int = 64) -> str:
+    return f"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), stats AS (
+          SELECT i, min(e[i]) AS mn, (max(e[i]) - min(e[i])) / 255.0 AS sc
+          FROM v, (SELECT unnest(generate_series(1, {dim})) AS i)
+          GROUP BY i
+        ), p AS (
+          SELECT list(mn ORDER BY i) AS mns, list(sc ORDER BY i) AS scs
+          FROM stats
+        ), q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id = 5
+        )
+        SELECT vec_id,
+               round(list_sum(list_transform(generate_series(1, {dim}), i ->
+                 (qe[i] - (CASE WHEN scs[i] = 0 THEN mns[i]
+                   ELSE mns[i]
+                        + LEAST(255, GREATEST(0,
+                            round((e[i] - mns[i]) / scs[i]))) * scs[i]
+                   END)) ** 2)), 6) AS dist
+        FROM v, p, q
+        ORDER BY dist ASC, vec_id ASC
+        LIMIT 15
+    """
 
 
 def _q_mixture_plan(spark, sf_dir):
@@ -1378,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "text_tfidf": _q_text_tfidf,
+        "text_quality_classifier": _q_text_quality_classifier,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -1436,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_bm25": _q_batch_bm25,
         "hybrid_rrf": _q_hybrid_rrf,
         "ann_ivf_pq": _q_ann_ivf_pq,
+        "ann_sq8": _q_ann_sq8,
         # rows-only tail (non-SQL-expressible)
         "dedup_incremental": _q_dedup_incremental,
         "semantic_dedup_incremental": _q_semantic_dedup_incremental,
@@ -2476,6 +2581,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, rank, term, tf, df, tfidf FROM r WHERE rank <= 5
         """,
+        "text_quality_classifier": _quality_classifier_oracle(),
+        "ann_sq8": _ann_sq8_oracle(),
         "batch_bm25": r"""
             WITH q(query_id, query) AS (
               VALUES (CAST(0 AS BIGINT), 'join hash'),

@@ -1004,3 +1004,85 @@ def embedding_dedup_incremental(
     return IncrementalDedup(
         pairs, kept, kept_embs, index_emb.unionByName(kept_embs)
     )
+
+
+# --- scalar quantization (SQ8) -------------------------------------------
+
+
+def sq8_params(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (min, scale) for 8-bit scalar quantization — the
+    "train" step (Faiss's ScalarQuantizer QT_8bit layout, public): one
+    posexplode → groupBy(dim) min/max pass (map-side combined, the shuffle
+    carries dims × partitions rows regardless of corpus size). Returns
+    (mins, scales) with scale_d = (max_d - min_d) / 255."""
+    stats = (
+        df.select(F.posexplode(F.col(vec_col)).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("dim")
+        .collect()
+    )
+    mins = np.array([r["mn"] for r in stats], dtype=np.float64)
+    maxs = np.array([r["mx"] for r in stats], dtype=np.float64)
+    return mins, (maxs - mins) / 255.0
+
+
+def sq8_encode(
+    df: DataFrame,
+    mins: np.ndarray,
+    scales: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors to per-dim uint8 codes, pure codegen: code_d =
+    clip(round((v_d - min_d) / scale_d), 0, 255), zero-range dims code 0.
+    4x smaller than float32 (vs PQ's ~32x) but with NO codebook training
+    and much tighter reconstruction — the standard middle rung of the
+    compression ladder. One projection, no shuffle, no Python."""
+    mins_a = F.array(*[F.lit(float(v)) for v in mins])
+    scales_a = F.array(*[F.lit(float(v)) for v in scales])
+    codes = F.transform(
+        F.col(vec_col),
+        lambda x, i: F.when(F.element_at(scales_a, i + 1) == 0.0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.round(
+                        (x - F.element_at(mins_a, i + 1))
+                        / F.element_at(scales_a, i + 1)
+                    ).cast("int"),
+                ),
+            )
+        ),
+    )
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def sq8_topk(
+    encoded: DataFrame,
+    query_vec: list[float],
+    mins: np.ndarray,
+    scales: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Approximate L2 top-k over SQ8 codes: dist = sum_d (q_d - recon_d)^2
+    with recon_d = min_d + code_d * scale_d. Like pq_topk's ADC pass this
+    is pure JVM codegen — per-dim constants are baked into the plan as
+    literals, vectors are never decoded to a column, TakeOrdered keeps k
+    per partition (no global sort). Returns (id, dist) ascending, ties by
+    id."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    dist = F.lit(0.0)
+    for d in range(len(q)):
+        recon = F.lit(float(mins[d])) + F.element_at(
+            F.col(codes_col), d + 1
+        ) * F.lit(float(scales[d]))
+        dist = dist + (F.lit(float(q[d])) - recon) * (F.lit(float(q[d])) - recon)
+    scored = encoded.select(F.col(id_col), F.round(dist, 6).alias("dist"))
+    return scored.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(k)
