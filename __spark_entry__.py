@@ -844,6 +844,28 @@ def _quality_classifier_oracle() -> str:
     """
 
 
+def _q_chat_render(spark, sf_dir):
+    """Conversation → training-example rendering (operators/chat.py):
+    deterministic synthetic transcript derived from documents (conv_id =
+    doc_id % 97, role cycles user/assistant/tool), ChatML template, plus
+    1-based assistant-text spans for loss masking. One shuffle
+    (groupBy(conv) + array_sort), rendering/span fold in pure Catalyst
+    higher-order functions."""
+    from quickwit_spark.operators.chat import render_conversations
+
+    docs = _t(spark, sf_dir, "documents")
+    turns = docs.select(
+        (F.col("doc_id") % 97).alias("conv_id"),
+        (F.col("doc_id") / 97).cast("long").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            ((F.col("doc_id") / 97).cast("long") % 3 + 1).cast("int"),
+        ).alias("role"),
+        F.substring(F.col("text"), 1, 80).alias("text"),
+    )
+    return render_conversations(turns)
+
+
 def _q_dedup_paragraphs(spark, sf_dir):
     """C4-style paragraph dedup over deterministic synthetic paragraphs
     (doc_id arithmetic forces cross-document repeats: 5 paras per doc drawn
@@ -1482,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "text_tfidf": _q_text_tfidf,
         "text_quality_classifier": _q_text_quality_classifier,
+        "chat_render": _q_chat_render,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -2583,6 +2606,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_quality_classifier": _quality_classifier_oracle(),
         "ann_sq8": _ann_sq8_oracle(),
+        "chat_render": r"""
+            WITH t AS (
+              SELECT doc_id % 97 AS conv_id,
+                     doc_id // 97 AS turn_idx,
+                     CASE ((doc_id // 97) % 3)
+                       WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+                       ELSE 'tool' END AS role,
+                     substr(text, 1, 80) AS txt
+              FROM documents
+            ), p AS (
+              SELECT conv_id, turn_idx, role,
+                     '<|im_start|>' || role || chr(10) || coalesce(txt, '')
+                       || '<|im_end|>' || chr(10) AS piece,
+                     13 + length(role) AS plen,
+                     length(coalesce(txt, '')) AS tlen
+              FROM t
+            ), c AS (
+              SELECT *,
+                     coalesce(sum(length(piece)) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS cumbefore
+              FROM p
+            )
+            SELECT conv_id, count(*)::BIGINT AS n_turns,
+                   string_agg(piece, '' ORDER BY turn_idx) AS rendered,
+                   coalesce(list(cumbefore + plen + 1 ORDER BY turn_idx)
+                            FILTER (WHERE role = 'assistant'),
+                            CAST([] AS BIGINT[])) AS span_starts,
+                   coalesce(list(cumbefore + plen + 1 + tlen ORDER BY turn_idx)
+                            FILTER (WHERE role = 'assistant'),
+                            CAST([] AS BIGINT[])) AS span_ends
+            FROM c GROUP BY conv_id
+        """,
         "batch_bm25": r"""
             WITH q(query_id, query) AS (
               VALUES (CAST(0 AS BIGINT), 'join hash'),
