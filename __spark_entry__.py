@@ -1506,7 +1506,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_classifier": _q_text_quality_classifier,
         "chat_render": _q_chat_render,
         "dedup_simhash": _q_dedup_simhash,
-        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_substrings": _q_dedup_substrings,
@@ -1518,7 +1517,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "ann_pq": _q_ann_pq,
         "kmeans_step": _q_kmeans_step,
-        "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_c4": _q_text_c4,
         "curation_funnel": _q_curation_funnel,
@@ -1527,7 +1525,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_text_extract": _q_multimodal_text_extract,
         "multimodal_image_features": _q_multimodal_image_features,
         # oracle-backed overflow (see note above; gapfill/range_ts/pii/url
-        # semantics are each also covered by in-window entries or pytest)
+        # semantics are each also covered by in-window entries or pytest).
+        # r5 session-3 rotation: text_quality (heuristic score — superseded
+        # in-window by the trained text_quality_classifier) and
+        # dedup_embedding_cosine (exact-pairs audit path — the scale path
+        # dedup_embedding_lsh and semantic_dedup stay in-window) moved here
+        # to readmit the two multimodal entries.
+        "text_quality": _q_text_quality,
+        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "agg_extended_stats_value": _q_agg_extended_stats_value,
         "agg_date_histogram_gapfill": _q_agg_date_histogram_gapfill,
         "q_ip_term": _q_ip_term,
