@@ -31,10 +31,11 @@ A year of 1 TB/day ingestion probes 365 epoch directories of signatures
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from quickwit_spark.operators.dedup import minhash_dedup_incremental
 
@@ -45,22 +46,147 @@ def _empty_index(spark: SparkSession, id_col: str) -> DataFrame:
     )
 
 
+# --- index layout: epoch=N deltas + compacted base generations -----------
+#
+# A long-lived stream accumulates one epoch=N directory per micro-batch;
+# compact_index() folds epochs < upto into a GENERATIONAL base:
+#
+#     <index>/base_v3/                merged parquet
+#     <index>/base_v3.manifest.json   {"upto_epoch": 37}   <- the commit
+#
+# The manifest file is written LAST (tmp + os.replace), so readers are
+# consistent at every crash point: data-without-manifest is invisible;
+# manifest-present means folded epoch dirs are EXCLUDED even if their
+# directories still exist (cleanup is best-effort and idempotent — the
+# next compaction or repair sweep removes leftovers). This is the same
+# data-durable-then-commit discipline as the pipeline's publish step and
+# the janitor's staged swaps.
+
+
+def _base_state(index_dir: str) -> tuple[int, int, str | None]:
+    """(version, upto_epoch, base_dir) of the newest COMMITTED base —
+    (0, minimal, None) when no base generation exists."""
+    best = (0, -(10**18), None)
+    if not os.path.isdir(index_dir):
+        return best
+    for name in os.listdir(index_dir):
+        if name.startswith("base_v") and name.endswith(".manifest.json"):
+            try:
+                v = int(name[len("base_v"):-len(".manifest.json")])
+                with open(os.path.join(index_dir, name)) as f:
+                    upto = int(json.load(f)["upto_epoch"])
+            except (ValueError, KeyError, OSError):
+                continue
+            d = os.path.join(index_dir, f"base_v{v}")
+            if v > best[0] and os.path.isdir(d):
+                best = (v, upto, d)
+    return best
+
+
+def _epoch_dirs(index_dir: str) -> dict[int, str]:
+    if not os.path.isdir(index_dir):
+        return {}
+    out = {}
+    for name in os.listdir(index_dir):
+        if name.startswith("epoch="):
+            try:
+                out[int(name.split("=", 1)[1])] = os.path.join(index_dir, name)
+            except ValueError:
+                continue
+    return out
+
+
+def _read_index(
+    spark: SparkSession,
+    index_dir: str,
+    empty_schema: str,
+    cols: list[str],
+    before_epoch: int | None,
+) -> DataFrame:
+    """Newest committed base + live epoch deltas in [base.upto,
+    before_epoch). Directory selection happens here, driver-side — the
+    plan only ever scans live files (stronger than partition pruning: a
+    crashed attempt's own half-written epoch dir is never even listed)."""
+    _, base_upto, base_dir = _base_state(index_dir)
+    paths = [base_dir] if base_dir else []
+    for e, d in sorted(_epoch_dirs(index_dir).items()):
+        if e < base_upto:
+            continue  # folded into the base; dir may be a cleanup leftover
+        if before_epoch is not None and e >= before_epoch:
+            continue
+        paths.append(d)
+    if not paths:
+        return spark.createDataFrame([], empty_schema)
+    return spark.read.parquet(*paths).select(*cols)
+
+
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    upto_epoch: int,
+    num_files: int = 8,
+) -> dict:
+    """Fold every committed epoch delta below ``upto_epoch`` (plus the
+    previous base) into one new base generation. ``upto_epoch`` MUST NOT
+    exceed the stream's last committed epoch + 1 — never fold an in-flight
+    epoch (its replay-after-crash would then probe its own half-written
+    signatures out of the base). Safe to run between triggers or from a
+    separate maintenance job; a crash at any point leaves readers
+    consistent (see layout note above).
+
+    Returns {"version", "upto_epoch", "folded"} (folded = 0 is a no-op:
+    nothing below the bound)."""
+    ver, base_upto, base_dir = _base_state(index_dir)
+    # sweep crash leftovers from a previous compaction's cleanup phase:
+    # epoch dirs below the committed base bound are invisible to readers
+    for e, d in _epoch_dirs(index_dir).items():
+        if e < base_upto:
+            shutil.rmtree(d, ignore_errors=True)
+    fold = [
+        d for e, d in sorted(_epoch_dirs(index_dir).items())
+        if base_upto <= e < upto_epoch
+    ]
+    if not fold:
+        return {"version": ver, "upto_epoch": base_upto, "folded": 0}
+    paths = ([base_dir] if base_dir else []) + fold
+    new_dir = os.path.join(index_dir, f"base_v{ver + 1}")
+    shutil.rmtree(new_dir, ignore_errors=True)  # uncommitted leftover
+    spark.read.parquet(*paths).coalesce(num_files).write.mode(
+        "overwrite"
+    ).parquet(new_dir)
+    manifest = os.path.join(index_dir, f"base_v{ver + 1}.manifest.json")
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"upto_epoch": int(upto_epoch)}, f)
+    os.replace(tmp, manifest)  # <- commit point
+    # best-effort cleanup; leftovers are invisible to readers either way
+    for d in fold:
+        shutil.rmtree(d, ignore_errors=True)
+    if base_dir:
+        shutil.rmtree(base_dir, ignore_errors=True)
+        try:
+            os.remove(os.path.join(index_dir, f"base_v{ver}.manifest.json"))
+        except OSError:
+            pass
+    return {"version": ver + 1, "upto_epoch": int(upto_epoch), "folded": len(fold)}
+
+
 def read_sig_index(
     spark: SparkSession,
     index_dir: str,
     id_col: str = "doc_id",
     before_epoch: int | None = None,
 ) -> DataFrame:
-    """The accumulated signature index, optionally pruned to epochs before
-    ``before_epoch`` (file-level partition pruning on the epoch= layout)."""
-    if not os.path.isdir(index_dir) or not any(
-        e.startswith("epoch=") for e in os.listdir(index_dir)
-    ):
-        return _empty_index(spark, id_col)
-    df = spark.read.parquet(index_dir)
-    if before_epoch is not None:
-        df = df.filter(F.col("epoch") < before_epoch)
-    return df.select(id_col, "signature")
+    """The accumulated signature index — newest compacted base + epoch
+    deltas before ``before_epoch`` (driver-side dir selection, so a
+    crashed attempt's own directory is never scanned)."""
+    return _read_index(
+        spark,
+        index_dir,
+        f"{id_col} long, signature array<bigint>",
+        [id_col, "signature"],
+        before_epoch,
+    )
 
 
 def stream_minhash_dedup(
@@ -134,18 +260,15 @@ def read_emb_index(
     vec_col: str = "embedding",
     before_epoch: int | None = None,
 ) -> DataFrame:
-    """The accumulated embedding index (same epoch layout/pruning rules as
-    :func:`read_sig_index`)."""
-    if not os.path.isdir(index_dir) or not any(
-        e.startswith("epoch=") for e in os.listdir(index_dir)
-    ):
-        return spark.createDataFrame(
-            [], f"{id_col} long, {vec_col} array<double>"
-        )
-    df = spark.read.parquet(index_dir)
-    if before_epoch is not None:
-        df = df.filter(F.col("epoch") < before_epoch)
-    return df.select(id_col, vec_col)
+    """The accumulated embedding index (same epoch+base layout and
+    compaction rules as :func:`read_sig_index`)."""
+    return _read_index(
+        spark,
+        index_dir,
+        f"{id_col} long, {vec_col} array<double>",
+        [id_col, vec_col],
+        before_epoch,
+    )
 
 
 def stream_embedding_dedup(
