@@ -1432,6 +1432,46 @@ def _q_pipeline_enrich_terms(spark, sf_dir):
     )
 
 
+def _q_more_like_this(spark, sf_dir):
+    """ES more_like_this (operators/scoring.py more_like_this): seed doc 7's
+    characteristic terms selected by tf·idf (top 10, corpus df ≥ 2), then
+    the whole corpus BM25-scored against that disjunction via the
+    inverted-index join — top-10 neighbours, seed excluded, rank re-paged.
+    The oracle restates term selection AND scoring end-to-end in DuckDB."""
+    from quickwit_spark.operators.scoring import more_like_this
+
+    docs = _t(spark, sf_dir, "documents")
+    out = more_like_this(docs, [7], max_query_terms=10, min_doc_freq=2, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _q_chunk_sliding(spark, sf_dir):
+    """Sliding-window chunking (operators/corpus.py chunk_sliding): 32-token
+    windows, 8-token overlap (stride 24), tail remainder kept, token spans
+    preserved. Pure codegen, zero shuffles (plan-asserted in
+    test_plan_shapes). First 400 docs keep the gate comparison bounded."""
+    from quickwit_spark.operators.corpus import chunk_sliding
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return chunk_sliding(docs, chunk_tokens=32, overlap=8)
+
+
+def _q_field_collapse(spark, sf_dir):
+    """ES field collapse (operators/sorts.py field_collapse): one window
+    ranks events within each user (value desc, event_id tiebreak), top-2
+    inner hits per user, page = the 20 users with the best rank-1 row.
+    The per-domain/per-user quota shape of both search and curation."""
+    from quickwit_spark.operators.sorts import field_collapse
+
+    ev = _t(spark, sf_dir, "events")
+    out = field_collapse(
+        ev, "user_id", [("value", True)], k=20, inner_hits=2, tiebreak="event_id"
+    )
+    return out.select(
+        "user_id", "event_id", "value", F.col("group_rank").cast("long").alias("group_rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST 50
     # entries, so the window is curated for maximum distinct semantics:
@@ -1569,6 +1609,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": _q_hybrid_rrf,
         "ann_ivf_pq": _q_ann_ivf_pq,
         "ann_sq8": _q_ann_sq8,
+        "q_more_like_this": _q_more_like_this,
+        "chunk_sliding": _q_chunk_sliding,
+        "field_collapse": _q_field_collapse,
         # rows-only tail (non-SQL-expressible)
         "dedup_incremental": _q_dedup_incremental,
         "semantic_dedup_incremental": _q_semantic_dedup_incremental,
@@ -2611,6 +2654,87 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_quality_classifier": _quality_classifier_oracle(),
         "ann_sq8": _ann_sq8_oracle(),
+        "q_more_like_this": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(str_split_regex(lower(trim(text)), '\s+'),
+                                 w -> len(w) > 0) AS t
+              FROM documents
+            ), s AS (
+              SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM d
+            ), seedtf AS (
+              SELECT term, count(*)::DOUBLE AS stf
+              FROM (SELECT unnest(t) AS term FROM d WHERE doc_id = 7)
+              GROUP BY 1
+            ), alltf AS (
+              SELECT term, doc_id, dl, count(*)::DOUBLE AS tf FROM (
+                SELECT doc_id, len(t)::DOUBLE AS dl, unnest(t) AS term FROM d
+              ) JOIN (SELECT term FROM seedtf) USING (term)
+              GROUP BY 1, 2, 3
+            ), dft AS (
+              SELECT term, count(*)::DOUBLE AS df FROM alltf GROUP BY 1
+            ), sel AS (
+              SELECT term, row_number() OVER (
+                ORDER BY stf * ln(1 + (n - df + 0.5) / (df + 0.5)) DESC,
+                         term ASC) AS r
+              FROM seedtf JOIN dft USING (term), s
+              WHERE df >= 2
+            ), qt AS (SELECT term FROM sel WHERE r <= 10),
+            sc AS (
+              SELECT doc_id,
+                     round(sum(
+                       ln(1 + (n - df + 0.5) / (df + 0.5))
+                       * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                     ), 6) AS _score
+              FROM alltf JOIN dft USING (term) JOIN qt USING (term), s
+              WHERE doc_id != 7
+              GROUP BY 1
+            )
+            SELECT CAST(7 AS BIGINT) AS query_id, doc_id, _score, rank FROM (
+              SELECT *, row_number() OVER (
+                ORDER BY _score DESC, doc_id ASC) AS rank
+              FROM sc
+            ) WHERE rank <= 10
+        """,
+        "chunk_sliding": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(str_split_regex(trim(text), '\s+'),
+                                 w -> len(w) > 0) AS t
+              FROM documents WHERE doc_id < 400
+            ), b AS (
+              SELECT doc_id, t, len(t) AS n,
+                     greatest(1, CAST(ceil((len(t) - 8) / 24.0) AS BIGINT)) AS m
+              FROM d
+            )
+            SELECT doc_id,
+                   i AS chunk_idx,
+                   i * 24 AS token_start,
+                   CAST(least(i * 24 + 32, n) AS BIGINT) AS token_end,
+                   CAST(least(i * 24 + 32, n) - i * 24 AS BIGINT) AS n_tokens,
+                   array_to_string(
+                     t[i * 24 + 1 : CAST(least(i * 24 + 32, n) AS BIGINT)],
+                     ' ') AS chunk_text
+            FROM b, unnest(generate_series(0, m - 1)) AS u(i)
+        """,
+        "field_collapse": """
+            WITH ranked AS (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY value DESC NULLS LAST,
+                                event_id ASC NULLS LAST) AS group_rank
+              FROM events
+            ), page AS (
+              SELECT user_id FROM ranked WHERE group_rank = 1
+              ORDER BY value DESC NULLS LAST, user_id ASC NULLS LAST
+              LIMIT 20
+            )
+            SELECT r.user_id, r.event_id, r.value,
+                   CAST(r.group_rank AS BIGINT) AS group_rank
+            FROM ranked r JOIN page USING (user_id)
+            WHERE group_rank <= 2
+        """,
         "chat_render": r"""
             WITH t AS (
               SELECT doc_id % 97 AS conv_id,

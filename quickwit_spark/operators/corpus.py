@@ -786,3 +786,81 @@ def tfidf_keywords(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tf", "df", "tfidf")
     )
+
+
+def chunk_sliding(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    keep_text: bool = True,
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG / long-context prep step:
+    split each document into windows of ``chunk_tokens`` whitespace tokens
+    with ``overlap`` tokens shared between consecutive windows (stride =
+    chunk_tokens − overlap). The final window is the tail remainder (may
+    be shorter); a document shorter than one window yields exactly one
+    chunk. Token positions are preserved as [token_start, token_end) so
+    downstream spans (loss masks, retrieval offsets) can map back into the
+    source document.
+
+    Unlike :func:`pack_sequences` (which concatenates documents into
+    training rows), chunking SUBDIVIDES single documents for embedding /
+    retrieval — the other half of the long-document story.
+
+    Scale shape: pure codegen, ZERO shuffles — tokenize, size, and a
+    posexplode over ``sequence(0, n_chunks−1)`` all happen in the scan's
+    own stage; chunk text is an ``array_join(slice(...))`` over the
+    already-materialized token array. Output volume is input tokens ×
+    (chunk/(chunk−overlap)) — the overlap factor is the only amplification
+    and it is a constant chosen by the caller.
+
+    Returns (id, chunk_idx, token_start, token_end, n_tokens[, chunk_text]).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    base = df.select(F.col(id_col), toks.alias("__t")).withColumn(
+        "__n", F.size("__t")
+    )
+    # windows fully inside the doc: 1 + floor((n - chunk - 1)/stride) extra
+    # full-or-tail windows; equivalently ceil(max(n - overlap, 1) / stride)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("__n") - F.lit(overlap)).cast("double") / F.lit(stride)),
+    ).cast("int")
+    out = base.select(
+        id_col,
+        "__t",
+        "__n",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias(
+            "chunk_idx", "__i"
+        ),
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("__i") * stride).cast("long").alias("token_start"),
+        F.least(F.col("__i") * stride + chunk_tokens, F.col("__n"))
+        .cast("long")
+        .alias("token_end"),
+        F.col("__t").alias("__t"),
+    ).withColumn(
+        "n_tokens", (F.col("token_end") - F.col("token_start")).cast("long")
+    )
+    if keep_text:
+        out = out.withColumn(
+            "chunk_text",
+            F.array_join(
+                F.slice(
+                    "__t",
+                    (F.col("token_start") + 1).cast("int"),
+                    F.col("n_tokens").cast("int"),
+                ),
+                " ",
+            ),
+        )
+    return out.drop("__t")

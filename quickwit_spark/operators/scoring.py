@@ -329,3 +329,114 @@ def rrf_fuse(
         F.col("rrf_score").desc(), F.col(id_col).asc()
     )
     return out.limit(topk) if topk is not None else out
+
+
+def more_like_this(
+    docs: DataFrame,
+    seed_ids: list[int],
+    field: str = "text",
+    id_col: str = "doc_id",
+    max_query_terms: int = 25,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 2,
+    max_doc_freq: int | None = None,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Elasticsearch ``more_like_this`` semantics (public query DSL): for
+    each seed document, select its most characteristic terms by tf·idf —
+    subject to the classic MLT knobs ``max_query_terms`` /
+    ``min_term_freq`` / ``min_doc_freq`` / ``max_doc_freq`` — then score
+    the whole corpus against that disjunction with BM25 and return the
+    top-``k`` neighbours (the seed itself excluded, as ES does for
+    like-by-id). The reference exposes the ES query DSL surface
+    (quickwit-query's ES-compat layer); MLT is the retrieval-flavoured
+    near-duplicate finder of that family, and doubles as a training-data
+    "find me more documents like these" curation primitive.
+
+    Term selection idf and scoring idf are the same BM25 idf
+    (``ln(1 + (N − df + 0.5)/(df + 0.5))``), so a term's selection rank
+    agrees with its scoring influence. Ties break by term ascending —
+    deterministic.
+
+    Scale shape: two corpus scans total regardless of seed count. Scan 1
+    computes df(t) for the seed-term candidate set only — corpus tokens
+    die in the same stage that explodes them via a broadcast hash join
+    against the (tiny) distinct seed-term set, so the shuffle carries
+    (term, doc) survivors, one row per distinct pair. Scan 2 is
+    :func:`batch_bm25_search` (inverted-index-as-join, broadcast term
+    set, df-capped). Seed-side work is seed-sized. Top-k re-ranks after
+    seed exclusion via the same per-query window.
+
+    Returns (query_id, doc_id, _score, rank): ``query_id`` is the seed
+    doc id, ranks 1..k by score desc then doc asc.
+    """
+    from pyspark.sql import Window
+
+    seeds = docs.filter(F.col(id_col).isin([int(s) for s in seed_ids]))
+    seed_tf = (
+        seeds.select(
+            F.col(id_col).alias("__qid"),
+            F.explode(_tokens(F.col(field))).alias("__term"),
+        )
+        .groupBy("__qid", "__term")
+        .agg(F.count(F.lit(1)).cast("double").alias("__stf"))
+        .filter(F.col("__stf") >= float(min_term_freq))
+    )
+    term_set = seed_tf.select("__term").distinct()
+
+    # corpus stats: N plus df(t) for candidate terms only (one scan; the
+    # explode feeds the broadcast join directly, non-candidates never
+    # reach the distinct's shuffle)
+    n_docs = int(docs.count())
+    df_t = (
+        docs.select(
+            F.col(id_col).alias("__doc"),
+            F.explode(F.array_distinct(_tokens(F.col(field)))).alias("__term"),
+        )
+        .join(F.broadcast(term_set), "__term")
+        .groupBy("__term")
+        .agg(F.count(F.lit(1)).cast("double").alias("__df"))
+        .filter(F.col("__df") >= float(min_doc_freq))
+    )
+    if max_doc_freq is not None:
+        df_t = df_t.filter(F.col("__df") <= float(max_doc_freq))
+
+    idf_c = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    w_sel = Window.partitionBy("__qid").orderBy(
+        F.col("__sel").desc(), F.col("__term").asc()
+    )
+    selected = (
+        seed_tf.join(F.broadcast(df_t), "__term")
+        .withColumn("__sel", F.col("__stf") * idf_c)
+        .withColumn("__r", F.row_number().over(w_sel))
+        .filter(F.col("__r") <= max_query_terms)
+    )
+    queries = selected.groupBy("__qid").agg(
+        F.array_join(F.array_sort(F.collect_list("__term")), " ").alias("__q")
+    )
+
+    hits = batch_bm25_search(
+        docs,
+        queries,
+        field=field,
+        id_col=id_col,
+        query_id="__qid",
+        query_field="__q",
+        k=k + 1,  # room for the seed itself before exclusion
+        k1=k1,
+        b=b,
+    ).filter(F.col("__qid") != F.col(id_col))
+    w_out = Window.partitionBy("__qid").orderBy(
+        F.col("_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w_out))
+        .filter(F.col("rank") <= k)
+        .select(F.col("__qid").alias("query_id"), id_col, "_score", "rank")
+    )

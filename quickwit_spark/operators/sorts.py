@@ -120,3 +120,60 @@ def scroll(
             return
         last = rows[-1]
         cursor = {name: last[name] for name, _ in sort_fields}
+
+
+def field_collapse(
+    df: DataFrame,
+    collapse_field: str,
+    sort_fields: list[tuple[str, bool]],
+    k: int = 10,
+    inner_hits: int = 1,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Elasticsearch ``collapse`` semantics (public search API): fold the
+    hit list so each distinct value of ``collapse_field`` contributes at
+    most ``inner_hits`` rows (its best by the sort order), then page the
+    collapsed list by the same order, top-``k`` groups. The classic "one
+    result per user / domain / conversation" search feature; in a
+    training-data pipeline the identical shape caps per-source document
+    counts (per-domain quotas).
+
+    ``tiebreak`` (default: the collapse field itself) makes the intra-group
+    order total so results are deterministic.
+
+    Scale shape: one hash-partitioned window over ``collapse_field``
+    ranks rows within each group (per-group state is the group's row
+    count, no global sort); the collapsed representatives then flow to a
+    TakeOrderedAndProject for the final page. NULL collapse keys form one
+    group (ES: documents missing the field collapse together under null).
+
+    Output: sort columns + ``collapse_field`` + (group_rank 1..inner_hits)
+    for the top-``k`` groups ordered by their best row.
+    """
+    from pyspark.sql import Window
+
+    order = _order_cols(sort_fields + [(tiebreak or collapse_field, False)])
+    w = Window.partitionBy(collapse_field).orderBy(*order)
+    ranked = df.withColumn("group_rank", F.row_number().over(w)).filter(
+        F.col("group_rank") <= inner_hits
+    )
+    # page by each group's BEST row: rank groups by their rank-1 sort tuple
+    best = ranked.filter(F.col("group_rank") == 1).select(
+        F.col(collapse_field).alias("__key"),
+        *[F.col(n).alias(f"__s{i}") for i, (n, _) in enumerate(sort_fields)],
+    )
+    page = (
+        best.orderBy(
+            *_order_cols(
+                [(f"__s{i}", d) for i, (_, d) in enumerate(sort_fields)]
+                + [("__key", False)]
+            )
+        )
+        .limit(k)
+        .select("__key")
+    )
+    return ranked.join(
+        F.broadcast(page),
+        ranked[collapse_field].eqNullSafe(page["__key"]),
+        "semi",
+    )

@@ -245,3 +245,46 @@ def test_vrl_transform_is_single_codegen_stage(spark, events):
     # and it executes: grok round-trips the synthesized line
     row = out.orderBy("event_id").first()
     assert row.client_ip.startswith("10.0.") and row.path.startswith("/")
+
+
+def test_chunk_sliding_zero_shuffle(spark, sf_dir):
+    """Sliding-window chunking must be pure codegen in the scan's own stage:
+    tokenize → size → posexplode(sequence) → slice/array_join with ZERO
+    shuffles and zero Python. At 100 TB chunking adds no stage boundary —
+    output volume (the constant overlap factor) is the only cost."""
+    from quickwit_spark.operators.corpus import chunk_sliding
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    p = plan_of(chunk_sliding(docs, chunk_tokens=32, overlap=8))
+    assert "Exchange" not in p, "chunking must not shuffle"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Generate" in p  # the posexplode
+
+
+def test_more_like_this_joins_are_broadcast(spark, sf_dir):
+    """MLT's two corpus scans must both kill non-candidate tokens via a
+    BROADCAST join against the (tiny) seed-term set before any shuffle —
+    the corpus-sized explode output must never hash-partition on term."""
+    from quickwit_spark.operators.scoring import more_like_this
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    p = plan_of(more_like_this(docs, [7], max_query_terms=10, k=10))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p, "corpus tokens must not sort-merge join"
+
+
+def test_field_collapse_single_window_exchange(spark, sf_dir):
+    """Field collapse = one hash-partitioned window on the collapse key;
+    the page of top-k groups broadcasts back as a semi-join. No global
+    sort of the full hit list."""
+    from quickwit_spark.operators.sorts import field_collapse
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    p = plan_of(
+        field_collapse(ev, "user_id", [("value", True)], k=20, inner_hits=2,
+                       tiebreak="event_id")
+    )
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    # the full corpus is exchanged exactly once (window partitioning); the
+    # tiny page side may add its own small exchanges but no sort-merge join
+    assert "SortMergeJoin" not in p
