@@ -1472,6 +1472,99 @@ def _q_field_collapse(spark, sf_dir):
     )
 
 
+def _transcript_turns(spark, sf_dir):
+    """Deterministic transcript frame in the input_hint shape (conv_id,
+    turn_idx, role, text, tool, ts) derived from events — the oracle can
+    restate the derivation exactly, so transcript analytics gate end-to-end."""
+    ev = _t(spark, sf_dir, "events")
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+        (F.col("event_id") % 3 + 1).cast("int"),
+    )
+    return ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        role.alias("role"),
+        F.col("props").alias("text"),
+        F.when(role == "tool", F.concat(F.lit("tool-"), (F.col("event_id") % 4))).alias(
+            "tool"
+        ),
+        F.col("ts"),
+    )
+
+
+def _q_trajectory_stats(spark, sf_dir):
+    """Per-conversation trajectory metrics (operators/chat.py
+    trajectory_stats): role mix, distinct tools, duration, first/last role,
+    turns-to-first-tool, avg text length, error-turn count — ONE
+    map-side-combined groupBy(conv), the per-session analytics of an agent
+    transcript corpus. Oracle restates every conditional aggregate."""
+    from quickwit_spark.operators.chat import trajectory_stats
+
+    turns = _transcript_turns(spark, sf_dir)
+    return trajectory_stats(turns, error_pred=F.col("text").contains("9"))
+
+
+def _q_funnel_counts(spark, sf_dir):
+    """Ordered funnel (operators/chat.py funnel_counts): view → click →
+    purchase per user in event_id order, greedy earliest-match (exact reach
+    semantics). Predicates evaluate row-side pre-shuffle; only booleans
+    move. Oracle = the nested min-after-previous-step formulation."""
+    from quickwit_spark.operators.chat import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    steps = [
+        ("view", F.col("event_type") == "view"),
+        ("click", F.col("event_type") == "click"),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+    return funnel_counts(ev, steps, group_col="user_id", order_col="event_id")
+
+
+def _q_significant_terms(spark, sf_dir):
+    """ES significant_terms with the JLH heuristic (operators/aggs.py):
+    what terms are unusually frequent in src0's documents vs the whole
+    corpus. One scan, document frequencies via array_distinct before the
+    explode, TakeOrdered top-10."""
+    from quickwit_spark.operators.aggs import significant_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return significant_terms(
+        docs, "text", F.col("source") == "src0", size=10, min_doc_count=5
+    )
+
+
+def _q_rollup_daily(spark, sf_dir):
+    """Materialized-rollup plane (operators/rollup.py): build hourly
+    mergeable partials (cnt/sum/sumsq/min/max) from events in ONE raw pass,
+    re-merge to daily grain, finalize avg/var from the moments. The oracle
+    aggregates the raw table directly at day grain — so the gate itself
+    proves merge-of-partials == direct aggregation (the invariant that
+    makes a 10^12-row dashboard read rollup rows, not raw)."""
+    from quickwit_spark.operators.rollup import (
+        rollup_build,
+        rollup_finalize,
+        rollup_merge,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = rollup_build(ev, ["event_type"], "ts", "value", "hour")
+    return rollup_finalize(rollup_merge(hourly, ["event_type"], "day"), ["event_type"])
+
+
+def _q_ts_anomalies(spark, sf_dir):
+    """Robust time-series anomaly flags (operators/timeseries.py): daily
+    event counts per event_type, modified z-score (Iglewicz–Hoaglin,
+    0.6745·(x−med)/MAD) with exact interpolated percentiles. Only the
+    bucketing pass touches raw rows. Oracle restates median/MAD via
+    quantile_cont."""
+    from quickwit_spark.operators.timeseries import bucket_metric, robust_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    b = bucket_metric(ev, ["event_type"], "ts", "day")
+    return robust_anomalies(b, ["event_type"], threshold=2.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST 50
     # entries, so the window is curated for maximum distinct semantics:
@@ -1612,6 +1705,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_more_like_this": _q_more_like_this,
         "chunk_sliding": _q_chunk_sliding,
         "field_collapse": _q_field_collapse,
+        "trajectory_stats": _q_trajectory_stats,
+        "funnel_counts": _q_funnel_counts,
+        "agg_significant_terms": _q_significant_terms,
+        "rollup_daily": _q_rollup_daily,
+        "ts_anomalies": _q_ts_anomalies,
         # rows-only tail (non-SQL-expressible)
         "dedup_incremental": _q_dedup_incremental,
         "semantic_dedup_incremental": _q_semantic_dedup_incremental,
@@ -2734,6 +2832,109 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r.group_rank AS BIGINT) AS group_rank
             FROM ranked r JOIN page USING (user_id)
             WHERE group_rank <= 2
+        """,
+        "trajectory_stats": r"""
+            WITH t AS (
+              SELECT user_id AS conv_id, event_id AS turn_idx,
+                     (['user','assistant','tool'])[CAST(event_id % 3 + 1 AS INT)] AS role,
+                     props AS text,
+                     CASE WHEN event_id % 3 = 2
+                          THEN 'tool-' || CAST(event_id % 4 AS VARCHAR) END AS tool,
+                     ts
+              FROM events
+            )
+            SELECT conv_id,
+                   count(*)::BIGINT AS n_turns,
+                   count(*) FILTER (role = 'user')::BIGINT AS n_user,
+                   count(*) FILTER (role = 'assistant')::BIGINT AS n_assistant,
+                   count(*) FILTER (role = 'tool')::BIGINT AS n_tool,
+                   count(DISTINCT tool)::BIGINT AS n_distinct_tools,
+                   (floor(epoch(max(ts))) - floor(epoch(min(ts))))::BIGINT
+                     AS duration_sec,
+                   arg_min(role, turn_idx) AS first_role,
+                   arg_max(role, turn_idx) AS last_role,
+                   min(CASE WHEN role = 'tool' THEN turn_idx END)::BIGINT
+                     AS first_tool_turn,
+                   round(avg(len(coalesce(text, ''))), 6) AS avg_text_chars,
+                   count(*) FILTER (text LIKE '%9%')::BIGINT AS n_errors
+            FROM t GROUP BY 1
+        """,
+        "funnel_counts": """
+            WITH e AS (
+              SELECT user_id AS g, event_id AS o, event_type FROM events
+            ), s1 AS (
+              SELECT g, min(o) AS m FROM e WHERE event_type = 'view' GROUP BY 1
+            ), s2 AS (
+              SELECT e.g, min(e.o) AS m FROM e JOIN s1 USING (g)
+              WHERE event_type = 'click' AND e.o > s1.m GROUP BY 1
+            ), s3 AS (
+              SELECT e.g, min(e.o) AS m FROM e JOIN s2 USING (g)
+              WHERE event_type = 'purchase' AND e.o > s2.m GROUP BY 1
+            )
+            SELECT * FROM (
+              SELECT 1::BIGINT AS step, 'view' AS step_name,
+                     count(*)::BIGINT AS n_groups FROM s1
+              UNION ALL SELECT 2, 'click', count(*) FROM s2
+              UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+            ) WHERE n_groups > 0
+        """,
+        "agg_significant_terms": r"""
+            WITH d AS (
+              SELECT doc_id, source,
+                     list_distinct(list_filter(
+                       str_split_regex(lower(text), '[^a-z0-9]+'),
+                       w -> len(w) > 0)) AS t
+              FROM documents
+            ), s AS (
+              SELECT count(*)::DOUBLE AS n_bg,
+                     count(*) FILTER (source = 'src0')::DOUBLE AS n_fg
+              FROM d
+            ), f AS (
+              SELECT term,
+                     count(*) FILTER (source = 'src0')::BIGINT AS fg_df,
+                     count(*)::BIGINT AS bg_df
+              FROM (SELECT doc_id, source, unnest(t) AS term FROM d)
+              GROUP BY 1
+            )
+            SELECT term, fg_df, bg_df,
+                   round((fg_df / n_fg - bg_df / n_bg)
+                         * ((fg_df / n_fg) / (bg_df / n_bg)), 6) AS score
+            FROM f, s
+            WHERE fg_df >= 5 AND fg_df / n_fg > bg_df / n_bg
+            ORDER BY score DESC, term ASC LIMIT 10
+        """,
+        "rollup_daily": """
+            SELECT event_type,
+                   date_trunc('day', ts)::TIMESTAMP AS bucket,
+                   count(value)::BIGINT AS cnt,
+                   round(sum(value), 6) AS sum_v,
+                   min(value::DOUBLE) AS min_v,
+                   max(value::DOUBLE) AS max_v,
+                   round(round(sum(value), 6) / count(value), 6) AS avg_v,
+                   round(var_pop(value), 6) AS var_v
+            FROM events GROUP BY 1, 2
+        """,
+        "ts_anomalies": """
+            WITH b AS (
+              SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS bucket,
+                     count(*)::DOUBLE AS metric
+              FROM events GROUP BY 1, 2
+            ), m AS (
+              SELECT event_type, quantile_cont(metric, 0.5) AS med
+              FROM b GROUP BY 1
+            ), a AS (
+              SELECT b.event_type,
+                     quantile_cont(abs(metric - med), 0.5) AS mad
+              FROM b JOIN m USING (event_type) GROUP BY 1
+            )
+            SELECT b.event_type, bucket, metric,
+                   round(med, 6) AS med, round(mad, 6) AS mad,
+                   CASE WHEN mad > 0
+                        THEN round(0.6745 * (metric - med) / mad, 6) END AS score,
+                   coalesce(CASE WHEN mad > 0
+                        THEN abs(round(0.6745 * (metric - med) / mad, 6)) > 2.0
+                   END, FALSE) AS is_anomaly
+            FROM b JOIN m USING (event_type) JOIN a USING (event_type)
         """,
         "chat_render": r"""
             WITH t AS (

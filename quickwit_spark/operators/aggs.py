@@ -963,3 +963,68 @@ def run_es_aggs(df: DataFrame, aggs: dict[str, dict]) -> dict[str, Any]:
 
 def _f(v):
     return float(v) if v is not None else None
+
+
+def significant_terms(
+    df: DataFrame,
+    field: str,
+    foreground: Column,
+    size: int = 10,
+    min_doc_count: int = 3,
+) -> DataFrame:
+    """Elasticsearch ``significant_terms`` semantics (public aggs DSL) with
+    the default JLH heuristic: terms that are unusually frequent in the
+    foreground document set (the query's hits) relative to the background
+    (the whole index). ``jlh = (fg% − bg%) · (fg%/bg%)`` over DOCUMENT
+    frequencies (a term counts once per document); only terms with
+    ``fg% > bg%`` and foreground df ≥ ``min_doc_count`` qualify; top
+    ``size`` by score, ties broken by term ascending.
+
+    The "what is special about the error logs / this tenant / this agent's
+    failures" aggregation — foreground is any boolean Column over the row.
+
+    Scale shape: ONE corpus scan — the foreground flag is evaluated
+    row-side in the scan's codegen stage, tokens explode (array_distinct
+    first, so per-doc duplicates die before the shuffle), and one
+    map-side-combined groupBy(term) carries (term → fg_df, bg_df). Set
+    sizes come from the same scan pattern as the reference's count path
+    (a one-row aggregate). Final top-k is a TakeOrdered, never a global
+    sort.
+
+    Returns (term, fg_df, bg_df, score) — score rounded to 6 places.
+    """
+    from quickwit_spark.functions.tokenizers import tokenize_default
+
+    fg = foreground.cast("boolean")
+    sizes = df.agg(
+        F.count(F.lit(1)).alias("__n_bg"), F.count_if(fg).alias("__n_fg")
+    ).first()
+    n_bg, n_fg = float(sizes["__n_bg"]), float(sizes["__n_fg"])
+    if n_fg == 0:
+        raise ValueError("significant_terms: empty foreground set")
+
+    freqs = (
+        df.select(
+            fg.alias("__fg"),
+            F.explode(F.array_distinct(tokenize_default(F.col(field)))).alias(
+                "term"
+            ),
+        )
+        .groupBy("term")
+        .agg(
+            F.count_if(F.col("__fg")).cast("long").alias("fg_df"),
+            F.count(F.lit(1)).cast("long").alias("bg_df"),
+        )
+    )
+    fg_pct = F.col("fg_df") / F.lit(n_fg)
+    bg_pct = F.col("bg_df") / F.lit(n_bg)
+    return (
+        freqs.filter(
+            (F.col("fg_df") >= min_doc_count) & (fg_pct > bg_pct)
+        )
+        .withColumn(
+            "score", F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6)
+        )
+        .orderBy(F.col("score").desc(), F.col("term").asc())
+        .limit(size)
+    )

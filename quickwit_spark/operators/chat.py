@@ -95,3 +95,137 @@ def render_conversations(
         spans["starts"].alias("span_starts"),
         spans["ends"].alias("span_ends"),
     )
+
+
+def trajectory_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+    roles: tuple[str, ...] = ("user", "assistant", "tool"),
+    tool_role: str = "tool",
+    error_pred: Column | None = None,
+) -> DataFrame:
+    """Per-conversation trajectory metrics — the agent-transcript analog of
+    per-session web analytics: how long the conversation ran, how the turns
+    split across roles, how many distinct tools were invoked, how quickly
+    the agent first reached for a tool, and (optionally) how many turns
+    satisfied a caller-supplied error predicate.
+
+    Every metric is a plain conditional aggregate, so the whole operator is
+    ONE map-side-combined groupBy(conv) — one shuffle whose width is the
+    number of conversations, never the number of turns. At 10^12 turns the
+    partial-aggregation pass reduces each partition to its local
+    conversation set before anything moves; hot conversations are single
+    groups and ride AQE skew splitting.
+
+    Output per conversation: n_turns, n_<role> per role, n_distinct_tools,
+    duration_sec (last ts − first ts), first_role / last_role (by turn
+    order), first_tool_turn (min turn_idx where role==tool_role; null if
+    the conversation never used a tool), avg_text_chars, and n_errors when
+    ``error_pred`` is given.
+    """
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        *[
+            F.count_if(F.col(role_col) == r).cast("long").alias(f"n_{r}")
+            for r in roles
+        ],
+        F.count_distinct(F.col(tool_col)).cast("long").alias("n_distinct_tools"),
+        (F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col)))
+        .cast("long")
+        .alias("duration_sec"),
+        F.min_by(role_col, turn_col).alias("first_role"),
+        F.max_by(role_col, turn_col).alias("last_role"),
+        F.min(F.when(F.col(role_col) == tool_role, F.col(turn_col)))
+        .cast("long")
+        .alias("first_tool_turn"),
+        F.round(F.avg(F.length(F.coalesce(F.col(text_col), F.lit("")))), 6).alias(
+            "avg_text_chars"
+        ),
+    ]
+    if error_pred is not None:
+        aggs.append(F.count_if(error_pred).cast("long").alias("n_errors"))
+    return df.groupBy(conv_col).agg(*aggs)
+
+
+def funnel_reached(
+    df: DataFrame,
+    steps: list[tuple[str, Column]],
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Ordered-funnel evaluation per group: a group reaches step k iff rows
+    matching steps 1..k occur in strictly increasing ``order_col`` order
+    (greedy earliest-match — if ANY ordered subsequence exists, the greedy
+    scan finds one, so this is exact reach semantics, not a heuristic).
+    The log-analytics staple (signup funnels) applied to agent transcripts:
+    "asked → agent invoked a tool → tool succeeded → agent answered".
+
+    Scale shape: every step predicate is evaluated row-side in the scan's
+    own codegen stage and packed into one array<boolean>, so only
+    (group, order, K booleans) ever shuffles — never the text. One
+    groupBy(group) with array_sort inside the task (no global sort), then
+    the greedy scan is a single Catalyst ``aggregate`` fold over the
+    sorted turn list. Per-group memory is the group's turn count.
+
+    Returns (group_col, steps_reached: long in [0, len(steps)]).
+    """
+    k = len(steps)
+    if k == 0:
+        raise ValueError("funnel needs at least one step")
+    flags = F.array(*[p.cast("boolean") for _, p in steps])
+    packed = df.select(
+        F.col(group_col), F.col(order_col).alias("__o"), flags.alias("__f")
+    )
+    grouped = packed.groupBy(group_col).agg(
+        F.array_sort(F.collect_list(F.struct("__o", "__f"))).alias("__evs")
+    )
+    reached = F.aggregate(
+        F.col("__evs"),
+        F.lit(0),
+        lambda acc, e: F.when(
+            (acc < F.lit(k))
+            & F.coalesce(F.element_at(e["__f"], (acc + 1).cast("int")), F.lit(False)),
+            acc + 1,
+        ).otherwise(acc),
+    )
+    return grouped.select(
+        group_col, reached.cast("long").alias("steps_reached")
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[tuple[str, Column]],
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Funnel summary: for each step k, how many groups reached step ≥ k.
+    Counts are monotonically non-increasing by construction. Groups that
+    match no step at all contribute to no row (classic funnel convention).
+
+    Returns (step: long 1..K, step_name, n_groups: long), built from
+    :func:`funnel_reached` plus one explode + tiny groupBy — the second
+    shuffle is K rows wide.
+    """
+    names = F.array(*[F.lit(n) for n, _ in steps])
+    per_group = funnel_reached(df, steps, group_col, order_col)
+    return (
+        per_group.filter(F.col("steps_reached") >= 1)
+        .select(
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("steps_reached"))
+            ).alias("step")
+        )
+        .groupBy("step")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
+        .select(
+            "step",
+            F.element_at(names, F.col("step").cast("int")).alias("step_name"),
+            "n_groups",
+        )
+    )

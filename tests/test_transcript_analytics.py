@@ -1,0 +1,285 @@
+"""Agent-transcript analytics (trajectory stats, ordered funnels),
+significant_terms, rollup merge algebra, and robust time-series anomalies.
+Each also carries a DuckDB-oracled queries() entry; these tests pin the
+semantics the oracle can't exercise (ordering subtleties, merge algebra,
+planted anomalies, knobs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from quickwit_spark.operators.chat import (
+    funnel_counts,
+    funnel_reached,
+    trajectory_stats,
+)
+from quickwit_spark.operators.aggs import significant_terms
+from quickwit_spark.operators.rollup import (
+    rollup_build,
+    rollup_finalize,
+    rollup_merge,
+    rollup_upsert,
+)
+from quickwit_spark.operators.timeseries import bucket_metric, robust_anomalies
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _turn(conv, idx, role, text="x", tool=None, sec=0):
+    return Row(
+        conv_id=conv,
+        turn_idx=idx,
+        role=role,
+        text=text,
+        tool=tool,
+        ts=T0 + dt.timedelta(seconds=sec),
+    )
+
+
+@pytest.fixture(scope="module")
+def turns(spark):
+    return spark.createDataFrame(
+        [
+            _turn("c1", 0, "user", "hello there", sec=0),
+            _turn("c1", 1, "assistant", "hi!", sec=5),
+            _turn("c1", 2, "tool", "ok", tool="search", sec=9),
+            _turn("c1", 3, "tool", "ok", tool="calc", sec=12),
+            _turn("c1", 4, "assistant", "done", sec=30),
+            _turn("c2", 0, "user", "q", sec=0),
+            _turn("c2", 1, "assistant", None, sec=7),
+        ]
+    )
+
+
+class TestTrajectoryStats:
+    def test_metrics(self, turns):
+        out = {
+            r["conv_id"]: r
+            for r in trajectory_stats(
+                turns, error_pred=F.col("text") == "done"
+            ).collect()
+        }
+        c1 = out["c1"]
+        assert c1["n_turns"] == 5 and c1["n_user"] == 1
+        assert c1["n_assistant"] == 2 and c1["n_tool"] == 2
+        assert c1["n_distinct_tools"] == 2
+        assert c1["duration_sec"] == 30
+        assert c1["first_role"] == "user" and c1["last_role"] == "assistant"
+        assert c1["first_tool_turn"] == 2
+        assert c1["n_errors"] == 1
+        c2 = out["c2"]
+        assert c2["first_tool_turn"] is None and c2["n_distinct_tools"] == 0
+        # null text counts as 0 chars in the average
+        assert c2["avg_text_chars"] == pytest.approx(0.5)
+
+    def test_single_shuffle(self, turns):
+        from tests.test_plan_shapes import plan_of
+
+        p = plan_of(trajectory_stats(turns))
+        assert p.count("Exchange") <= 2  # distinct-count may add one
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def _steps():
+    return [
+        ("ask", F.col("role") == "user"),
+        ("tool", F.col("role") == "tool"),
+        ("answer", F.col("role") == "assistant"),
+    ]
+
+
+class TestFunnel:
+    def test_order_matters(self, spark):
+        # assistant BEFORE the tool turn must not count as step 3
+        df = spark.createDataFrame(
+            [
+                _turn("a", 0, "user"),
+                _turn("a", 1, "assistant"),
+                _turn("a", 2, "tool", tool="t"),
+            ]
+        )
+        r = funnel_reached(df, _steps()).collect()[0]
+        assert r["steps_reached"] == 2
+
+    def test_greedy_earliest_is_exact(self, spark):
+        # user, tool, user, assistant: greedy matches (0,1,3) — reached 3
+        df = spark.createDataFrame(
+            [
+                _turn("a", 0, "user"),
+                _turn("a", 1, "tool", tool="t"),
+                _turn("a", 2, "user"),
+                _turn("a", 3, "assistant"),
+            ]
+        )
+        assert funnel_reached(df, _steps()).collect()[0]["steps_reached"] == 3
+
+    def test_same_turn_cannot_match_two_steps(self, spark):
+        # strictly increasing order: one turn satisfies at most one step
+        df = spark.createDataFrame([_turn("a", 0, "user", tool="t")])
+        steps = [("u1", F.col("role") == "user"), ("u2", F.col("role") == "user")]
+        assert funnel_reached(df, steps).collect()[0]["steps_reached"] == 1
+
+    def test_counts_monotone_and_zero_groups_absent(self, turns):
+        rows = {r["step"]: r for r in funnel_counts(turns, _steps()).collect()}
+        assert [rows[k]["n_groups"] for k in (1, 2, 3)] == [2, 1, 1]
+        assert rows[2]["step_name"] == "tool"
+        # a group matching nothing contributes nowhere
+        df2 = turns.sparkSession.createDataFrame([_turn("z", 0, "system", tool="t")])
+        out = funnel_counts(turns.unionByName(df2), _steps()).collect()
+        assert {r["step"]: r["n_groups"] for r in out}[1] == 2
+
+    def test_empty_steps_rejected(self, turns):
+        with pytest.raises(ValueError):
+            funnel_reached(turns, [])
+
+
+class TestSignificantTerms:
+    def test_jlh_hand_computed(self, spark):
+        # fg: 2 docs both containing "boom"; bg: 6 docs, "boom" in 2,
+        # "base" everywhere (fg%==bg% → excluded), "raretwice" fg-only
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=0, grp="fg", text="base boom raretwice"),
+                Row(doc_id=1, grp="fg", text="base boom raretwice"),
+                Row(doc_id=2, grp="bg", text="base other"),
+                Row(doc_id=3, grp="bg", text="base other"),
+                Row(doc_id=4, grp="bg", text="base filler"),
+                Row(doc_id=5, grp="bg", text="base filler"),
+            ]
+        )
+        out = {
+            r["term"]: r
+            for r in significant_terms(
+                docs, "text", F.col("grp") == "fg", size=10, min_doc_count=2
+            ).collect()
+        }
+        assert "base" not in out  # fg% == bg% == 1
+        assert set(out) == {"boom", "raretwice"}
+        # boom: fg%=1, bg%=2/6 → (1-1/3)*(1/(1/3)) = 2.0
+        assert out["boom"]["score"] == pytest.approx(2.0)
+        assert out["boom"]["fg_df"] == 2 and out["boom"]["bg_df"] == 2
+        # raretwice: identical counts → same score; tie broken by term asc
+        assert out["raretwice"]["score"] == pytest.approx(2.0)
+
+    def test_min_doc_count_and_size(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = significant_terms(
+            docs, "text", F.col("source") == "src0", size=3, min_doc_count=5
+        ).collect()
+        assert len(out) == 3
+        assert all(r["fg_df"] >= 5 for r in out)
+        scores = [r["score"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_empty_foreground_raises(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        with pytest.raises(ValueError):
+            significant_terms(docs, "text", F.lit(False))
+
+
+class TestRollup:
+    @pytest.fixture(scope="class")
+    def events(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def test_merge_equals_direct(self, spark, events):
+        hourly = rollup_build(events, ["event_type"], "ts", "value", "hour")
+        daily = rollup_finalize(
+            rollup_merge(hourly, ["event_type"], "day"), ["event_type"]
+        )
+        direct = events.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("bucket")
+        ).agg(
+            F.count("value").cast("long").alias("cnt"),
+            F.round(F.sum("value"), 6).alias("sum_v"),
+            F.min(F.col("value").cast("double")).alias("min_v"),
+            F.max(F.col("value").cast("double")).alias("max_v"),
+            F.round(F.round(F.sum("value"), 6) / F.count("value"), 6).alias("avg_v"),
+            F.round(F.var_pop("value"), 6).alias("var_v"),
+        )
+        assert daily.exceptAll(direct.select(*daily.columns)).count() == 0
+        assert direct.select(*daily.columns).exceptAll(daily).count() == 0
+
+    def test_key_subset_merge(self, events):
+        hourly = rollup_build(events, ["event_type"], "ts", "value", "hour")
+        total = rollup_merge(hourly, [], "year").agg(F.sum("cnt")).first()[0]
+        assert total == events.filter(F.col("value").isNotNull()).count()
+
+    def test_upsert_incremental_equals_rebuild(self, events):
+        a = events.filter(F.col("event_id") % 2 == 0)
+        b = events.filter(F.col("event_id") % 2 == 1)
+        inc = rollup_upsert(
+            rollup_build(a, ["event_type"], "ts", "value", "day"),
+            rollup_build(b, ["event_type"], "ts", "value", "day"),
+            ["event_type"],
+        )
+        full = rollup_build(events, ["event_type"], "ts", "value", "day")
+        fin = lambda r: rollup_finalize(r, ["event_type"])  # noqa: E731
+        assert fin(inc).exceptAll(fin(full)).count() == 0
+        assert fin(full).exceptAll(fin(inc)).count() == 0
+
+    def test_bad_grain_rejected(self, events):
+        with pytest.raises(ValueError):
+            rollup_build(events, ["event_type"], "ts", "value", "fortnight")
+
+    def test_single_shuffle_build(self, events):
+        from tests.test_plan_shapes import plan_of
+
+        p = plan_of(rollup_build(events, ["event_type"], "ts", "value", "hour"))
+        assert p.count("Exchange") == 1
+
+
+class TestAnomalies:
+    def test_planted_spike_flagged(self, spark):
+        rows = [
+            Row(series="s", ts=T0 + dt.timedelta(hours=h), v=1.0)
+            for h in range(20)
+            for _ in range(10 + (h % 3))  # 10-12 per bucket
+        ] + [Row(series="s", ts=T0 + dt.timedelta(hours=20), v=1.0)] * 300
+        b = bucket_metric(
+            spark.createDataFrame(rows), ["series"], "ts", "hour"
+        )
+        out = robust_anomalies(b, ["series"])
+        flagged = [r for r in out.collect() if r["is_anomaly"]]
+        assert len(flagged) == 1
+        assert flagged[0]["metric"] == 300.0
+        assert abs(flagged[0]["score"]) > 3.5
+
+    def test_mad_zero_never_flags(self, spark):
+        rows = [
+            Row(series="flat", ts=T0 + dt.timedelta(hours=h), v=1.0)
+            for h in range(9)
+        ] + [Row(series="flat", ts=T0 + dt.timedelta(hours=9), v=1.0)] * 50
+        b = bucket_metric(spark.createDataFrame(rows), ["series"], "ts", "hour")
+        out = robust_anomalies(b, ["series"]).collect()
+        # 9 buckets of 1 + one of 50 → median 1, MAD 0 → no flags, null score
+        assert all(not r["is_anomaly"] for r in out)
+        spike = [r for r in out if r["metric"] == 50.0][0]
+        assert spike["score"] is None and spike["mad"] == 0.0
+
+    def test_threshold_knob(self, spark):
+        rows = []
+        for h, n in enumerate([10, 11, 10, 12, 10, 11, 10, 12, 10, 25]):
+            rows += [Row(series="s", ts=T0 + dt.timedelta(hours=h), v=1.0)] * n
+        b = bucket_metric(spark.createDataFrame(rows), ["series"], "ts", "hour")
+        loose = robust_anomalies(b, ["series"], threshold=20.0)
+        tight = robust_anomalies(b, ["series"], threshold=2.0)
+        assert loose.filter("is_anomaly").count() == 0
+        assert tight.filter("is_anomaly").count() >= 1
+
+    def test_custom_metric(self, spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        b = bucket_metric(
+            ev, ["event_type"], "ts", "day", metric=F.sum("value")
+        )
+        got = {
+            (r["event_type"], r["bucket"]): r["metric"] for r in b.collect()
+        }
+        direct = ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("bucket")
+        ).agg(F.sum("value").alias("m"))
+        for r in direct.collect():
+            assert got[(r["event_type"], r["bucket"])] == pytest.approx(r["m"])
