@@ -1565,6 +1565,41 @@ def _q_ts_anomalies(spark, sf_dir):
     return robust_anomalies(b, ["event_type"], threshold=2.0)
 
 
+def _q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention (operators/timeseries.py cohort_retention):
+    users bucketed by first-seen week, distinct-active counts per offset
+    week. ONE shuffle over raw events (groupBy(user) computes cohort AND
+    the distinct period set in the same aggregate); the self-join-free
+    formulation."""
+    from quickwit_spark.operators.timeseries import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts", "week")
+
+
+def _q_tool_transitions(spark, sf_dir):
+    """Tool→tool transition matrix over the derived transcript frame
+    (operators/timeseries.py transition_matrix): the Markov structure of
+    agent trajectories — which tool follows which, row-normalized. Null
+    (non-tool) turns drop before the window so tools chain across
+    intervening turns; one window shuffle, pair-cardinality output."""
+    from quickwit_spark.operators.timeseries import transition_matrix
+
+    turns = _transcript_turns(spark, sf_dir)
+    return transition_matrix(turns, "conv_id", "turn_idx", "tool")
+
+
+def _q_suggest_prefix(spark, sf_dir):
+    """Prefix completion suggester (operators/scoring.py suggest_prefix):
+    top-10 document-frequency completions of 's' — non-matching tokens die
+    inside the token array BEFORE the explode, so only matching terms
+    shuffle. TakeOrdered paging."""
+    from quickwit_spark.operators.scoring import suggest_prefix
+
+    docs = _t(spark, sf_dir, "documents")
+    return suggest_prefix(docs, "s", k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST 50
     # entries, so the window is curated for maximum distinct semantics:
@@ -1710,6 +1745,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_significant_terms": _q_significant_terms,
         "rollup_daily": _q_rollup_daily,
         "ts_anomalies": _q_ts_anomalies,
+        "cohort_retention": _q_cohort_retention,
+        "tool_transitions": _q_tool_transitions,
+        "suggest_prefix": _q_suggest_prefix,
         # rows-only tail (non-SQL-expressible)
         "dedup_incremental": _q_dedup_incremental,
         "semantic_dedup_incremental": _q_semantic_dedup_incremental,
@@ -2935,6 +2973,54 @@ def oracle_sql() -> dict[str, str]:
                         THEN abs(round(0.6745 * (metric - med) / mad, 6)) > 2.0
                    END, FALSE) AS is_anomaly
             FROM b JOIN m USING (event_type) JOIN a USING (event_type)
+        """,
+        "cohort_retention": """
+            WITH p AS (
+              SELECT user_id, date_trunc('week', ts)::TIMESTAMP AS per
+              FROM events
+            ), u AS (
+              SELECT user_id, min(per) AS cohort FROM p GROUP BY 1
+            ), d AS (
+              SELECT DISTINCT p.user_id, cohort, per
+              FROM p JOIN u USING (user_id)
+            )
+            SELECT cohort,
+                   CAST(date_diff('day', cohort::DATE, per::DATE) // 7
+                        AS BIGINT) AS period_idx,
+                   count(*)::BIGINT AS n_users
+            FROM d GROUP BY 1, 2
+        """,
+        "tool_transitions": """
+            WITH t AS (
+              SELECT user_id AS conv_id, event_id AS turn_idx,
+                     'tool-' || CAST(event_id % 4 AS VARCHAR) AS tool
+              FROM events WHERE event_id % 3 = 2
+            ), pairs AS (
+              SELECT tool AS from_state,
+                     lead(tool) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx) AS to_state
+              FROM t
+            ), n AS (
+              SELECT from_state, to_state, count(*)::BIGINT AS n
+              FROM pairs WHERE to_state IS NOT NULL GROUP BY 1, 2
+            ), tot AS (
+              SELECT from_state, sum(n) AS tt FROM n GROUP BY 1
+            )
+            SELECT from_state, to_state, n, round(n / tt, 6) AS p
+            FROM n JOIN tot USING (from_state)
+        """,
+        "suggest_prefix": r"""
+            SELECT term, count(*)::BIGINT AS freq
+            FROM (
+              SELECT doc_id, unnest(list_distinct(list_filter(
+                       str_split_regex(lower(text), '[^a-z0-9]+'),
+                       w -> len(w) > 0))) AS term
+              FROM documents
+            )
+            WHERE term LIKE 's%'
+            GROUP BY 1
+            ORDER BY freq DESC, term ASC
+            LIMIT 10
         """,
         "chat_render": r"""
             WITH t AS (

@@ -440,3 +440,37 @@ def more_like_this(
         .filter(F.col("rank") <= k)
         .select(F.col("__qid").alias("query_id"), id_col, "_score", "rank")
     )
+
+
+def suggest_prefix(
+    docs: DataFrame,
+    prefix: str,
+    field: str = "text",
+    k: int = 5,
+    by_doc_freq: bool = True,
+) -> DataFrame:
+    """Prefix completion suggester (the ES completion/term-suggester shape,
+    frequency-weighted): top-``k`` corpus terms starting with ``prefix``,
+    ranked by document frequency (default) or total term frequency, ties
+    by term ascending. The query-box autocomplete surface over the same
+    tokenization as the search operators.
+
+    Scale shape: one scan; tokens explode and the non-matching ones are
+    filtered INSIDE the token array before the explode (F.filter on the
+    array), so the shuffle carries only prefix-matching terms — for a
+    selective prefix that is a sliver of the corpus. Map-side-combined
+    groupBy(term) + TakeOrdered.
+
+    Returns (term, freq: long).
+    """
+    toks = _tokens(F.col(field))
+    if by_doc_freq:
+        toks = F.array_distinct(toks)
+    matching = F.filter(toks, lambda t: t.startswith(prefix))
+    return (
+        docs.select(F.explode(matching).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("term").asc())
+        .limit(k)
+    )

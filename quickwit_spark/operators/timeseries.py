@@ -79,3 +79,97 @@ def robust_anomalies(
             "is_anomaly"
         ),
     )
+
+
+_PERIOD_UNITS = {"day": 1, "week": 7}
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    grain: str = "week",
+) -> DataFrame:
+    """Cohort retention — the log-analytics staple: bucket users by their
+    first-seen period (the cohort), then count how many of each cohort are
+    active again k periods later. ``grain``: day or week (fixed-width
+    periods so the offset is a plain date arithmetic, engine-portable).
+
+    Returns (cohort: timestamp, period_idx: long ≥ 0, n_users: long) —
+    period_idx 0 is the cohort's own period, so n_users at 0 is cohort
+    size and retention% = n_users(k) / n_users(0).
+
+    Scale shape: ONE shuffle over raw data — groupBy(user) computes the
+    user's first-seen period AND the distinct set of active periods in the
+    same aggregate (collect_set of truncated buckets is bounded by
+    periods-in-retention-window, not by the user's event count, because
+    truncation happens BEFORE the set), then the cohort matrix is an
+    explode + tiny groupBy over |cohorts| × |periods| cells. The classic
+    self-join-on-user formulation shuffles the event table twice; this
+    shape never re-reads it.
+    """
+    if grain not in _PERIOD_UNITS:
+        raise ValueError(f"grain must be one of {sorted(_PERIOD_UNITS)}")
+    days = _PERIOD_UNITS[grain]
+    period = F.date_trunc(grain, F.col(ts_col))
+    per_user = df.groupBy(user_col).agg(
+        F.min(period).alias("cohort"),
+        F.collect_set(period).alias("__periods"),
+    )
+    return (
+        per_user.select(
+            "cohort", F.explode("__periods").alias("__p")
+        )
+        .select(
+            "cohort",
+            (F.datediff(F.col("__p"), F.col("cohort")) / days)
+            .cast("long")
+            .alias("period_idx"),
+        )
+        .groupBy("cohort", "period_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    state_col: str,
+    drop_null_states: bool = True,
+) -> DataFrame:
+    """First-order transition matrix over ordered per-group sequences —
+    for agent transcripts: which tool follows which tool, which role
+    follows which role (the Markov structure of trajectories); for logs:
+    event-type flow. Consecutive pairs are taken WITHIN each group in
+    ``order_col`` order; groups never chain into each other.
+
+    Returns (from_state, to_state, n: long, p: double) where p is the
+    row-normalized transition probability (n / Σ n over from_state),
+    rounded to 6.
+
+    Scale shape: one window shuffle on (group) for the lead pair, then a
+    map-side-combined groupBy on the (from,to) pairs — state-pair
+    cardinality, not event cardinality. No self-join (the lag/lead
+    formulation reads the table once)."""
+    from pyspark.sql import Window
+
+    if drop_null_states:
+        df = df.filter(F.col(state_col).isNotNull())
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col).over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = pairs.groupBy("from_state").agg(F.sum("n").alias("__tot"))
+    return pairs.join(F.broadcast(totals), "from_state").select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("n") / F.col("__tot"), 6).alias("p"),
+    )

@@ -283,3 +283,120 @@ class TestAnomalies:
         ).agg(F.sum("value").alias("m"))
         for r in direct.collect():
             assert got[(r["event_type"], r["bucket"])] == pytest.approx(r["m"])
+
+
+from quickwit_spark.operators.timeseries import cohort_retention, transition_matrix
+from quickwit_spark.operators.scoring import suggest_prefix
+
+
+class TestCohortRetention:
+    def test_hand_built_matrix(self, spark):
+        def ev(u, day):
+            return Row(user_id=u, ts=T0 + dt.timedelta(days=day))
+
+        # cohort A (day 0): u1 active days 0,7; u2 only day 0
+        # cohort B (day 7): u3 active days 7, 21
+        df = spark.createDataFrame(
+            [ev(1, 0), ev(1, 1), ev(1, 7), ev(2, 0), ev(3, 7), ev(3, 21)]
+        )
+        out = {
+            (r["cohort"], r["period_idx"]): r["n_users"]
+            for r in cohort_retention(df, "user_id", "ts", "week").collect()
+        }
+        ca, cb = T0, T0 + dt.timedelta(days=7)
+        assert out == {(ca, 0): 2, (ca, 1): 1, (cb, 0): 1, (cb, 2): 1}
+
+    def test_same_period_events_count_once(self, spark):
+        df = spark.createDataFrame(
+            [Row(user_id=1, ts=T0 + dt.timedelta(hours=h)) for h in range(48)]
+        )
+        out = cohort_retention(df, "user_id", "ts", "day").collect()
+        assert {(r["period_idx"], r["n_users"]) for r in out} == {(0, 1), (1, 1)}
+
+    def test_bad_grain(self, spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        with pytest.raises(ValueError):
+            cohort_retention(ev, "user_id", "ts", "month")
+
+    def test_single_shuffle_over_raw(self, spark, sf_dir):
+        from tests.test_plan_shapes import plan_of
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        p = plan_of(cohort_retention(ev, "user_id", "ts", "week"))
+        # one exchange for groupBy(user), one for the tiny cell groupBy
+        assert p.count("Exchange") == 2
+
+
+class TestTransitionMatrix:
+    def test_pairs_and_probabilities(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(g="a", o=0, s="x"),
+                Row(g="a", o=1, s="y"),
+                Row(g="a", o=2, s="x"),
+                Row(g="a", o=3, s="y"),
+                Row(g="b", o=0, s="y"),   # group boundary: y must not chain
+                Row(g="b", o=1, s="x"),
+            ]
+        )
+        out = {
+            (r["from_state"], r["to_state"]): (r["n"], r["p"])
+            for r in transition_matrix(df, "g", "o", "s").collect()
+        }
+        assert out[("x", "y")] == (2, 1.0)
+        # y at a:3 and b:1 are group-final rows — no successor, so both
+        # observed y-transitions go to x
+        assert out[("y", "x")] == (2, 1.0)
+        # a→b boundary pair (y at a:3 → y at b:0) must be absent
+        assert ("y", "y") not in out
+
+    def test_null_states_dropped_chain_through(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(g="a", o=0, s="x"),
+                Row(g="a", o=1, s=None),
+                Row(g="a", o=2, s="z"),
+            ]
+        )
+        out = transition_matrix(df, "g", "o", "s").collect()
+        assert {(r["from_state"], r["to_state"]) for r in out} == {("x", "z")}
+
+    def test_row_stochastic(self, spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = transition_matrix(ev, "user_id", "event_id", "event_type")
+        sums = (
+            out.groupBy("from_state").agg(F.sum("p").alias("sp")).collect()
+        )
+        for r in sums:
+            assert r["sp"] == pytest.approx(1.0, abs=1e-4)
+
+
+class TestSuggestPrefix:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                Row(doc_id=0, text="spark spark spark stream"),
+                Row(doc_id=1, text="spark stream split"),
+                Row(doc_id=2, text="stream other words"),
+            ]
+        )
+
+    def test_doc_freq_ranking(self, corpus):
+        out = [
+            (r["term"], r["freq"])
+            for r in suggest_prefix(corpus, "s", k=10).collect()
+        ]
+        # doc freq: stream 3, spark 2, split 1; ties none
+        assert out == [("stream", 3), ("spark", 2), ("split", 1)]
+
+    def test_term_freq_ranking(self, corpus):
+        out = [
+            (r["term"], r["freq"])
+            for r in suggest_prefix(corpus, "sp", k=10, by_doc_freq=False).collect()
+        ]
+        assert out == [("spark", 4), ("split", 1)]
+
+    def test_k_and_no_match(self, corpus):
+        assert len(suggest_prefix(corpus, "s", k=2).collect()) == 2
+        assert suggest_prefix(corpus, "zzz").count() == 0
