@@ -1600,6 +1600,52 @@ def _q_suggest_prefix(spark, sf_dir):
     return suggest_prefix(docs, "s", k=10)
 
 
+def _q_log_templates(spark, sf_dir):
+    """Log-template mining (functions/text.py log_templates): synthesize
+    log lines from events, mask variable classes (UUID/hex/IP/number) in
+    pure codegen, one map-side-combined groupBy — catalog-sized shuffle
+    regardless of corpus size (the Drain/Spell first step)."""
+    from quickwit_spark.functions.text import log_templates
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat(
+            F.lit("user "),
+            F.col("user_id"),
+            F.lit(" did "),
+            F.col("event_type"),
+            F.lit(" from 10.0."),
+            (F.col("event_id") % 250),
+            F.lit(".7 value="),
+            F.col("value"),
+        ).alias("text")
+    )
+    return log_templates(lines)
+
+
+def _q_breach_spans(spark, sf_dir):
+    """Threshold-breach spans (operators/timeseries.py breach_spans):
+    daily event counts per type collapsed into maximal consecutive
+    above-threshold runs (gaps-and-islands on the bucket frame — raw
+    volume independent)."""
+    from quickwit_spark.operators.timeseries import bucket_metric, breach_spans
+
+    ev = _t(spark, sf_dir, "events")
+    b = bucket_metric(ev, ["event_type"], "ts", "day")
+    return breach_spans(b, ["event_type"], threshold=70.0, grain="day")
+
+
+def _q_turn_context(spark, sf_dir):
+    """Bounded-context SFT pairs (operators/chat.py turn_context): for
+    every assistant turn of the derived transcript frame, the previous 3
+    turns rendered as context + the assistant text as target. One window
+    shuffle; per-row state is k turns even in 4000-turn conversations."""
+    from quickwit_spark.operators.chat import turn_context
+
+    turns = _transcript_turns(spark, sf_dir)
+    return turn_context(turns, k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST 50
     # entries, so the window is curated for maximum distinct semantics:
@@ -1638,7 +1684,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_multi_terms": _q_agg_multi_terms,
         "agg_cardinality_exact": _q_agg_cardinality_exact,
         "agg_percentiles_value": _q_agg_percentiles_value,
-        "agg_range_value": _q_agg_range_value,
         "agg_composite_after": _q_agg_composite_after,
         "agg_top_hits": _q_agg_top_hits,
         "agg_find_trace_ids": _q_agg_find_trace_ids,
@@ -1673,8 +1718,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": _q_text_tfidf,
         "text_quality_classifier": _q_text_quality_classifier,
         "chat_render": _q_chat_render,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_substrings": _q_dedup_substrings,
         "dedup_paragraphs": _q_dedup_paragraphs,
@@ -1683,8 +1726,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": _q_mixture_plan,
         "pack_sequences": _q_pack_sequences,
         "ann_ivf": _q_ann_ivf,
-        "ann_pq": _q_ann_pq,
-        "kmeans_step": _q_kmeans_step,
         "text_langid": _q_text_langid,
         "text_c4": _q_text_c4,
         "curation_funnel": _q_curation_funnel,
@@ -1692,6 +1733,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn_join,
         "multimodal_text_extract": _q_multimodal_text_extract,
         "multimodal_image_features": _q_multimodal_image_features,
+        # r5 session-4 rotation: five never-gated semantics promoted —
+        # rollup_daily (the oracle aggregates RAW directly, so the driver
+        # gate itself proves merge-of-partials == direct), funnel_counts
+        # (ordered-reach), agg_significant_terms (JLH), trajectory_stats
+        # (per-conversation transcript analytics), cohort_retention.
+        # Displaced near-duplicates (agg_range_value ~ composite/datehist
+        # bucketing, dedup_simhash ~ minhash banding, dedup_embedding_lsh ~
+        # semantic_dedup, ann_pq ~ ann_sq8/ivf_pq family, kmeans_step
+        # underlies ann_ivf) remain CI-oracled via test_oracle_all.
+        "rollup_daily": _q_rollup_daily,
+        "funnel_counts": _q_funnel_counts,
+        "agg_significant_terms": _q_significant_terms,
+        "trajectory_stats": _q_trajectory_stats,
+        "cohort_retention": _q_cohort_retention,
         # oracle-backed overflow (see note above; gapfill/range_ts/pii/url
         # semantics are each also covered by in-window entries or pytest).
         # r5 session-3 rotation: text_quality (heuristic score — superseded
@@ -1740,14 +1795,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_more_like_this": _q_more_like_this,
         "chunk_sliding": _q_chunk_sliding,
         "field_collapse": _q_field_collapse,
-        "trajectory_stats": _q_trajectory_stats,
-        "funnel_counts": _q_funnel_counts,
-        "agg_significant_terms": _q_significant_terms,
-        "rollup_daily": _q_rollup_daily,
         "ts_anomalies": _q_ts_anomalies,
-        "cohort_retention": _q_cohort_retention,
         "tool_transitions": _q_tool_transitions,
         "suggest_prefix": _q_suggest_prefix,
+        "log_templates": _q_log_templates,
+        "breach_spans": _q_breach_spans,
+        "turn_context": _q_turn_context,
+        "agg_range_value": _q_agg_range_value,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "ann_pq": _q_ann_pq,
+        "kmeans_step": _q_kmeans_step,
         # rows-only tail (non-SQL-expressible)
         "dedup_incremental": _q_dedup_incremental,
         "semantic_dedup_incremental": _q_semantic_dedup_incremental,
@@ -3021,6 +3079,67 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY freq DESC, term ASC
             LIMIT 10
+        """,
+        "log_templates": r"""
+            WITH lines AS (
+              SELECT 'user ' || CAST(user_id AS VARCHAR) || ' did '
+                     || event_type || ' from 10.0.'
+                     || CAST(event_id % 250 AS VARCHAR) || '.7 value='
+                     || CAST(value AS VARCHAR) AS text
+              FROM events
+            ), t AS (
+              SELECT text,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(text,
+                             '\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\b',
+                             '<UUID>', 'g'),
+                           '\b0x[0-9a-fA-F]+\b', '<HEX>', 'g'),
+                         '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+                       '\d+(\.\d+)?', '<NUM>', 'g') AS template
+              FROM lines
+            )
+            SELECT template, count(*)::BIGINT AS n, min(text) AS example
+            FROM t GROUP BY 1
+        """,
+        "breach_spans": """
+            WITH b AS (
+              SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS bucket,
+                     count(*)::DOUBLE AS metric
+              FROM events GROUP BY 1, 2
+            ), flagged AS (
+              SELECT *,
+                     CAST(floor(epoch(bucket) / 86400) AS BIGINT)
+                     - row_number() OVER (
+                         PARTITION BY event_type ORDER BY bucket) AS island
+              FROM b WHERE metric > 70.0
+            )
+            SELECT event_type,
+                   min(bucket) AS span_start,
+                   max(bucket) AS span_end,
+                   count(*)::BIGINT AS n_buckets,
+                   max(metric) AS peak
+            FROM flagged GROUP BY event_type, island
+        """,
+        "turn_context": """
+            WITH t AS (
+              SELECT user_id AS conv_id, event_id AS turn_idx,
+                     (['user','assistant','tool'])[CAST(event_id % 3 + 1 AS INT)] AS role,
+                     props AS text
+              FROM events
+            ), ctx AS (
+              SELECT conv_id, turn_idx, role, text,
+                     string_agg(role || ': ' || coalesce(text, ''), chr(10))
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                       AS context
+              FROM t
+            )
+            SELECT conv_id, turn_idx,
+                   coalesce(context, '') AS context,
+                   coalesce(text, '') AS target
+            FROM ctx WHERE role = 'assistant'
         """,
         "chat_render": r"""
             WITH t AS (

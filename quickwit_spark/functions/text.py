@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -547,4 +547,46 @@ def c4_keep_col(col: Column, min_sentences: int = 3) -> Column:
         (n_sentences >= min_sentences)
         & ~F.lower(col).contains("lorem ipsum")
         & ~col.contains("{")
+    )
+
+
+def log_template_col(col: Column) -> Column:
+    """Variable-masking log template — Drain-style template extraction as a
+    pure Column program (the reference's fingerprinter masks token TYPES;
+    this masks the standard log-variable classes so unbounded-cardinality
+    messages collapse to a bounded template set). Masks, in order (order
+    matters — IPs and hex ids contain digit runs): UUIDs → <UUID>,
+    0x-hex → <HEX>, dotted-quad IPs → <IP>, digit runs (with optional
+    fraction) → <NUM>. Engine-portable regexes (same dialect subset in
+    Java and RE2/DuckDB)."""
+    t = F.regexp_replace(
+        col,
+        r"\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\b",
+        "<UUID>",
+    )
+    t = F.regexp_replace(t, r"\b0x[0-9a-fA-F]+\b", "<HEX>")
+    t = F.regexp_replace(t, r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>")
+    return F.regexp_replace(t, r"\d+(\.\d+)?", "<NUM>")
+
+
+def log_templates(
+    df: DataFrame, text_col: str = "text", id_col: str | None = None
+) -> DataFrame:
+    """Mine the template catalog of a log corpus: mask variables
+    (:func:`log_template_col`), then one map-side-combined groupBy —
+    (template, n: long, example: the lexicographically-first raw line, a
+    deterministic representative). Template cardinality ≈ distinct code
+    paths, so the shuffle is catalog-sized regardless of corpus size —
+    the standard first step of log-pattern analytics (Drain/Spell family)
+    expressed as two Column ops + one aggregation."""
+    return (
+        df.select(
+            log_template_col(F.col(text_col)).alias("template"),
+            F.col(text_col).alias("__raw"),
+        )
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("__raw").alias("example"),
+        )
     )

@@ -229,3 +229,50 @@ def funnel_counts(
             "n_groups",
         )
     )
+
+
+def turn_context(
+    df: DataFrame,
+    k: int = 4,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """Per-assistant-turn training pairs with a bounded context window —
+    the multi-turn SFT prep step that complements
+    :func:`render_conversations` (whole-conversation examples): for every
+    assistant turn, emit the previous ``k`` turns rendered as
+    ``role: text`` lines (the prompt context) and the assistant text as
+    the target.
+
+    Scale shape: one window shuffle on (conv); the context is a
+    collect_list over a bounded ROWS frame (k preceding .. 1 preceding) —
+    per-row state is k turns, never the whole conversation, so a 4000-turn
+    hot conversation costs the same per row as a 3-turn one. Rendering is
+    concat/array_join in codegen.
+
+    Returns (conv_id, turn_idx, context: string ('' for a
+    conversation-opening assistant turn), target: string).
+    """
+    from pyspark.sql import Window
+
+    piece = F.concat(
+        F.col(role_col), F.lit(": "), F.coalesce(F.col(text_col), F.lit(""))
+    )
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(turn_col)
+        .rowsBetween(-k, -1)
+    )
+    return (
+        df.withColumn("__ctx", F.collect_list(piece).over(w))
+        .filter(F.col(role_col) == assistant_role)
+        .select(
+            conv_col,
+            turn_col,
+            F.array_join(F.col("__ctx"), "\n").alias("context"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("target"),
+        )
+    )

@@ -173,3 +173,47 @@ def transition_matrix(
         "n",
         F.round(F.col("n") / F.col("__tot"), 6).alias("p"),
     )
+
+
+_GRAIN_SECONDS = {"hour": 3600, "day": 86400}
+
+
+def breach_spans(
+    buckets: DataFrame,
+    series_cols: list[str],
+    threshold: float,
+    grain: str = "hour",
+) -> DataFrame:
+    """Collapse threshold breaches into maximal CONSECUTIVE spans — the
+    alerting report behind "errors were elevated from 14:00 to 17:00":
+    buckets where metric > threshold, grouped into islands of adjacent
+    periods (gaps-and-islands: period_index − row_number is constant
+    within a consecutive run). Adjacency is defined by ``grain`` — a
+    missing (no-data) bucket breaks the span.
+
+    Input: the (series..., bucket, metric) frame of :func:`bucket_metric`.
+    Returns (series..., span_start, span_end, n_buckets, peak) — span
+    bounds inclusive bucket timestamps.
+
+    Scale shape: runs entirely on the bucket frame (already raw-volume
+    independent); one window shuffle on (series) + one groupBy on the
+    island key. Pure codegen, engine-portable arithmetic."""
+    from pyspark.sql import Window
+
+    if grain not in _GRAIN_SECONDS:
+        raise ValueError(f"grain must be one of {sorted(_GRAIN_SECONDS)}")
+    unit = _GRAIN_SECONDS[grain]
+    flagged = buckets.filter(F.col("metric") > threshold)
+    idx = F.floor(F.unix_timestamp(F.col("bucket")) / unit)
+    w = Window.partitionBy(*series_cols).orderBy("bucket")
+    return (
+        flagged.withColumn("__island", idx - F.row_number().over(w))
+        .groupBy(*series_cols, "__island")
+        .agg(
+            F.min("bucket").alias("span_start"),
+            F.max("bucket").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max("metric").alias("peak"),
+        )
+        .drop("__island")
+    )

@@ -400,3 +400,128 @@ class TestSuggestPrefix:
     def test_k_and_no_match(self, corpus):
         assert len(suggest_prefix(corpus, "s", k=2).collect()) == 2
         assert suggest_prefix(corpus, "zzz").count() == 0
+
+
+from quickwit_spark.functions.text import log_template_col, log_templates
+from quickwit_spark.operators.timeseries import breach_spans
+from quickwit_spark.operators.chat import turn_context
+
+
+class TestLogTemplates:
+    def test_masking_order_and_classes(self, spark):
+        rows = [
+            Row(text="connected to 10.0.0.1 in 35ms id=0x1f3a"),
+            Row(text="connected to 10.255.9.200 in 7ms id=0xEE"),
+            Row(text="user 550e8400-e29b-41d4-a716-446655440000 logged in"),
+            Row(text="user deadbeef-dead-beef-dead-beefdeadbeef logged in"),
+            Row(text="retried 3 times after 1.5 seconds"),
+        ]
+        out = {
+            r["template"]: (r["n"], r["example"])
+            for r in log_templates(spark.createDataFrame(rows)).collect()
+        }
+        # IP masked as a unit (not <NUM>.<NUM>...), hex before num, uuid whole
+        assert out["connected to <IP> in <NUM>ms id=<HEX>"][0] == 2
+        assert out["user <UUID> logged in"][0] == 2
+        assert out["retried <NUM> times after <NUM> seconds"][0] == 1
+        # example is the lexicographically-first raw line (deterministic)
+        assert out["connected to <IP> in <NUM>ms id=<HEX>"][1].endswith("0x1f3a")
+
+    def test_pipeline_transcript_lines_collapse(self, spark):
+        # the transcript generator's log-line shape collapses to few templates
+        df = spark.createDataFrame(
+            [
+                Row(text='level=INFO tenant=acme-042 latency_ms=35 msg="served 8 items"'),
+                Row(text='level=INFO tenant=acme-731 latency_ms=4999 msg="served 102 items"'),
+                Row(text='level=ERROR tenant=acme-001 latency_ms=12 msg="upstream timeout"'),
+            ]
+        )
+        t = {r["template"] for r in log_templates(df).collect()}
+        assert 'level=INFO tenant=acme-<NUM> latency_ms=<NUM> msg="served <NUM> items"' in t
+        assert len(t) == 2
+
+    def test_column_variant_pure_codegen(self, spark, sf_dir):
+        from tests.test_plan_shapes import plan_of
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        p = plan_of(docs.select(log_template_col(F.col("text"))))
+        assert "Exchange" not in p and "Python" not in p
+
+
+class TestBreachSpans:
+    def test_islands_and_gaps(self, spark):
+        def b(series, day, m):
+            return Row(series=series, bucket=T0 + dt.timedelta(days=day), metric=m)
+
+        rows = [
+            b("s", 0, 90.0), b("s", 1, 95.0),          # island 1 (days 0-1)
+            b("s", 2, 10.0),                             # below threshold
+            b("s", 3, 91.0),                             # island 2 (day 3)
+            # day 4 missing entirely
+            b("s", 5, 92.0), b("s", 6, 99.0),            # island 3 (days 5-6)
+            b("t", 0, 91.0),                             # other series
+        ]
+        out = breach_spans(
+            spark.createDataFrame(rows), ["series"], threshold=80.0, grain="day"
+        ).collect()
+        spans = sorted(
+            (r["series"], r["span_start"].day, r["span_end"].day, r["n_buckets"], r["peak"])
+            for r in out
+        )
+        assert spans == [
+            ("s", 1, 2, 2, 95.0),
+            ("s", 4, 4, 1, 91.0),
+            ("s", 6, 7, 2, 99.0),
+            ("t", 1, 1, 1, 91.0),
+        ]
+
+    def test_threshold_is_strict(self, spark):
+        rows = [Row(series="s", bucket=T0, metric=80.0)]
+        assert (
+            breach_spans(
+                spark.createDataFrame(rows), ["series"], threshold=80.0, grain="day"
+            ).count()
+            == 0
+        )
+
+    def test_bad_grain(self, spark):
+        rows = [Row(series="s", bucket=T0, metric=80.0)]
+        with pytest.raises(ValueError):
+            breach_spans(spark.createDataFrame(rows), ["series"], 1.0, grain="week")
+
+
+class TestTurnContext:
+    @pytest.fixture(scope="class")
+    def convo(self, spark):
+        return spark.createDataFrame(
+            [
+                Row(conv_id="c", turn_idx=0, role="assistant", text="opening"),
+                Row(conv_id="c", turn_idx=1, role="user", text="q1"),
+                Row(conv_id="c", turn_idx=2, role="user", text="q2"),
+                Row(conv_id="c", turn_idx=3, role="tool", text="t1"),
+                Row(conv_id="c", turn_idx=4, role="assistant", text="a1"),
+                Row(conv_id="d", turn_idx=0, role="user", text="other conv"),
+                Row(conv_id="d", turn_idx=1, role="assistant", text=None),
+            ]
+        )
+
+    def test_window_bound_and_rendering(self, convo):
+        out = {r["turn_idx"]: r for r in turn_context(convo, k=2).filter(
+            F.col("conv_id") == "c").collect()}
+        # opening assistant turn: empty context
+        assert out[0]["context"] == "" and out[0]["target"] == "opening"
+        # k=2 keeps only the LAST two turns before turn 4
+        assert out[4]["context"] == "user: q2\ntool: t1"
+        assert out[4]["target"] == "a1"
+
+    def test_no_cross_conversation_leak_and_null_target(self, convo):
+        out = {r["conv_id"]: r for r in turn_context(convo, k=4).filter(
+            F.col("turn_idx") <= 1).collect() if r["conv_id"] == "d"}
+        assert out["d"]["context"] == "user: other conv"
+        assert out["d"]["target"] == ""
+
+    def test_single_window_exchange(self, convo):
+        from tests.test_plan_shapes import plan_of
+
+        p = plan_of(turn_context(convo, k=3))
+        assert p.count("Exchange") == 1 and "Python" not in p
