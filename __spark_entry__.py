@@ -1646,6 +1646,48 @@ def _q_turn_context(spark, sf_dir):
     return turn_context(turns, k=3)
 
 
+def _q_hist_p95(spark, sf_dir):
+    """Mergeable-histogram quantile plane (operators/rollup.py hist_*):
+    hourly 64-bin sketches of events.value merged to day grain, p95 by
+    cumulative-count interpolation — the HDR-style path that answers p99
+    dashboards from |keys|×buckets×bins sketch rows at 10^12 scale.
+    Error ≤ one bin width vs the rank-based quantile (pytest); the oracle
+    restates binning, window cumsum, and interpolation exactly."""
+    from quickwit_spark.operators.rollup import (
+        hist_build,
+        hist_merge,
+        hist_quantile,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    h = hist_build(ev, ["event_type"], "ts", "value", "hour", 0.0, 300.0, 64)
+    return hist_quantile(
+        hist_merge(h, ["event_type"], "day"), ["event_type"], 0.95, 0.0, 300.0, 64
+    )
+
+
+def _q_pipeline_aggs(spark, sf_dir):
+    """ES pipeline aggregations (operators/timeseries.py pipeline_aggs):
+    derivative / cumulative_sum / trailing moving_avg over the daily
+    count date_histogram — the whole sibling-bucket family in ONE shared
+    window exchange of the bucket frame."""
+    from quickwit_spark.operators.timeseries import bucket_metric, pipeline_aggs
+
+    ev = _t(spark, sf_dir, "events")
+    b = bucket_metric(ev, ["event_type"], "ts", "day")
+    return pipeline_aggs(b, ["event_type"], moving_window=3)
+
+
+def _q_percentile_ranks(spark, sf_dir):
+    """ES percentile_ranks (operators/aggs.py), exact conditional-count
+    form — one map-side-combined pass, every probe a count_if in the same
+    aggregate."""
+    from quickwit_spark.operators.aggs import percentile_ranks
+
+    ev = _t(spark, sf_dir, "events")
+    return percentile_ranks(ev, "value", [10.0, 100.0, 260.0])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST 50
     # entries, so the window is curated for maximum distinct semantics:
@@ -1801,6 +1843,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_templates": _q_log_templates,
         "breach_spans": _q_breach_spans,
         "turn_context": _q_turn_context,
+        "hist_p95_daily": _q_hist_p95,
+        "agg_pipeline_family": _q_pipeline_aggs,
+        "agg_percentile_ranks": _q_percentile_ranks,
         "agg_range_value": _q_agg_range_value,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -3140,6 +3185,59 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(context, '') AS context,
                    coalesce(text, '') AS target
             FROM ctx WHERE role = 'assistant'
+        """,
+        "hist_p95_daily": """
+            WITH h AS (
+              SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS bucket,
+                     CAST(least(greatest(floor(value / 300.0 * 64), 0), 63)
+                          AS BIGINT) AS bin,
+                     count(*)::BIGINT AS cnt
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+            ), c AS (
+              SELECT *,
+                     sum(cnt) OVER (PARTITION BY event_type, bucket
+                                    ORDER BY bin) AS cum,
+                     sum(cnt) OVER (PARTITION BY event_type, bucket) AS n
+              FROM h
+            ), f AS (
+              SELECT event_type, bucket, n, bin, cnt, cum,
+                     row_number() OVER (PARTITION BY event_type, bucket
+                                        ORDER BY bin) AS rnk
+              FROM c WHERE cum >= ceil(0.95 * n)
+            )
+            SELECT event_type, bucket, n::BIGINT AS n,
+                   round((bin + (ceil(0.95 * n) - (cum - cnt)) / cnt)
+                         * (300.0 / 64), 6) AS q_est
+            FROM f WHERE rnk = 1
+        """,
+        "agg_pipeline_family": """
+            WITH b AS (
+              SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS bucket,
+                     count(*)::DOUBLE AS metric
+              FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, bucket, metric,
+                   round(metric - lag(metric) OVER w, 6) AS derivative,
+                   round(sum(metric) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW), 6) AS cum_sum,
+                   round(avg(metric) OVER (w ROWS BETWEEN 2 PRECEDING
+                                           AND CURRENT ROW), 6) AS moving_avg
+            FROM b
+            WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+        """,
+        "agg_percentile_ranks": """
+            WITH s AS (
+              SELECT count(value)::DOUBLE AS n,
+                     count(*) FILTER (value <= 10.0)::DOUBLE AS le0,
+                     count(*) FILTER (value <= 100.0)::DOUBLE AS le1,
+                     count(*) FILTER (value <= 260.0)::DOUBLE AS le2
+              FROM events
+            )
+            SELECT 10.0 AS value, round(100.0 * le0 / n, 6) AS rank_pct FROM s
+            UNION ALL
+            SELECT 100.0, round(100.0 * le1 / n, 6) FROM s
+            UNION ALL
+            SELECT 260.0, round(100.0 * le2 / n, 6) FROM s
         """,
         "chat_render": r"""
             WITH t AS (

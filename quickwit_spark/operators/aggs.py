@@ -1028,3 +1028,33 @@ def significant_terms(
         .orderBy(F.col("score").desc(), F.col("term").asc())
         .limit(size)
     )
+
+
+def percentile_ranks(
+    df: DataFrame, field: str, values: list[float]
+) -> DataFrame:
+    """Elasticsearch ``percentile_ranks`` semantics (public aggs DSL),
+    exact: for each probe value v, the percentage of non-null field values
+    ≤ v. (ES estimates this from a t-digest; at driver-gate scale the
+    exact definition is the ground truth the sketch approximates — the
+    HDR sketch path for 10^12 rows is operators/rollup.py hist_build +
+    hist_quantile, the same trade documented for percentiles.)
+
+    One scan, one 1-row aggregate — every probe is a conditional count in
+    the same map-side-combined pass. Returns one row per probe:
+    (value, rank_pct rounded to 6)."""
+    probes = [float(v) for v in values]
+    if not probes:
+        raise ValueError("percentile_ranks needs at least one value")
+    c = F.col(field).cast("double")
+    aggs = [F.count(c).alias("__n")] + [
+        F.count_if(c <= F.lit(v)).alias(f"__le{i}") for i, v in enumerate(probes)
+    ]
+    row = df.agg(*aggs).first()
+    n = row["__n"] or 0
+    spark = df.sparkSession
+    out = [
+        (v, round(100.0 * row[f"__le{i}"] / n, 6) if n else None)
+        for i, v in enumerate(probes)
+    ]
+    return spark.createDataFrame(out, "value double, rank_pct double")

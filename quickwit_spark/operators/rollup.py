@@ -120,3 +120,100 @@ def rollup_finalize(rollup: DataFrame, keys: list[str]) -> DataFrame:
         F.round(mean_presented, 6).alias("avg_v"),
         F.round(var, 6).alias("var_v"),
     )
+
+
+def hist_build(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    grain: str,
+    lo: float,
+    hi: float,
+    nbins: int = 64,
+) -> DataFrame:
+    """Mergeable histogram sketch partials — the quantile plane of the
+    rollup story: one raw pass bins values into ``nbins`` uniform buckets
+    over [lo, hi) (outliers clamp into the edge bins, the standard
+    fixed-range HDR trade-off), producing (keys..., bucket, bin, cnt)
+    rows. Partials merge by PLAIN SUM — coarser grains, key subsets, and
+    incremental appends all reuse :func:`hist_merge` — so a p99 dashboard
+    over 10^12 rows reads |keys|×|buckets|×nbins sketch rows, never raw
+    data. Quantile error is bounded by one bin width by construction
+    (tested), the knob being nbins.
+
+    Engine-portable bin arithmetic (floor-scale-clamp), no UDF."""
+    if nbins < 1 or not hi > lo:
+        raise ValueError("need nbins >= 1 and hi > lo")
+    v = F.col(value_col).cast("double")
+    raw_bin = F.floor((v - F.lit(lo)) / F.lit(hi - lo) * F.lit(nbins))
+    bin_ = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(nbins - 1))
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(
+            *keys,
+            F.date_trunc(_check_grain(grain), F.col(ts_col)).alias("bucket"),
+            bin_.cast("long").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def hist_merge(
+    hist: DataFrame, keys: list[str], grain: str | None = None
+) -> DataFrame:
+    """Re-aggregate histogram partials to a coarser grain / key subset —
+    plain sum per (keys, bucket, bin)."""
+    bucket = (
+        F.date_trunc(_check_grain(grain), F.col("bucket"))
+        if grain is not None
+        else F.col("bucket")
+    )
+    return hist.groupBy(*keys, bucket.alias("bucket"), "bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def hist_quantile(
+    hist: DataFrame,
+    keys: list[str],
+    q: float,
+    lo: float,
+    hi: float,
+    nbins: int = 64,
+) -> DataFrame:
+    """Quantile estimate from merged histogram partials: per (keys...,
+    bucket), find the first bin whose cumulative count reaches
+    ``ceil(q·n)`` and interpolate linearly inside it —
+    ``lo + (bin + (target − cum_before)/cnt) · width``. Deterministic,
+    engine-portable arithmetic; |estimate − exact| ≤ one bin width
+    whenever the true quantile lies inside [lo, hi).
+
+    Runs entirely on the sketch frame: one window cumsum + one groupBy.
+    Returns (keys..., bucket, n: long, q_est: double rounded to 6)."""
+    from pyspark.sql import Window
+
+    if not 0.0 < q <= 1.0:
+        raise ValueError("q must be in (0, 1]")
+    width = (hi - lo) / nbins
+    grp = [*keys, "bucket"]
+    w = Window.partitionBy(*grp).orderBy("bin")
+    wn = Window.partitionBy(*grp)
+    cum = hist.select(
+        *grp,
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("__cum"),
+        F.sum("cnt").over(wn).alias("__n"),
+    )
+    target = F.ceil(F.lit(q) * F.col("__n")).cast("double")
+    frac = (target - (F.col("__cum") - F.col("cnt"))) / F.col("cnt")
+    est = F.lit(lo) + (F.col("bin") + frac) * F.lit(width)
+    return (
+        cum.filter(F.col("__cum") >= target)
+        .groupBy(*grp)
+        .agg(
+            F.max("__n").cast("long").alias("n"),
+            F.round(F.min_by(est, F.col("bin")), 6).alias("q_est"),
+        )
+    )

@@ -217,3 +217,41 @@ def breach_spans(
         )
         .drop("__island")
     )
+
+
+def pipeline_aggs(
+    buckets: DataFrame,
+    series_cols: list[str],
+    moving_window: int = 3,
+) -> DataFrame:
+    """ES pipeline aggregations over a date_histogram result — the
+    sibling-bucket family (public aggs DSL: ``derivative``,
+    ``cumulative_sum``, ``moving_fn``/``moving_avg``) computed over the
+    (series..., bucket, metric) frame:
+
+    - ``derivative``: metric − previous bucket's metric (null for each
+      series' first bucket, as ES emits no derivative there);
+    - ``cum_sum``: running total in bucket order;
+    - ``moving_avg``: trailing mean over the last ``moving_window``
+      buckets INCLUDING the current one (ES moving_fn with
+      ``shift = 0`` and window = moving_window), partial at the series
+      head like ES.
+
+    All three share ONE window partitioning (series, ordered by bucket),
+    so the whole family costs a single exchange of the already-tiny
+    bucket frame. Doubles rounded to 6."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*series_cols).orderBy("bucket")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    wm = w.rowsBetween(-(moving_window - 1), 0)
+    return buckets.select(
+        *series_cols,
+        "bucket",
+        "metric",
+        F.round(F.col("metric") - F.lag("metric").over(w), 6).alias(
+            "derivative"
+        ),
+        F.round(F.sum("metric").over(wc), 6).alias("cum_sum"),
+        F.round(F.avg("metric").over(wm), 6).alias("moving_avg"),
+    )

@@ -525,3 +525,108 @@ class TestTurnContext:
 
         p = plan_of(turn_context(convo, k=3))
         assert p.count("Exchange") == 1 and "Python" not in p
+
+
+from quickwit_spark.operators.rollup import hist_build, hist_merge, hist_quantile
+from quickwit_spark.operators.timeseries import pipeline_aggs
+from quickwit_spark.operators.aggs import percentile_ranks
+
+
+class TestHistQuantile:
+    LO, HI, NB = 0.0, 300.0, 64
+
+    def test_error_bounded_by_bin_width(self, spark, sf_dir):
+        from pyspark.sql import Window
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        h = hist_build(ev, ["event_type"], "ts", "value", "hour",
+                       self.LO, self.HI, self.NB)
+        est = hist_quantile(hist_merge(h, ["event_type"], "day"),
+                            ["event_type"], 0.95, self.LO, self.HI, self.NB)
+        # exact rank-based (type-1) quantile: value at rank ceil(q*n)
+        b = ev.select("event_type", F.date_trunc("day", "ts").alias("bucket"),
+                      F.col("value").cast("double").alias("v"))
+        w = Window.partitionBy("event_type", "bucket").orderBy("v")
+        wn = Window.partitionBy("event_type", "bucket")
+        exact = (
+            b.withColumn("r", F.row_number().over(w))
+            .withColumn("n", F.count("*").over(wn))
+            .filter(F.col("r") == F.ceil(F.lit(0.95) * F.col("n")))
+            .select("event_type", "bucket", F.col("v").alias("ex"))
+        )
+        worst = (
+            est.join(exact, ["event_type", "bucket"])
+            .agg(F.max(F.abs(F.col("q_est") - F.col("ex"))))
+            .first()[0]
+        )
+        assert worst <= (self.HI - self.LO) / self.NB + 1e-9
+
+    def test_merge_is_plain_sum_and_exact(self, spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        hourly = hist_build(ev, ["event_type"], "ts", "value", "hour",
+                            self.LO, self.HI, self.NB)
+        daily = hist_merge(hourly, ["event_type"], "day")
+        direct = hist_build(ev, ["event_type"], "ts", "value", "day",
+                            self.LO, self.HI, self.NB)
+        assert daily.exceptAll(direct).count() == 0
+        assert direct.exceptAll(daily).count() == 0
+
+    def test_outliers_clamp_into_edge_bins(self, spark):
+        rows = [Row(k="a", ts=T0, v=-50.0), Row(k="a", ts=T0, v=9999.0),
+                Row(k="a", ts=T0, v=5.0)]
+        h = hist_build(spark.createDataFrame(rows), ["k"], "ts", "v", "day",
+                       0.0, 10.0, 10)
+        bins = {r["bin"]: r["cnt"] for r in h.collect()}
+        assert bins == {0: 1, 9: 1, 5: 1}
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([Row(k="a", ts=T0, v=1.0)])
+        with pytest.raises(ValueError):
+            hist_build(df, ["k"], "ts", "v", "day", 5.0, 5.0, 10)
+        h = hist_build(df, ["k"], "ts", "v", "day", 0.0, 10.0, 10)
+        with pytest.raises(ValueError):
+            hist_quantile(h, ["k"], 0.0, 0.0, 10.0, 10)
+
+
+class TestPipelineAggs:
+    def test_hand_built(self, spark):
+        rows = [
+            Row(s="a", bucket=T0 + dt.timedelta(days=d), metric=m)
+            for d, m in enumerate([10.0, 20.0, 10.0, 40.0])
+        ]
+        out = {
+            r["bucket"].day: r
+            for r in pipeline_aggs(
+                spark.createDataFrame(rows), ["s"], moving_window=2
+            ).collect()
+        }
+        assert out[1]["derivative"] is None
+        assert [out[d]["derivative"] for d in (2, 3, 4)] == [10.0, -10.0, 30.0]
+        assert [out[d]["cum_sum"] for d in (1, 2, 3, 4)] == [10.0, 30.0, 40.0, 80.0]
+        # trailing window incl. current, partial head
+        assert [out[d]["moving_avg"] for d in (1, 2, 3, 4)] == [10.0, 15.0, 15.0, 25.0]
+
+    def test_single_exchange_for_whole_family(self, spark, sf_dir):
+        from tests.test_plan_shapes import plan_of
+        from quickwit_spark.operators.timeseries import bucket_metric
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        b = bucket_metric(ev, ["event_type"], "ts", "day")
+        p = plan_of(pipeline_aggs(b, ["event_type"]))
+        # bucketing groupBy + ONE shared window exchange
+        assert p.count("Exchange") == 2
+        assert p.count("Window") == 1
+
+
+class TestPercentileRanks:
+    def test_hand_computed(self, spark):
+        df = spark.createDataFrame([Row(v=float(x)) for x in range(1, 11)])
+        out = {r["value"]: r["rank_pct"] for r in
+               percentile_ranks(df, "v", [1.0, 5.0, 10.0, 0.5]).collect()}
+        assert out[1.0] == 10.0 and out[5.0] == 50.0
+        assert out[10.0] == 100.0 and out[0.5] == 0.0
+
+    def test_empty_probes_rejected(self, spark):
+        df = spark.createDataFrame([Row(v=1.0)])
+        with pytest.raises(ValueError):
+            percentile_ranks(df, "v", [])
