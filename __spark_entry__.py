@@ -1688,6 +1688,114 @@ def _q_percentile_ranks(spark, sf_dir):
     return percentile_ranks(ev, "value", [10.0, 100.0, 260.0])
 
 
+def _q_sketch_hll(spark, sf_dir):
+    """HyperLogLog distinct-user estimate per event_type
+    (operators/sketches.py): ONE map-side-combined pass builds <= 256
+    registers per key, the estimate is Column arithmetic over register
+    rows. The sketch-split plane of the reference metastore
+    (postgres/metastore.rs StageSketchSplits lifecycle) — a 10^12-row
+    cardinality dashboard reads |keys| x 256 rows. Oracle restates the
+    xorshift-multiply hash, the rho chain AND the bias-corrected estimator
+    bit-for-bit (registers are integer-exact across engines)."""
+    from quickwit_spark.operators.sketches import hll_build, hll_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_estimate(hll_build(ev, ["event_type"], F.col("user_id")), ["event_type"])
+
+
+def _q_sketch_kmv(spark, sf_dir):
+    """KMV / bottom-k theta sketch per event_type over event_id
+    (operators/sketches.py): the distinct shuffle is the only data-sized
+    exchange; output is k=64 rows per key and the (k-1)*SPACE/h_k
+    estimator degrades to exact below k. Oracle restates the 62-bit
+    Lehmer-pair hash and the estimator."""
+    from quickwit_spark.operators.sketches import kmv_build, kmv_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_estimate(kmv_build(ev, ["event_type"], F.col("event_id"), k=64), ["event_type"], k=64)
+
+
+def _q_sketch_cms(spark, sf_dir):
+    """Count-Min frequency sketch (operators/sketches.py): 4x512 counter
+    matrix built in ONE pass (posexplode of the 4 row hashes, map-side
+    combined), point estimates = min over rows with the one-sided
+    overcount guarantee. Heavy-hitter user counts without a per-user
+    groupBy at raw scale. Oracle restates the counter build (zipped
+    unnest) and the min-over-rows probe."""
+    from quickwit_spark.operators.sketches import cms_build, cms_query
+
+    ev = _t(spark, sf_dir, "events")
+    sk = cms_build(ev, F.col("user_id"), depth=4, width=512)
+    cand = ev.select("user_id").distinct()
+    return cms_query(sk, cand, "user_id", depth=4, width=512)
+
+
+def _q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (operators/corpus.py weighted_sample, Efraimidis-Spirakis A-ES):
+    rank by ln(u)/w with u drawn from the id's Lehmer mix — inclusion
+    probability proportional to n_chars, TakeOrdered top-k (no full
+    sort), bit-reproducible across runs/partitionings. Oracle restates
+    the draw and the ranking."""
+    docs = _t(spark, sf_dir, "documents")
+    return CP.weighted_sample(docs, "doc_id", "n_chars", 50).select(
+        "doc_id", "n_chars", "sample_key"
+    )
+
+
+def _q_dataset_split(spark, sf_dir):
+    """Group-aware train/val/test assignment (operators/corpus.py
+    dataset_split): every event of a user lands in the SAME split (the
+    anti-leakage rule for transcript corpora — a conversation straddling
+    train and eval contaminates the eval set); assignment is a pure hash
+    of the group id, so adding rows can never move a group. Output is the
+    per-split audit (row + distinct-group counts). Oracle restates the
+    mix and the integer thresholds."""
+    ev = _t(spark, sf_dir, "events")
+    out = CP.dataset_split(ev, "user_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def _q_slo_burn(spark, sf_dir):
+    """Multi-window multi-burn-rate SLO alerting (operators/timeseries.py
+    slo_burn_rate, the SRE-workbook rule): trailing 1h/6h error-budget
+    burn per service over hourly buckets, alert iff BOTH windows burn
+    above threshold. Raw rows are touched once (map-side-combined bucket
+    groupBy); the RANGE-frame windows run on the bucket frame, sized by
+    the time span not the data volume. Oracle restates the buckets and
+    both trailing windows."""
+    from quickwit_spark.operators.timeseries import slo_burn_rate
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "svc", (F.col("user_id") % 3).cast("string")
+    )
+    out = slo_burn_rate(
+        ev,
+        ["svc"],
+        "ts",
+        F.col("event_type") == "error",
+        budget=0.1,
+        short_minutes=60,
+        long_minutes=360,
+        threshold=2.0,
+        grain_minutes=60,
+    )
+    return out.select(
+        "svc",
+        F.unix_timestamp("bucket").alias("bucket_epoch"),
+        "n",
+        "n_err",
+        "short_ratio",
+        "long_ratio",
+        "short_burn",
+        "long_burn",
+        "alert",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST 50
     # entries, so the window is curated for maximum distinct semantics:
@@ -1851,6 +1959,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "ann_pq": _q_ann_pq,
         "kmeans_step": _q_kmeans_step,
+        # r5 session-5: the mergeable-sketch plane (HLL / KMV / CMS — the
+        # reference's sketch-split lifecycle re-expressed as partial
+        # tables), weighted sampling, group-aware dataset split, SLO burn
+        # alerting — each fully DuckDB-oracled including the hash/estimator
+        # arithmetic.
+        "sketch_hll_distinct": _q_sketch_hll,
+        "sketch_kmv_distinct": _q_sketch_kmv,
+        "sketch_cms_counts": _q_sketch_cms,
+        "weighted_sample": _q_weighted_sample,
+        "dataset_split_counts": _q_dataset_split,
+        "slo_burn_rate": _q_slo_burn,
         # rows-only tail (non-SQL-expressible)
         "dedup_incremental": _q_dedup_incremental,
         "semantic_dedup_incremental": _q_semantic_dedup_incremental,
@@ -1940,7 +2059,110 @@ def _ivfpq_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from quickwit_spark.operators import sketches as _SK
+
+    # HLL: registers from the xorshift-multiply mix (computed once in a
+    # subquery so the rho chain references a single column), then the
+    # bias-corrected estimator via sketches.hll_estimate_sql.
+    _hll_regs = f"""
+        SELECT event_type, reg, max(rho) AS rho FROM (
+          SELECT event_type, h % 256 AS reg, {_SK.rho_sql("(h // 256)", 23)} AS rho
+          FROM (SELECT event_type, {_SK.hll_mix_sql("user_id")} AS h FROM events)
+        ) GROUP BY event_type, reg
+    """
+    _kmv_space = repr(float(_SK.KMV_SPACE))
+    _cms_b = ", ".join(_SK.cms_col_sql("user_id", j, 512) for j in range(4))
+    # dataset_split cuts accumulate fractions exactly as the operator does
+    # (0.8 + 0.1 in binary floating point, NOT the decimal 0.9).
+    _cum = 0.8
+    _cut1 = int(_cum * 2147483647)
+    _cum += 0.1
+    _cut2 = int(_cum * 2147483647)
+    _k3_user = (
+        "((2147483629 * ((user_id % 2147483647 + 1) * 48271 % 2147483647)"
+        " + (user_id % 2147483629 + 1) * 16807 % 2147483629)"
+        " % 2147483647 + 1) * 48271 % 2147483647"
+    )
+    _k3_doc = (
+        "((2147483629 * ((doc_id % 2147483647 + 1) * 48271 % 2147483647)"
+        " + (doc_id % 2147483629 + 1) * 16807 % 2147483629)"
+        " % 2147483647 + 1) * 48271 % 2147483647"
+    )
     return {
+        "sketch_hll_distinct": _SK.hll_estimate_sql(_hll_regs, ["event_type"]),
+        "sketch_kmv_distinct": f"""
+            WITH h AS (
+              SELECT DISTINCT event_type, {_SK.mix_hash_sql("event_id")} AS kmv_h
+              FROM events
+            ), r AS (
+              SELECT event_type, kmv_h,
+                     row_number() OVER (PARTITION BY event_type ORDER BY kmv_h) AS rk
+              FROM h
+            )
+            SELECT event_type, count(*)::BIGINT AS n_vals, max(kmv_h) AS h_k,
+                   round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                         ELSE 63.0 * {_kmv_space} / max(kmv_h)::DOUBLE END,
+                         4) AS est_distinct
+            FROM r WHERE rk <= 64 GROUP BY event_type
+        """,
+        "sketch_cms_counts": f"""
+            WITH counters AS (
+              SELECT d, col, count(*)::BIGINT AS cnt FROM (
+                SELECT unnest([0, 1, 2, 3]) AS d, unnest([{_cms_b}]) AS col
+                FROM events
+              ) GROUP BY d, col
+            ), cand AS (SELECT DISTINCT user_id FROM events),
+            probes AS (
+              SELECT user_id, unnest([0, 1, 2, 3]) AS d, unnest([{_cms_b}]) AS col
+              FROM cand
+            )
+            SELECT p.user_id, min(coalesce(c.cnt, 0))::BIGINT AS est_count
+            FROM probes p LEFT JOIN counters c USING (d, col)
+            GROUP BY p.user_id
+        """,
+        "weighted_sample": f"""
+            SELECT doc_id, n_chars, round(skey, 6) AS sample_key FROM (
+              SELECT doc_id, n_chars,
+                     ln(({_k3_doc} + 1)::DOUBLE / 2147483647.0)
+                       / n_chars::DOUBLE AS skey
+              FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+            ) ORDER BY skey DESC, doc_id ASC LIMIT 50
+        """,
+        "dataset_split_counts": f"""
+            SELECT split, count(*)::BIGINT AS n_rows,
+                   count(DISTINCT user_id)::BIGINT AS n_users FROM (
+              SELECT user_id,
+                     CASE WHEN {_k3_user} < {_cut1} THEN 'train'
+                          WHEN {_k3_user} < {_cut2} THEN 'val'
+                          ELSE 'test' END AS split
+              FROM events
+            ) GROUP BY split
+        """,
+        "slo_burn_rate": """
+            WITH b AS (
+              SELECT svc, epoch, count(*)::BIGINT AS n, sum(is_err)::BIGINT AS n_err
+              FROM (
+                SELECT CAST(user_id % 3 AS VARCHAR) AS svc,
+                       CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS epoch,
+                       CAST(event_type = 'error' AS BIGINT) AS is_err
+                FROM events
+              ) GROUP BY svc, epoch
+            ), w AS (
+              SELECT svc, epoch, n, n_err,
+                     sum(n_err) OVER ws / sum(n) OVER ws AS sr,
+                     sum(n_err) OVER wl / sum(n) OVER wl AS lr
+              FROM b
+              WINDOW ws AS (PARTITION BY svc ORDER BY epoch
+                            RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW),
+                     wl AS (PARTITION BY svc ORDER BY epoch
+                            RANGE BETWEEN 21599 PRECEDING AND CURRENT ROW)
+            )
+            SELECT svc, epoch AS bucket_epoch, n, n_err,
+                   round(sr, 6) AS short_ratio, round(lr, 6) AS long_ratio,
+                   round(sr / 0.1, 6) AS short_burn, round(lr / 0.1, 6) AS long_burn,
+                   (sr / 0.1 > 2.0 AND lr / 0.1 > 2.0) AS alert
+            FROM w
+        """,
         "agg_date_histogram": f"""
             SELECT key, strftime(to_timestamp(key / 1000), '%Y-%m-%dT%H:%M:%SZ') AS key_as_string,
                    doc_count

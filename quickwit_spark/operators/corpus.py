@@ -864,3 +864,84 @@ def chunk_sliding(
             ),
         )
     return out.drop("__t")
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, algorithm A-ES): each row draws u = (k3+1)/M1 from its
+    id's Lehmer mix and is ranked by key = ln(u)/w (the log form of
+    u^(1/w) — same order, no overflow); the global top-k by key is the
+    sample. Inclusion probability is proportional to weight without ever
+    materializing a cumulative distribution, and the draw is a pure
+    function of (id, weight) — reproducible across runs, engines, and
+    partitionings.
+
+    Scale shape: key computation is row-local codegen; the top-k is
+    TakeOrdered (per-partition heads, no full sort, no shuffle of
+    non-candidates). Rows with weight <= 0 or null are excluded (zero mass).
+
+    Returns the sampled rows + sample_key (rounded to 6 dp for display;
+    ordering/selection uses the unrounded key).
+    """
+    u = (sample_mix_cols(id_col)[2] + 1).cast("double") / F.lit(float(_MIX_M1))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_skey", key)
+        .orderBy(F.col("_skey").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("sample_key", F.round(F.col("_skey"), 6))
+        .drop("_skey")
+    )
+
+
+def dataset_split(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+) -> DataFrame:
+    """Group-aware deterministic train/val/test assignment: every row of a
+    group (conversation, document cluster, user) lands in the SAME split —
+    the leakage rule transcript pipelines must enforce (a conversation with
+    turns in both train and eval contaminates the eval set). Assignment
+    hashes the group id (full-string portable hash for strings, identity
+    for ints) through the Lehmer mix and cuts [0, M1) at exact integer
+    thresholds floor(cum_fraction * M1) — pure codegen, no UDF, engine-
+    portable, independent of partitioning and of which rows are present
+    (adding rows to a group can never move the group).
+
+    ``fractions`` maps split name -> fraction; they must sum to ~1 (the
+    last split absorbs rounding). Returns df + split.
+    """
+    from .sketches import mix_cols, portable_string_hash
+
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    dtype = dict(df.dtypes)[group_col]
+    gid = (
+        portable_string_hash(F.col(group_col))
+        if dtype == "string"
+        else F.col(group_col).cast("long")
+    )
+    k3 = mix_cols(gid)[2]
+    names = list(fractions)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += fractions[name]
+        cut = int(cum * _MIX_M1)
+        expr = (
+            F.when(k3 < cut, F.lit(name))
+            if expr is None
+            else expr.when(k3 < cut, F.lit(name))
+        )
+    expr = (
+        expr.otherwise(F.lit(names[-1])) if expr is not None else F.lit(names[-1])
+    )
+    return df.withColumn("split", expr)

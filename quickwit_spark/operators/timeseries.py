@@ -255,3 +255,71 @@ def pipeline_aggs(
         F.round(F.sum("metric").over(wc), 6).alias("cum_sum"),
         F.round(F.avg("metric").over(wm), 6).alias("moving_avg"),
     )
+
+
+def slo_burn_rate(
+    df: DataFrame,
+    series_cols: list[str],
+    ts_col: str,
+    error_pred: Column,
+    budget: float = 0.01,
+    short_minutes: int = 60,
+    long_minutes: int = 360,
+    threshold: float = 1.0,
+    grain_minutes: int = 60,
+) -> DataFrame:
+    """Multi-window multi-burn-rate SLO alerting (the Google SRE workbook
+    rule): per series and bucket, the error ratio over a trailing SHORT and
+    trailing LONG window, each divided by the error budget; alert iff BOTH
+    burn rates exceed ``threshold`` (the long window proves sustained burn,
+    the short window guarantees the alert resets quickly once the burn
+    stops). This is the alerting layer the reference leaves to an external
+    evaluator polling its date-histogram aggregations — here it is the same
+    one-pass bucket frame the rollup plane already produces.
+
+    Shape at 10^12 rows: the groupBy to ``grain_minutes`` buckets is the
+    only pass that touches raw rows (map-side combined: one row out per
+    series x bucket). The trailing windows run with RANGE frames over epoch
+    seconds on the BUCKET frame, whose size is bounded by the time span,
+    not the data volume; partitioned by series, so no global sort.
+
+    Trailing windows are time-based (RANGE), not row-based, so gaps
+    (buckets with no traffic) shrink the window's sample rather than
+    silently stretching it over more wall-clock.
+
+    Returns (series..., bucket, n, n_err, plus short/long ratio + burn and
+    the alert flag). Ratios and burns rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    sec = F.col("_epoch")
+    step = grain_minutes * 60
+    epoch_bucket = (F.floor(F.unix_timestamp(F.col(ts_col)) / step) * step).cast(
+        "long"
+    )
+    buckets = (
+        df.groupBy(*series_cols, epoch_bucket.alias("_epoch"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(error_pred.cast("long")).cast("long").alias("n_err"),
+        )
+        .withColumn("bucket", F.timestamp_seconds(sec))
+    )
+    base = Window.partitionBy(*series_cols).orderBy(sec)
+    w_short = base.rangeBetween(-(short_minutes * 60 - 1), 0)
+    w_long = base.rangeBetween(-(long_minutes * 60 - 1), 0)
+    short_ratio = F.sum("n_err").over(w_short) / F.sum("n").over(w_short)
+    long_ratio = F.sum("n_err").over(w_long) / F.sum("n").over(w_long)
+    short_burn = short_ratio / F.lit(budget)
+    long_burn = long_ratio / F.lit(budget)
+    return buckets.select(
+        *series_cols,
+        "bucket",
+        "n",
+        "n_err",
+        F.round(short_ratio, 6).alias("short_ratio"),
+        F.round(long_ratio, 6).alias("long_ratio"),
+        F.round(short_burn, 6).alias("short_burn"),
+        F.round(long_burn, 6).alias("long_burn"),
+        ((short_burn > threshold) & (long_burn > threshold)).alias("alert"),
+    )
