@@ -1796,6 +1796,234 @@ def _q_slo_burn(spark, sf_dir):
     )
 
 
+def _span_frame(spark, sf_dir):
+    """Deterministic span frame (trace_id, span_id, parent_span_id, service,
+    duration_ms, is_error, ts) derived from events — parent links come from
+    the previous span of the same trace under the total (ts, event_id)
+    order, so the oracle restates the derivation with one lag window."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy(F.col("event_id") % 997).orderBy("ts", "event_id")
+    return ev.select(
+        (F.col("event_id") % 997).alias("trace_id"),
+        F.col("event_id").alias("span_id"),
+        F.lag("event_id").over(w).alias("parent_span_id"),
+        F.col("event_type").alias("service"),
+        F.col("value").alias("duration_ms"),
+        (F.col("event_id") % 211 == 0).alias("is_error"),
+        F.col("ts"),
+    )
+
+
+def _q_service_deps(spark, sf_dir):
+    """Service dependency graph (operators/traces.py service_dependencies,
+    the Jaeger GetDependencies model over quickwit-jaeger's span schema):
+    child spans join their parent within the trace on the composite
+    (trace, span-id) key — one co-partitioned shuffle per side — then
+    collapse to service-level call edges with call counts and mean child
+    latency; the edge groupBy is catalog-sized and map-side combined."""
+    from quickwit_spark.operators.traces import service_dependencies
+
+    return service_dependencies(_span_frame(spark, sf_dir), duration_col="duration_ms")
+
+
+def _q_tail_sampling(spark, sf_dir):
+    """Tail-based trace sampling (operators/traces.py tail_sample — the
+    OTel tail-sampler decision model in the reference's two-phase
+    FindTraces shape, quickwit-jaeger/src/lib.rs:98-130): per-trace
+    decision aggregate (any-error > max-latency>=485ms > deterministic
+    5% hash fraction, first policy wins), then every span of each kept
+    trace is fetched via a join on the kept-id table. Oracle restates the
+    decision aggregate, the Lehmer hash fraction, and the fetch join."""
+    from quickwit_spark.operators.traces import tail_sample
+
+    out = tail_sample(
+        _span_frame(spark, sf_dir),
+        latency_threshold_ms=485.0,
+        sample_rate=0.05,
+    )
+    return out.select("trace_id", "span_id", "service", "sample_reason")
+
+
+def _q_red_metrics(spark, sf_dir):
+    """RED span-metrics rollup (operators/traces.py red_metrics): per
+    (service, day) call rate, error count/rate, mean/max/p95 duration in
+    ONE map-side-combined groupBy — the span-metrics-connector shape on
+    the same aggregation plane as the reference's date_histogram + terms
+    pipeline. Exact interpolated p95 restated via quantile_cont."""
+    from quickwit_spark.operators.traces import red_metrics
+
+    out = red_metrics(
+        _span_frame(spark, sf_dir),
+        grain="day",
+        percentile=0.95,
+    )
+    return out.select(
+        "service",
+        F.unix_timestamp("bucket").alias("bucket_epoch"),
+        "n_calls",
+        "n_errors",
+        "error_rate",
+        "avg_ms",
+        "max_ms",
+        "p_ms",
+    )
+
+
+def _q_preference_pairs(spark, sf_dir):
+    """Chosen/rejected preference-pair construction (operators/chat.py
+    preference_pairs — the RLHF/DPO prep step): per conversation, the
+    highest-scoring assistant candidate paired against the lowest, with
+    deterministic (score, earlier-wins) tie-breaking and a positive-margin
+    filter. ONE map-side-combined groupBy via max_by/min_by over a
+    (score, -order) struct — per-group partial state is two candidates, so
+    a 10^5-candidate hot prompt shuffles one row. Oracle restates the
+    selection with arg ordering windows."""
+    from quickwit_spark.operators.chat import preference_pairs
+
+    cands = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 3 == 1)
+        .select(
+            F.col("user_id").alias("conv_id"),
+            F.col("event_id").alias("turn_idx"),
+            F.col("props").alias("text"),
+            F.col("value").alias("score"),
+        )
+    )
+    return preference_pairs(
+        cands, group_col="conv_id", text_col="text", score_col="score",
+        order_col="turn_idx",
+    )
+
+
+def _term_index_path(spark, sf_dir):
+    """Build-once materialized term index over documents (operators/
+    postings.py): postings partitioned by murmur3 term bucket + BM25 stats
+    sidecar, rebuilt only when the cache dir is absent."""
+    from quickwit_spark.operators import postings as PX
+
+    path = PX.cached_index_path(sf_dir)
+    if not os.path.exists(path + "_stats"):
+        PX.build_term_index(_t(spark, sf_dir, "documents"), path, n_buckets=16)
+    return path
+
+
+def _q_index_term_lookup(spark, sf_dir):
+    """Term lookup served from the materialized inverted index
+    (operators/postings.py term_lookup — the reference's term-dictionary
+    read, `qw/quickwit-search/src/leaf.rs` postings contract): only the
+    query terms' hash buckets are opened (PartitionFilters), the corpus is
+    never re-scanned. Oracle recomputes (term, tf, dl) from raw text — so
+    gate-green proves the INDEX content equals a fresh tokenization."""
+    from quickwit_spark.operators import postings as PX
+
+    path = _term_index_path(spark, sf_dir)
+    return PX.term_lookup(spark, path, ["spark", "merge"]).select(
+        "term", "doc_id", "tf", "dl"
+    )
+
+
+def _q_index_bm25(spark, sf_dir):
+    """BM25 top-20 served ENTIRELY from the index (operators/postings.py
+    index_bm25_topk): df from pruned postings, N/avgdl from the stats
+    sidecar. The oracle restates the CORPUS-SCAN formula (same as
+    q_score_bm25) — gate-green therefore proves index-served search equals
+    scan-served search, the reference's split-serving guarantee."""
+    from quickwit_spark.operators import postings as PX
+
+    path = _term_index_path(spark, sf_dir)
+    return PX.index_bm25_topk(spark, path, ["spark", "merge"], k=20)
+
+
+def _q_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key (operators/layout.py — the Iceberg
+    zorder table-maintenance strategy, generalizing the reference's
+    tag/time split pruning to any dimension pair): value quantized to
+    [0,255] over [0,500) × user_id mod 256, bits interleaved in pure
+    codegen shift/mask arithmetic. Oracle restates the quantization and
+    all 16 bit placements."""
+    from quickwit_spark.operators.layout import quantize, zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    cx = quantize(F.col("value"), 0.0, 500.0, 8)
+    cy = (F.col("user_id") % 256).cast("long")
+    return ev.select(
+        "event_id",
+        cx.alias("cell_x"),
+        cy.alias("cell_y"),
+        zorder_key([cx, cy], bits=8).alias("zkey"),
+    )
+
+
+def _q_context_truncate(spark, sf_dir):
+    """Token-budget context truncation (operators/chat.py
+    truncate_context): keep the maximal suffix of each conversation whose
+    running token total from the newest turn fits the budget (newest turn
+    always survives). ONE window shuffle — reverse cumsum and newest-rank
+    share the (conv, turn desc) sort. Oracle restates both windows."""
+    from quickwit_spark.operators.chat import truncate_context
+
+    turns = _transcript_turns(spark, sf_dir).withColumn(
+        "n_tokens", F.length("text").cast("long")
+    )
+    out = truncate_context(turns, budget=100)
+    return out.select("conv_id", "turn_idx", "role", "n_tokens")
+
+
+def _q_percolate(spark, sf_dir):
+    """Percolate / reverse search (operators/percolate.py — the ES
+    percolator surface): a catalog of stored mini-DSL alert queries
+    matched against the batch in ONE projection (array of
+    matched-query-id slots, zero shuffles/joins; only (doc, query_id)
+    pairs leave via explode). Oracle restates every stored predicate as
+    SQL UNION ALL."""
+    from quickwit_spark.operators.percolate import percolate
+
+    stored = {
+        "alert_errors": "event_type:error",
+        "alert_hot_value": "value:[400 TO 500]",
+        "alert_signup_low": "event_type:signup AND value:[0 TO 50}",
+    }
+    return percolate(
+        _t(spark, sf_dir, "events"), stored, _QC_EVENTS, id_cols=["event_id"]
+    )
+
+
+def _q_scd2_history(spark, sf_dir):
+    """Type-2 slowly-changing-dimension history (operators/joins.py
+    scd2_build): a changelog becomes versioned records with exclusive
+    [valid_from, valid_to) intervals — the maintenance step for the
+    dimension tables asof_join / broadcast enrich consume. ONE window
+    shuffle; lead + row_number share the (key, ts) sort. Changelog here:
+    per (user_id mod 40) tier changes ordered by event_id (a unique
+    monotonic version stamp, so the order is total)."""
+    from quickwit_spark.operators.joins import scd2_build
+
+    changes = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 40).alias("key"),
+        F.col("event_id").alias("ts"),
+        F.col("event_type").alias("tier"),
+    )
+    out = scd2_build(changes, key_col="key", ts_col="ts")
+    return out.select(
+        "key", F.col("version").cast("long").alias("version"), "tier",
+        F.col("valid_from").alias("valid_from"), "valid_to", "is_current",
+    )
+
+
+def _q_collocations(spark, sf_dir):
+    """PMI collocation mining (operators/corpus.py collocations): top-50
+    bigrams by pointwise mutual information with a min-count floor —
+    exact integer counts in two map-side-combined aggregations off one
+    tokenize pass, conditional-broadcast unigram attachment, TakeOrdered
+    finish. Oracle restates counts, totals, and the ln ratio."""
+    from quickwit_spark.operators.corpus import collocations
+
+    return collocations(
+        _t(spark, sf_dir, "documents"), min_count=5, top_k=50
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST 50
     # entries, so the window is curated for maximum distinct semantics:
@@ -1970,6 +2198,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "dataset_split_counts": _q_dataset_split,
         "slo_burn_rate": _q_slo_burn,
+        # r5 session-5 (cont.): the trace decision/rollup plane between
+        # ingest and the Jaeger query surface, and RLHF preference-pair
+        # prep over scored transcripts — each fully DuckDB-oracled.
+        "service_deps": _q_service_deps,
+        "trace_tail_sampling": _q_tail_sampling,
+        "red_metrics": _q_red_metrics,
+        "preference_pairs": _q_preference_pairs,
+        # r5 session-5 (cont.): the materialized inverted index — build
+        # once, serve term lookups + BM25 from postings with partition
+        # pruning; oracles recompute from raw text, so green == the index
+        # equals a fresh tokenization and index-served == scan-served.
+        "index_term_lookup": _q_index_term_lookup,
+        "index_bm25": _q_index_bm25,
+        "zorder_key": _q_zorder_key,
+        "context_truncate": _q_context_truncate,
+        "percolate_match": _q_percolate,
+        "scd2_history": _q_scd2_history,
+        "text_collocations": _q_collocations,
         # rows-only tail (non-SQL-expressible)
         "dedup_incremental": _q_dedup_incremental,
         "semantic_dedup_incremental": _q_semantic_dedup_incremental,
@@ -2088,6 +2334,18 @@ def oracle_sql() -> dict[str, str]:
         " + (doc_id % 2147483629 + 1) * 16807 % 2147483629)"
         " % 2147483647 + 1) * 48271 % 2147483647"
     )
+    _k3_trace = (
+        "((2147483629 * ((trace_id % 2147483647 + 1) * 48271 % 2147483647)"
+        " + (trace_id % 2147483629 + 1) * 16807 % 2147483629)"
+        " % 2147483647 + 1) * 48271 % 2147483647"
+    )
+    # Morton interleave, bit-for-bit as operators/layout.py zorder_key
+    # places them: bit j of dim i lands at key bit j*2 + i
+    _zorder_sql = " + ".join(
+        f"(((cell_{d} >> {j}) & 1) << {j * 2 + i})"
+        for j in range(8)
+        for i, d in enumerate(("x", "y"))
+    )
     return {
         "sketch_hll_distinct": _SK.hll_estimate_sql(_hll_regs, ["event_type"]),
         "sketch_kmv_distinct": f"""
@@ -2162,6 +2420,206 @@ def oracle_sql() -> dict[str, str]:
                    round(sr / 0.1, 6) AS short_burn, round(lr / 0.1, 6) AS long_burn,
                    (sr / 0.1 > 2.0 AND lr / 0.1 > 2.0) AS alert
             FROM w
+        """,
+        # span frame shared by the trace-plane oracles (same derivation as
+        # _span_frame; the lag window is omitted where parent links are
+        # unused — identical rows either way).
+        "service_deps": f"""
+            WITH spans AS (
+              SELECT CAST(event_id % 997 AS BIGINT) AS trace_id,
+                     event_id AS span_id,
+                     lag(event_id) OVER (PARTITION BY event_id % 997
+                                         ORDER BY ts, event_id) AS parent_span_id,
+                     event_type AS service, value AS duration_ms
+              FROM events
+            )
+            SELECT p.service AS parent_service, c.service AS child_service,
+                   count(*)::BIGINT AS call_count,
+                   round(avg(c.duration_ms), 6) AS avg_child_ms
+            FROM spans c JOIN spans p
+              ON c.trace_id = p.trace_id AND c.parent_span_id = p.span_id
+            GROUP BY 1, 2
+        """,
+        "trace_tail_sampling": f"""
+            WITH spans AS (
+              SELECT CAST(event_id % 997 AS BIGINT) AS trace_id,
+                     event_id AS span_id, event_type AS service,
+                     value AS duration_ms, (event_id % 211 = 0) AS is_error
+              FROM events
+            ), d AS (
+              SELECT trace_id,
+                     max(CAST(is_error AS INT)) AS any_err,
+                     max(duration_ms) AS max_ms
+              FROM spans GROUP BY trace_id
+            ), kept AS (
+              SELECT trace_id,
+                     CASE WHEN any_err = 1 THEN 'error'
+                          WHEN max_ms >= 485.0 THEN 'latency'
+                          WHEN ({_k3_trace})::DOUBLE < 0.05 * 2147483647
+                               THEN 'probabilistic' END AS sample_reason
+              FROM d
+            )
+            SELECT s.trace_id, s.span_id, s.service, k.sample_reason
+            FROM spans s JOIN kept k USING (trace_id)
+            WHERE k.sample_reason IS NOT NULL
+        """,
+        "red_metrics": """
+            SELECT event_type AS service,
+                   CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS bucket_epoch,
+                   count(*)::BIGINT AS n_calls,
+                   sum(CAST(event_id % 211 = 0 AS BIGINT))::BIGINT AS n_errors,
+                   round(avg(CAST(event_id % 211 = 0 AS INT)), 6) AS error_rate,
+                   round(avg(value), 6) AS avg_ms,
+                   max(value) AS max_ms,
+                   round(quantile_cont(value, 0.95), 6) AS p_ms
+            FROM events GROUP BY 1, 2
+        """,
+        "preference_pairs": """
+            WITH c AS (
+              SELECT user_id AS conv_id, event_id AS turn_idx,
+                     props AS text, value AS score
+              FROM events WHERE event_id % 3 = 1
+            ), r AS (
+              SELECT conv_id, text, score,
+                     row_number() OVER (PARTITION BY conv_id
+                       ORDER BY score DESC, turn_idx ASC) AS rn_hi,
+                     row_number() OVER (PARTITION BY conv_id
+                       ORDER BY score ASC, turn_idx DESC) AS rn_lo
+              FROM c
+            )
+            SELECT conv_id, count(*)::BIGINT AS n_candidates,
+                   max(CASE WHEN rn_hi = 1 THEN text END) AS chosen,
+                   max(CASE WHEN rn_lo = 1 THEN text END) AS rejected,
+                   round(max(score) - min(score), 6) AS margin
+            FROM r GROUP BY conv_id
+            HAVING round(max(score) - min(score), 6) > 0
+        """,
+        "index_term_lookup": r"""
+            WITH d AS (
+              SELECT doc_id, str_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents
+            )
+            SELECT 'spark' AS term, doc_id,
+                   len(list_filter(t, x -> x = 'spark'))::BIGINT AS tf,
+                   len(t)::BIGINT AS dl
+            FROM d WHERE list_contains(t, 'spark')
+            UNION ALL
+            SELECT 'merge', doc_id,
+                   len(list_filter(t, x -> x = 'merge'))::BIGINT,
+                   len(t)::BIGINT
+            FROM d WHERE list_contains(t, 'merge')
+        """,
+        # identical corpus-scan restatement as q_score_bm25 — the Spark
+        # side serves from the materialized index, so green means
+        # index-served == scan-served across engines.
+        "index_bm25": r"""
+            WITH d AS (
+              SELECT doc_id, str_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), s AS (
+              SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM d
+            ), dfs AS (
+              SELECT
+                sum(CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+                sum(CASE WHEN list_contains(t, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS df2
+              FROM d
+            ), sc AS (
+              SELECT doc_id,
+                     len(list_filter(t, x -> x = 'spark'))::DOUBLE AS f1,
+                     len(list_filter(t, x -> x = 'merge'))::DOUBLE AS f2,
+                     len(t)::DOUBLE AS dl
+              FROM d
+            )
+            SELECT doc_id,
+                   round(
+                     ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+                       * (f1 * 2.2) / (f1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                     + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+                       * (f2 * 2.2) / (f2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                   6) AS _score
+            FROM sc, s, dfs
+            WHERE f1 > 0 OR f2 > 0
+            ORDER BY _score DESC, doc_id ASC
+            LIMIT 20
+        """,
+        "zorder_key": f"""
+            WITH q AS (
+              SELECT event_id,
+                     least(greatest(CAST(floor((value - 0.0) / 500.0 * 256.0)
+                                         AS BIGINT), 0), 255) AS cell_x,
+                     CAST(user_id % 256 AS BIGINT) AS cell_y
+              FROM events
+            )
+            SELECT event_id, cell_x, cell_y, ({_zorder_sql}) AS zkey FROM q
+        """,
+        "scd2_history": """
+            WITH ch AS (
+              SELECT user_id % 40 AS key, event_id AS ts, event_type AS tier
+              FROM events
+            )
+            SELECT key,
+                   row_number() OVER w AS version,
+                   tier,
+                   ts AS valid_from,
+                   lead(ts) OVER w AS valid_to,
+                   lead(ts) OVER w IS NULL AS is_current
+            FROM ch WINDOW w AS (PARTITION BY key ORDER BY ts)
+        """,
+        "text_collocations": r"""
+            WITH d AS (
+              SELECT doc_id, str_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), tot AS (
+              SELECT sum(len(t))::DOUBLE AS nu,
+                     sum(greatest(len(t) - 1, 0))::DOUBLE AS nb
+              FROM d
+            ), uni AS (
+              SELECT w, count(*) AS c
+              FROM (SELECT unnest(t) AS w FROM d) GROUP BY w
+            ), bg AS (
+              SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                            i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS s
+              FROM d WHERE len(t) >= 2
+            ), bi AS (
+              SELECT s.w1 AS w1, s.w2 AS w2, count(*)::BIGINT AS c12
+              FROM bg GROUP BY 1, 2 HAVING count(*) >= 5
+            )
+            SELECT w1, w2, c12,
+                   round(ln((c12::DOUBLE / nb)
+                            / ((u1.c::DOUBLE / nu) * (u2.c::DOUBLE / nu))), 6)
+                     AS pmi
+            FROM bi
+            JOIN uni u1 ON u1.w = bi.w1
+            JOIN uni u2 ON u2.w = bi.w2, tot
+            ORDER BY pmi DESC, w1 ASC, w2 ASC
+            LIMIT 50
+        """,
+        "percolate_match": """
+            SELECT event_id, 'alert_errors' AS query_id
+            FROM events WHERE event_type = 'error'
+            UNION ALL
+            SELECT event_id, 'alert_hot_value'
+            FROM events WHERE value >= 400 AND value <= 500
+            UNION ALL
+            SELECT event_id, 'alert_signup_low'
+            FROM events WHERE event_type = 'signup' AND value >= 0 AND value < 50
+        """,
+        "context_truncate": """
+            WITH t AS (
+              SELECT user_id AS conv_id, event_id AS turn_idx,
+                     (['user','assistant','tool'])[CAST(event_id % 3 + 1 AS INT)] AS role,
+                     props AS text
+              FROM events
+            ), w AS (
+              SELECT conv_id, turn_idx, role, length(text)::BIGINT AS n_tokens,
+                     sum(length(text)) OVER (PARTITION BY conv_id
+                       ORDER BY turn_idx DESC ROWS UNBOUNDED PRECEDING) AS rev_cum,
+                     row_number() OVER (PARTITION BY conv_id
+                       ORDER BY turn_idx DESC) AS rn
+              FROM t
+            )
+            SELECT conv_id, turn_idx, role, n_tokens
+            FROM w WHERE rev_cum <= 100 OR rn = 1
         """,
         "agg_date_histogram": f"""
             SELECT key, strftime(to_timestamp(key / 1000), '%Y-%m-%dT%H:%M:%SZ') AS key_as_string,

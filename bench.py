@@ -57,6 +57,11 @@ HEADLINE = [
     "text_fingerprint",
     "dsir_weights_hashed",
     "curation_funnel",
+    # r5 session-5: index-served BM25 (first sample pays the one-time index
+    # build; min-of-N is the serve time — contrast with q_score_bm25's scan)
+    # and the zero-shuffle stored-query percolator.
+    "index_bm25",
+    "percolate_match",
 ]
 
 

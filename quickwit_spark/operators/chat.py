@@ -276,3 +276,82 @@ def turn_context(
             F.coalesce(F.col(text_col), F.lit("")).alias("target"),
         )
     )
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_col: str = "conv_id",
+    text_col: str = "text",
+    score_col: str = "score",
+    order_col: str = "turn_idx",
+    min_margin: float = 0.0,
+) -> DataFrame:
+    """Chosen/rejected preference-pair construction — the RLHF/DPO prep
+    step over scored candidate responses: within each group (a prompt /
+    conversation), pair the highest-scoring candidate against the
+    lowest-scoring one.
+
+    Deterministic tie-breaking: among equal scores the EARLIER candidate
+    (smaller ``order_col``) is chosen and the LATER one rejected, so the
+    pair is stable across runs, partitionings, and engines. Groups whose
+    margin (max-min score, rounded to 6 dp) is below ``min_margin`` are
+    dropped — a pair with no signal is noise to a DPO loss. Single-
+    candidate groups always drop (margin 0 pairs a row with itself).
+
+    Returns (group, n_candidates, chosen, rejected, margin).
+
+    Scale shape: ONE map-side-combined groupBy — max_by/min_by over a
+    (score, order) struct keeps per-group state at two candidates during
+    the partial aggregation, so a 10^5-candidate hot prompt shuffles one
+    row. No window, no sort, no self-join.
+    """
+    score = F.col(score_col)
+    # max_by: highest score, ties -> max(-order) = earliest candidate.
+    # min_by: lowest score, ties -> min(-order) = latest candidate.
+    key = F.struct(score.alias("s"), (-F.col(order_col)).alias("o"))
+    margin = F.round(F.max(score) - F.min(score), 6)
+    out = df.groupBy(F.col(group_col).alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.max_by(F.col(text_col), key).alias("chosen"),
+        F.min_by(F.col(text_col), key).alias("rejected"),
+        margin.alias("margin"),
+    )
+    floor = max(float(min_margin), 0.0)
+    cond = (
+        F.col("margin") > 0 if floor == 0.0 else F.col("margin") >= F.lit(floor)
+    )
+    return out.filter(cond)
+
+
+def truncate_context(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    tokens_col: str = "n_tokens",
+    budget: int = 2048,
+) -> DataFrame:
+    """Token-budget context truncation: keep the maximal SUFFIX of each
+    conversation whose total token count fits ``budget`` — the
+    context-window prep step before rendering transcripts into training
+    examples (render_conversations / turn_context).
+
+    Rule: a turn survives iff the running token total from the newest turn
+    back through it is ≤ budget; the newest turn always survives (a
+    single over-budget turn truncates to itself, never to nothing).
+
+    Scale shape: ONE window shuffle on (conv) — the reverse running sum
+    and the newest-turn rank share the same (conv, turn desc) sort, so
+    Catalyst plans a single Exchange + sort; per-row state is the running
+    sum, not the conversation.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(conv_col).orderBy(F.col(turn_col).desc())
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = (
+        df.withColumn("__rev_cum", F.sum(F.col(tokens_col)).over(wsum))
+        .withColumn("__newest", F.row_number().over(w))
+        .filter((F.col("__rev_cum") <= budget) | (F.col("__newest") == 1))
+        .drop("__rev_cum", "__newest")
+    )
+    return out

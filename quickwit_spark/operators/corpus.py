@@ -945,3 +945,91 @@ def dataset_split(
         expr.otherwise(F.lit(names[-1])) if expr is not None else F.lit(names[-1])
     )
     return df.withColumn("split", expr)
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information — the
+    text-analysis step that surfaces multi-word expressions ("new york",
+    "stack trace") for tokenizer/phrase-dictionary construction.
+
+    PMI(w1,w2) = ln( (c12/Nb) / ((c1/Nu)·(c2/Nu)) ) with c12 = bigram
+    count, c1/c2 = unigram counts, Nb/Nu = total bigram/unigram tokens —
+    all exact integers, so the score is bit-reproducible across engines
+    (rounded to 6 dp). ``min_count`` floors c12 (PMI is noise-dominated at
+    low counts); output is the top_k by (pmi desc, w1, w2) total order.
+
+    Scale shape: one tokenize pass feeds both count aggregations (each
+    map-side combined, shuffle width = vocab / bigram-vocab); the totals
+    come out of ONE extra driver-sized agg job; the c1/c2 attachment is a
+    conditional-broadcast join of the unigram table (same vocab-estimate
+    rule as bigram_lm_scores — catalog-sized vocabularies broadcast, huge
+    ones fall back to Spark's join choice). TakeOrdered finishes — no
+    global sort.
+    """
+    toks = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("t"))
+    totals = toks.agg(
+        F.sum(F.size("t")).alias("nu"),
+        F.sum(F.greatest(F.size("t") - 1, F.lit(0))).alias("nb"),
+    ).collect()[0]
+    nu, nb = int(totals["nu"]), int(totals["nb"])
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.element_at("t", i + 1).alias("w1"),
+                        F.element_at("t", i + 2).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bi = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    # conditional broadcast, same rule as bigram_lm_scores: catalog-sized
+    # vocabularies broadcast; a huge one falls back to Spark's join choice
+    vocab_small = uni
+    est_small = uni.count() <= 5_000_000
+    maybe_bc = (lambda f: F.broadcast(f)) if est_small else (lambda f: f)
+    scored = (
+        bi.join(
+            maybe_bc(vocab_small.select(F.col("w").alias("w1"), F.col("c").alias("c1"))),
+            "w1",
+        )
+        .join(
+            maybe_bc(vocab_small.select(F.col("w").alias("w2"), F.col("c").alias("c2"))),
+            "w2",
+        )
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") / F.lit(float(nb)))
+                    / (
+                        (F.col("c1").cast("double") / F.lit(float(nu)))
+                        * (F.col("c2").cast("double") / F.lit(float(nu)))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(top_k)

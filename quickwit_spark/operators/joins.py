@@ -220,3 +220,47 @@ def range_join_intervals(
             for c in payload_cols
         ],
     )
+
+
+def scd2_build(
+    changes: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a changelog: each
+    change row becomes a versioned record with its validity interval —
+    the maintenance step for the dimension tables the as-of join
+    (:func:`asof_join`) and the pipeline's broadcast enrich consume.
+
+    Returns the input columns plus (version: 1-based per key in change
+    order, valid_from = change ts, valid_to = next change's ts or null
+    for the current record, is_current). ``valid_to`` is exclusive —
+    [valid_from, valid_to) intervals partition the timeline per key with
+    no overlap and no gap after the first change, so a point-in-time
+    lookup matches exactly one version (range_join_intervals) and
+    ``is_current`` rows reproduce the latest snapshot.
+
+    Scale shape: ONE window shuffle on (key); lead() and row_number()
+    share the same (key, ts) sort. Dimension changelogs are catalog-sized
+    next to the fact stream, so the sort unit is a key's change count.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
+    return (
+        changes.withColumn("version", F.row_number().over(w))
+        .withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+def scd2_snapshot_at(history: DataFrame, at, ts_col: str = "ts") -> DataFrame:
+    """The dimension as of time ``at`` from an scd2_build history: rows
+    whose [valid_from, valid_to) interval covers ``at`` — a partition-
+    prunable filter, no window, no join."""
+    lit_at = F.lit(at)
+    return history.filter(
+        (F.col("valid_from") <= lit_at)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > lit_at))
+    )

@@ -1,0 +1,183 @@
+"""Materialized inverted index as a partitioned postings table — the
+reference's split architecture (tokenize once at index build, answer term
+queries from the index alone, never re-scanning the corpus) re-expressed
+as Parquet + partition pruning.
+
+Behavioral contracts (no code ported):
+
+- `qw/quickwit-indexing` builds splits whose term dictionary + postings
+  answer term queries without touching raw documents; here the build is
+  one tokenize→explode→groupBy pass written ``partitionBy(bucket)`` where
+  ``bucket = murmur3(term) mod n_buckets`` — a term lookup reads ONLY its
+  buckets' files (PartitionFilters, plan-asserted in tests), the Parquet
+  analog of opening one term-dictionary block.
+- `qw/quickwit-search/src/leaf.rs` serves BM25 from postings + fieldnorms:
+  :func:`index_bm25_topk` scores entirely from the index (tf, doc_len
+  stored per posting; df counted from the pruned postings themselves; the
+  corpus-level N/avgdl constants from the build-time stats sidecar) and
+  returns exactly what the corpus-scan scorer (operators/scoring.py)
+  returns — equality is pinned in tests and the driver gate's oracle.
+
+Scale shape (10^12 docs): the build is the same one-shuffle
+tokenize→groupBy as batch_bm25's transient index, amortized once; queries
+read |terms| buckets of |corpus|/n_buckets postings files and shuffle only
+matching postings (a groupBy on doc id bounded by the posting volume of
+the queried terms). Doc-length norms ride along each posting row —
+denormalized exactly so scoring never joins a second table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+def _tokens(text_col: str):
+    # the SAME default tokenizer the scan-side scorer uses
+    # (functions/tokenizers.py tokenize_default) — index-served and
+    # scan-served results must be interchangeable term-for-term
+    from quickwit_spark.functions.tokenizers import tokenize_default
+
+    return tokenize_default(F.col(text_col))
+
+
+def build_term_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> None:
+    """One-pass index build: postings (bucket, term, doc id, tf, dl)
+    written ``partitionBy(bucket)`` plus a one-row stats sidecar
+    (``<path>_stats``: corpus size N, avgdl) for BM25 constants.
+
+    The whitespace-lowercase tokenizer matches the scan-side scorer
+    (operators/scoring.py) so index-served and scan-served results are
+    interchangeable. tf/dl are computed in the same explode→groupBy pass;
+    map-side combine keeps the shuffle at distinct (doc, term) volume.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("__toks")
+    ).select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("dl"),
+        F.explode("__toks").alias("term"),
+    )
+    postings = (
+        toks.groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)))
+    )
+    # one writer task per bucket, postings laid out (term, doc_id)-sorted
+    # within each file — the term dictionary's contiguous-postings locality
+    (
+        postings.repartition("bucket")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    stats = docs.select(_tokens(text_col).alias("__toks")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size("__toks")).alias("avgdl"),
+        F.lit(int(n_buckets)).alias("n_buckets"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(path + "_stats")
+
+
+def _term_buckets(spark: SparkSession, terms: list[str], n_buckets: int) -> list[int]:
+    """Bucket of each query term under the SAME murmur3 the build used —
+    computed by the engine itself (one driver-sized job over |terms| rows)
+    so Python never re-implements Spark's hash."""
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(F.pmod(F.hash("term"), F.lit(n_buckets)).alias("b"))
+        .collect()
+    )
+    return sorted({r["b"] for r in rows})
+
+
+def read_stats(spark: SparkSession, path: str) -> dict:
+    row = spark.read.parquet(path + "_stats").collect()[0]
+    return {"n_docs": row["n_docs"], "avgdl": row["avgdl"], "n_buckets": int(row["n_buckets"])}
+
+
+def term_lookup(
+    spark: SparkSession, path: str, terms: list[str]
+) -> DataFrame:
+    """Postings of the given terms: (term, doc_id, tf, dl). The bucket
+    IN-filter is a partition filter — only the terms' buckets' files are
+    opened (asserted via inputFiles in tests), the rest of the index is
+    never read."""
+    n_buckets = read_stats(spark, path)["n_buckets"]
+    buckets = _term_buckets(spark, terms, n_buckets)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(list(terms)))
+        .select("term", "doc_id", "tf", "dl")
+    )
+
+
+def term_query(
+    spark: SparkSession, path: str, terms: list[str], mode: str = "any"
+) -> DataFrame:
+    """Doc ids matching the term set from the index alone. ``any`` = OR
+    (distinct ids), ``all`` = AND (ids whose distinct matched-term count
+    equals |terms| — the index-side conjunction, no corpus scan)."""
+    hits = term_lookup(spark, path, terms)
+    if mode == "any":
+        return hits.select("doc_id").distinct()
+    if mode == "all":
+        return (
+            hits.groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("__m"))
+            .filter(F.col("__m") == len(set(terms)))
+            .select("doc_id")
+        )
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def index_bm25_topk(
+    spark: SparkSession,
+    path: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k served ENTIRELY from the index: df per term from the
+    pruned postings, N/avgdl from the stats sidecar, Lucene idf
+    ln(1 + (N-df+0.5)/(df+0.5)), per-posting weight
+    tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)), summed per doc, TakeOrdered k
+    with the (score desc, doc_id asc) total order.
+
+    Exactly equal (6-dp rounded) to the corpus-scan scorer
+    operators/scoring.py bm25_topk — pinned in tests; the driver gate's
+    oracle restates the corpus-scan formula, so gate-green means
+    index-served == scan-served across engines."""
+    stats = read_stats(spark, path)
+    hits = term_lookup(spark, path, terms)
+    dfs = hits.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    n, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+    idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    w = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    scored = hits.join(F.broadcast(dfs), "term").select(
+        "doc_id", (idf * w).alias("__s")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("__s"), 6).alias("_score"))
+        .orderBy(F.col("_score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def cached_index_path(sf_dir: str, tag: str = "term_index") -> str:
+    """Deterministic /tmp location for a build keyed to its input dir —
+    gate queries rebuild only when absent."""
+    safe = sf_dir.strip("/").replace("/", "_")
+    return os.path.join("/tmp", f"qs_{tag}_{safe}")

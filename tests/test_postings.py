@@ -1,0 +1,99 @@
+"""Materialized inverted index (operators/postings.py): build → pruned
+term lookup → index-served BM25. Pins the two guarantees the oracle can't
+see from SQL alone: (1) a term lookup opens ONLY the query terms' bucket
+partitions (file pruning), and (2) index-served BM25 equals the
+corpus-scan scorer row-for-row."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from quickwit_spark.operators import postings as PX
+from quickwit_spark.operators.scoring import bm25_topk
+
+DOCS = [
+    (1, "spark merge query fast"),
+    (2, "merge merge merge slow"),
+    (3, "query planner index scan"),
+    (4, "spark spark shuffle"),
+    (5, "totally unrelated words here"),
+]
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, tmp_path_factory):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in DOCS]
+    )
+    path = str(tmp_path_factory.mktemp("postings") / "idx")
+    PX.build_term_index(docs, path, n_buckets=8)
+    return path
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in DOCS])
+
+
+class TestTermLookup:
+    def test_postings_content(self, spark, index_path):
+        rows = {
+            (r["term"], r["doc_id"]): (r["tf"], r["dl"])
+            for r in PX.term_lookup(spark, index_path, ["merge"]).collect()
+        }
+        assert rows == {("merge", 1): (1, 4), ("merge", 2): (3, 4)}
+
+    def test_partition_pruning(self, spark, index_path):
+        # the lookup must READ only the term's bucket directory: assert on
+        # the files execution actually touched (input_file_name), plus the
+        # scan's PartitionFilters — inputFiles() lists the whole table
+        # pre-pruning, so it can't prove this
+        hits = PX.term_lookup(spark, index_path, ["merge"])
+        read_files = [
+            r[0]
+            for r in hits.select(F.input_file_name()).distinct().collect()
+        ]
+        n_buckets = PX.read_stats(spark, index_path)["n_buckets"]
+        b = PX._term_buckets(spark, ["merge"], n_buckets)[0]
+        assert read_files and all(f"bucket={b}/" in f for f in read_files)
+        plan = hits._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "bucket" in plan
+
+    def test_term_query_modes(self, spark, index_path):
+        any_ids = {
+            r["doc_id"]
+            for r in PX.term_query(spark, index_path, ["spark", "merge"]).collect()
+        }
+        assert any_ids == {1, 2, 4}
+        all_ids = {
+            r["doc_id"]
+            for r in PX.term_query(
+                spark, index_path, ["spark", "merge"], mode="all"
+            ).collect()
+        }
+        assert all_ids == {1}
+
+    def test_missing_term_empty(self, spark, index_path):
+        assert PX.term_lookup(spark, index_path, ["absent"]).count() == 0
+
+
+class TestIndexBm25:
+    def test_equals_corpus_scan_scorer(self, spark, index_path, docs_df):
+        served = PX.index_bm25_topk(spark, index_path, ["spark", "merge"], k=10)
+        scanned = bm25_topk(
+            docs_df, "spark merge", "text", k=10, id_col="doc_id"
+        ).select("doc_id", "_score")
+        assert [tuple(r) for r in served.collect()] == [
+            tuple(r) for r in scanned.collect()
+        ]
+
+    def test_multi_term_tf_saturation(self, spark, index_path):
+        rows = PX.index_bm25_topk(spark, index_path, ["merge"], k=3).collect()
+        # doc 2 (tf=3) outranks doc 1 (tf=1); doc without the term absent
+        assert [r["doc_id"] for r in rows] == [2, 1]
+
+    def test_stats_sidecar(self, spark, index_path):
+        st = PX.read_stats(spark, index_path)
+        assert st["n_docs"] == 5.0
+        assert st["avgdl"] == pytest.approx(sum(len(t.split()) for _, t in DOCS) / 5)
