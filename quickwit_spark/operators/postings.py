@@ -81,7 +81,7 @@ def build_term_index(
     )
     stats = docs.select(_tokens(text_col).alias("__toks")).agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg(F.size("__toks")).alias("avgdl"),
+        F.sum(F.size("__toks")).cast("double").alias("sum_dl"),
         F.lit(int(n_buckets)).alias("n_buckets"),
     )
     stats.coalesce(1).write.mode("overwrite").parquet(path + "_stats")
@@ -100,8 +100,18 @@ def _term_buckets(spark: SparkSession, terms: list[str], n_buckets: int) -> list
 
 
 def read_stats(spark: SparkSession, path: str) -> dict:
+    """(n_docs, sum_dl, avgdl, n_buckets). Stats are stored in MERGEABLE
+    form (n_docs + sum_dl, avgdl derived) so incremental appends add
+    rather than re-average — the same partial-moments rule as the rollup
+    plane (operators/rollup.py)."""
     row = spark.read.parquet(path + "_stats").collect()[0]
-    return {"n_docs": row["n_docs"], "avgdl": row["avgdl"], "n_buckets": int(row["n_buckets"])}
+    n, sum_dl = float(row["n_docs"]), float(row["sum_dl"])
+    return {
+        "n_docs": n,
+        "sum_dl": sum_dl,
+        "avgdl": (sum_dl / n) if n else 0.0,
+        "n_buckets": int(row["n_buckets"]),
+    }
 
 
 def term_lookup(
@@ -113,11 +123,21 @@ def term_lookup(
     never read."""
     n_buckets = read_stats(spark, path)["n_buckets"]
     buckets = _term_buckets(spark, terms, n_buckets)
-    return (
+    hits = (
         spark.read.parquet(path)
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(list(terms)))
         .select("term", "doc_id", "tf", "dl")
     )
+    tombs = _tombstones(spark, path)
+    if tombs is not None:
+        # deletes mask at serve time (the reference's delete-task rule:
+        # queries never see deleted docs, storage reclaims at merge);
+        # re-select: the join puts its key first, the contract is
+        # (term, doc_id, tf, dl)
+        hits = hits.join(F.broadcast(tombs), "doc_id", "left_anti").select(
+            "term", "doc_id", "tf", "dl"
+        )
+    return hits
 
 
 def term_query(
@@ -174,6 +194,109 @@ def index_bm25_topk(
         .orderBy(F.col("_score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def _tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    tpath = path + "_tombstones"
+    if not os.path.exists(tpath):
+        return None
+    return spark.read.parquet(tpath).select("doc_id").distinct()
+
+
+def append_to_term_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incremental index update — the reference's continuous-indexing
+    contract (new splits append; existing splits are immutable): the new
+    batch runs the SAME tokenize→groupBy pass and its postings files land
+    in the existing bucket partitions (append mode — no old file is
+    rewritten). Stats merge additively (n_docs += , sum_dl +=), so
+    BM25 constants stay exact: build(a) then append(b) serves identically
+    to build(a∪b) — pinned in tests. Prior text is never re-read."""
+    spark = new_docs.sparkSession
+    old = read_stats(spark, path)
+    n_buckets = old["n_buckets"]
+    toks = new_docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("__toks")
+    ).select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("dl"),
+        F.explode("__toks").alias("term"),
+    )
+    postings = (
+        toks.groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").cast("long").alias("dl"))
+        .withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)))
+    )
+    (
+        postings.repartition("bucket")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    delta = new_docs.select(_tokens(text_col).alias("__toks")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.size("__toks")).cast("double").alias("s"),
+    ).collect()[0]
+    stats = spark.createDataFrame(
+        [(old["n_docs"] + float(delta["n"]), old["sum_dl"] + float(delta["s"] or 0.0),
+          n_buckets)],
+        "n_docs double, sum_dl double, n_buckets int",
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(path + "_stats")
+
+
+def delete_from_term_index(spark: SparkSession, path: str, doc_ids: list[int]) -> None:
+    """Delete docs from the index by tombstone — the reference's
+    delete-task semantics (`qw/quickwit-janitor` delete pipeline): the
+    mask applies to every subsequent query immediately; postings bytes
+    are reclaimed later by :func:`compact_term_index` (the merge)."""
+    spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long").write.mode(
+        "append"
+    ).parquet(path + "_tombstones")
+
+
+def compact_term_index(spark: SparkSession, path: str) -> None:
+    """Reclaim tombstoned postings — the merge-executor analog: rewrite
+    the postings minus deleted docs into a staged dir, recompute stats
+    from the survivors (after compaction deleted docs stop counting in
+    N/avgdl, exactly as a tantivy merge drops them from fieldnorms), then
+    swap staged→live and clear the tombstones (janitor.py's staged-
+    rewrite/atomic-swap protocol)."""
+    import shutil
+
+    tombs = _tombstones(spark, path)
+    live = spark.read.parquet(path).select("bucket", "term", "doc_id", "tf", "dl")
+    if tombs is not None:
+        live = live.join(F.broadcast(tombs), "doc_id", "left_anti")
+    staged = path + "_staged"
+    (
+        live.repartition("bucket")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(staged)
+    )
+    n_buckets = read_stats(spark, path)["n_buckets"]
+    per_doc = live.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    row = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("dl").cast("double").alias("s"),
+    ).collect()[0]
+    stats = spark.createDataFrame(
+        [(float(row["n"] or 0.0), float(row["s"] or 0.0), n_buckets)],
+        "n_docs double, sum_dl double, n_buckets int",
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(path + "_stats_staged")
+    shutil.rmtree(path)
+    shutil.move(staged, path)
+    shutil.rmtree(path + "_stats")
+    shutil.move(path + "_stats_staged", path + "_stats")
+    shutil.rmtree(path + "_tombstones", ignore_errors=True)
 
 
 def cached_index_path(sf_dir: str, tag: str = "term_index") -> str:

@@ -97,3 +97,58 @@ class TestIndexBm25:
         st = PX.read_stats(spark, index_path)
         assert st["n_docs"] == 5.0
         assert st["avgdl"] == pytest.approx(sum(len(t.split()) for _, t in DOCS) / 5)
+
+
+class TestIndexLifecycle:
+    @pytest.fixture()
+    def paths(self, spark, tmp_path):
+        docs = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in DOCS])
+        full = str(tmp_path / "full")
+        incr = str(tmp_path / "incr")
+        PX.build_term_index(docs, full, n_buckets=8)
+        PX.build_term_index(docs.filter("doc_id <= 2"), incr, n_buckets=8)
+        PX.append_to_term_index(docs.filter("doc_id > 2"), incr)
+        return full, incr
+
+    def _postings(self, spark, path, terms):
+        return sorted(
+            tuple(r) for r in PX.term_lookup(spark, path, terms).collect()
+        )
+
+    def test_append_equals_full_build(self, spark, paths):
+        full, incr = paths
+        terms = ["spark", "merge", "query"]
+        assert self._postings(spark, incr, terms) == self._postings(
+            spark, full, terms
+        )
+        sf, si = PX.read_stats(spark, full), PX.read_stats(spark, incr)
+        assert (sf["n_docs"], sf["sum_dl"]) == (si["n_docs"], si["sum_dl"])
+        # BM25 served from the incrementally-built index is identical too
+        a = [tuple(r) for r in PX.index_bm25_topk(spark, full, ["spark", "merge"], k=5).collect()]
+        b = [tuple(r) for r in PX.index_bm25_topk(spark, incr, ["spark", "merge"], k=5).collect()]
+        assert a == b
+
+    def test_delete_masks_immediately(self, spark, paths):
+        _, incr = paths
+        PX.delete_from_term_index(spark, incr, [2])
+        rows = self._postings(spark, incr, ["merge"])
+        assert [r[1] for r in rows] == [1]  # doc 2 gone from every lookup
+        # deleted docs still count in stats until compaction (tantivy rule)
+        assert PX.read_stats(spark, incr)["n_docs"] == 5.0
+
+    def test_compact_reclaims_and_recounts(self, spark, paths):
+        _, incr = paths
+        PX.delete_from_term_index(spark, incr, [2, 5])
+        PX.compact_term_index(spark, incr)
+        # tombstones cleared, postings rewritten without the deleted docs
+        assert PX._tombstones(spark, incr) is None
+        all_ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(incr).select("doc_id").distinct().collect()
+        }
+        assert all_ids == {1, 3, 4}
+        st = PX.read_stats(spark, incr)
+        assert st["n_docs"] == 3.0
+        assert st["sum_dl"] == float(
+            sum(len(t.split()) for i, t in DOCS if i in (1, 3, 4))
+        )
