@@ -2048,6 +2048,28 @@ def _q_index_incremental(spark, sf_dir):
     return PX.term_lookup(spark, path, ["spark"]).select("term", "doc_id", "tf", "dl")
 
 
+def _q_log_throttle(spark, sf_dir):
+    """Deterministic log throttling (operators/timeseries.py log_throttle
+    = stratified_sample with stratum = category × time bucket): at most
+    20 events per (event_type, day), survivors chosen by the shared
+    Lehmer-pair rank — reproducible across runs/partitionings/engines,
+    viral cells bounded by the census pre-filter. Oracle ranks the full
+    stratum (the guard is lossless)."""
+    from quickwit_spark.operators.timeseries import log_throttle
+
+    out = log_throttle(
+        _t(spark, sf_dir, "events"),
+        quota=20,
+        category_cols=["event_type"],
+        ts_col="ts",
+        id_col="event_id",
+        grain="day",
+    )
+    return out.select(
+        "event_id", "stratum", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST 50
     # entries, so the window is curated for maximum distinct semantics:
@@ -2241,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": _q_scd2_history,
         "text_collocations": _q_collocations,
         "index_incremental_lookup": _q_index_incremental,
+        "log_throttle": _q_log_throttle,
         # rows-only tail (non-SQL-expressible)
         "dedup_incremental": _q_dedup_incremental,
         "semantic_dedup_incremental": _q_semantic_dedup_incremental,
@@ -2576,6 +2599,26 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT event_id, cell_x, cell_y, ({_zorder_sql}) AS zkey FROM q
+        """,
+        "log_throttle": """
+            SELECT event_id, stratum, sample_rank FROM (
+              SELECT event_id,
+                     event_type || '|' ||
+                       CAST(CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+                            AS VARCHAR) AS stratum,
+                     row_number() OVER (
+                       PARTITION BY event_type, date_trunc('day', ts)
+                       ORDER BY
+                         ((2147483629 *
+                            ((event_id % 2147483647 + 1) * 48271 % 2147483647)
+                           + (event_id % 2147483629 + 1) * 16807 % 2147483629)
+                          % 2147483647 + 1) * 48271 % 2147483647,
+                         (event_id % 2147483647 + 1) * 48271 % 2147483647,
+                         (event_id % 2147483629 + 1) * 16807 % 2147483629,
+                         event_id
+                     ) AS sample_rank
+              FROM events
+            ) WHERE sample_rank <= 20
         """,
         "index_incremental_lookup": r"""
             WITH d AS (

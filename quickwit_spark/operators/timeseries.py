@@ -323,3 +323,43 @@ def slo_burn_rate(
         F.round(long_burn, 6).alias("long_burn"),
         ((short_burn > threshold) & (long_burn > threshold)).alias("alert"),
     )
+
+
+def log_throttle(
+    df,
+    quota: int,
+    category_cols: list[str],
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    grain: str = "hour",
+    guard_min_stratum: int = 200_000,
+):
+    """Deterministic log throttling: keep at most ``quota`` rows per
+    (categories × time bucket) — the ingestion rate-limit / exemplar rule
+    that stops one chatty service from drowning a shared sink, with a
+    reproducible (not first-come) survivor set.
+
+    This IS stratified sampling with the stratum = category × bucket, so
+    it delegates to corpus.stratified_sample and inherits its guarantees:
+    the Lehmer-pair rank is engine/partitioning-independent, and the
+    census-driven viral-stratum pre-filter bounds every window unit
+    (~16·quota rows) even when one (service, hour) cell holds 10^9 rows.
+
+    Returns (id, stratum, sample_rank) for the kept rows; semi-join on
+    ``id_col`` to recover full payloads.
+    """
+    from quickwit_spark.operators.corpus import stratified_sample
+
+    stratum = F.concat_ws(
+        "|",
+        *[F.col(c) for c in category_cols],
+        F.unix_timestamp(F.date_trunc(grain, F.col(ts_col))).cast("string"),
+    )
+    keyed = df.withColumn("__stratum", stratum)
+    return stratified_sample(
+        keyed,
+        quota,
+        strata_col="__stratum",
+        id_col=id_col,
+        guard_min_stratum=guard_min_stratum,
+    )

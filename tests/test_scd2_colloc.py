@@ -112,3 +112,40 @@ class TestCollocations:
             [(r["w1"], r["w2"]) for r in rows],
             key=lambda p: (-[r for r in rows if (r["w1"], r["w2"]) == p][0]["pmi"], p),
         )
+
+
+class TestLogThrottle:
+    def test_quota_and_determinism(self, spark):
+        import datetime as dt
+        from quickwit_spark.operators.timeseries import log_throttle
+
+        T0 = dt.datetime(2024, 1, 1)
+        rows = [
+            Row(
+                event_id=i,
+                event_type="chatty" if i < 500 else "quiet",
+                ts=T0 + dt.timedelta(minutes=i % 50),
+            )
+            for i in range(520)
+        ]
+        df = spark.createDataFrame(rows)
+        kept = log_throttle(
+            df, quota=5, category_cols=["event_type"], grain="hour"
+        )
+        counts = {
+            r["stratum"]: r["n"]
+            for r in kept.groupBy("stratum").count().withColumnRenamed("count", "n").collect()
+        }
+        # chatty capped at 5 per hour-bucket, quiet (20 rows) also capped
+        assert all(n <= 5 for n in counts.values())
+        chatty = [s for s in counts if s.startswith("chatty|")]
+        assert all(counts[s] == 5 for s in chatty)  # full quota used
+        # survivor set is partitioning-independent
+        a = {r["event_id"] for r in kept.collect()}
+        b = {
+            r["event_id"]
+            for r in log_throttle(
+                df.repartition(13), quota=5, category_cols=["event_type"], grain="hour"
+            ).collect()
+        }
+        assert a == b
