@@ -2070,6 +2070,19 @@ def _q_log_throttle(spark, sf_dir):
     )
 
 
+def _q_index_phrase(spark, sf_dir):
+    """Phrase query served from the index positions (operators/postings.py
+    index_phrase_match - the tantivy positions contract): only the phrase
+    terms' postings are read (bucket-pruned), ONE groupBy(doc_id) pivots
+    term->positions, the start intersection is a codegen filter; the raw
+    corpus is never touched. Oracle recomputes adjacent-pair starts from
+    raw text - green proves stored positions equal a fresh tokenization."""
+    from quickwit_spark.operators import postings as PX
+
+    path = _term_index_path(spark, sf_dir)
+    return PX.index_phrase_match(spark, path, ["slow", "fast"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks only the FIRST 50
     # entries, so the window is curated for maximum distinct semantics:
@@ -2264,6 +2277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collocations": _q_collocations,
         "index_incremental_lookup": _q_index_incremental,
         "log_throttle": _q_log_throttle,
+        "index_phrase": _q_index_phrase,
         # rows-only tail (non-SQL-expressible)
         "dedup_incremental": _q_dedup_incremental,
         "semantic_dedup_incremental": _q_semantic_dedup_incremental,
@@ -2599,6 +2613,19 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT event_id, cell_x, cell_y, ({_zorder_sql}) AS zkey FROM q
+        """,
+        "index_phrase": r"""
+            WITH d AS (
+              SELECT doc_id, str_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), f AS (
+              SELECT doc_id,
+                     len(list_filter(generate_series(1, len(t) - 1),
+                                     i -> t[i] = 'slow' AND t[i+1] = 'fast'))
+                       ::BIGINT AS phrase_freq
+              FROM d WHERE len(t) >= 2
+            )
+            SELECT doc_id, phrase_freq FROM f WHERE phrase_freq > 0
         """,
         "log_throttle": """
             SELECT event_id, stratum, sample_rank FROM (

@@ -58,18 +58,7 @@ def build_term_index(
     interchangeable. tf/dl are computed in the same explode→groupBy pass;
     map-side combine keeps the shuffle at distinct (doc, term) volume.
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("__toks")
-    ).select(
-        "doc_id",
-        F.size("__toks").cast("long").alias("dl"),
-        F.explode("__toks").alias("term"),
-    )
-    postings = (
-        toks.groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-        .withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)))
-    )
+    postings = _postings_frame(docs, text_col, id_col, n_buckets)
     # one writer task per bucket, postings laid out (term, doc_id)-sorted
     # within each file — the term dictionary's contiguous-postings locality
     (
@@ -85,6 +74,33 @@ def build_term_index(
         F.lit(int(n_buckets)).alias("n_buckets"),
     )
     stats.coalesce(1).write.mode("overwrite").parquet(path + "_stats")
+
+
+def _postings_frame(
+    docs: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """(bucket, term, doc_id, tf, dl, positions) in one posexplode→groupBy
+    pass. ``positions`` are the term's 1-based token positions — the
+    tantivy positions file re-expressed as an array column, what phrase
+    queries intersect (leaf.rs phrase contract). Map-side combine keeps
+    the shuffle at distinct (doc, term) volume; position arrays are
+    per-(doc, term) sized, bounded by tf."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("__toks")
+    ).select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("dl"),
+        F.posexplode("__toks").alias("pos", "term"),
+    )
+    return (
+        toks.groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.first("dl").alias("dl"),
+            F.sort_array(F.collect_list(F.col("pos") + 1)).alias("positions"),
+        )
+        .withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)))
+    )
 
 
 def _term_buckets(spark: SparkSession, terms: list[str], n_buckets: int) -> list[int]:
@@ -138,6 +154,58 @@ def term_lookup(
             "term", "doc_id", "tf", "dl"
         )
     return hits
+
+
+def index_phrase_match(
+    spark: SparkSession, path: str, phrase: list[str]
+) -> DataFrame:
+    """Phrase query served from the index alone — the tantivy positions
+    contract (`qw/quickwit-search/src/leaf.rs` phrase scorer, behavior
+    only): a document matches iff some start position p has phrase term i
+    at position p+i for every i. Returns (doc_id, phrase_freq) with
+    phrase_freq = number of such starts (what PhraseQuery feeds the tf
+    saturation).
+
+    Scale shape: only the phrase terms' postings are read (bucket-pruned,
+    tombstone-masked); ONE groupBy(doc_id) pivots them into a term →
+    positions map, and the start-position intersection is a codegen
+    higher-order filter — the corpus text is never touched.
+    """
+    if not phrase:
+        raise ValueError("empty phrase")
+    n_buckets = read_stats(spark, path)["n_buckets"]
+    buckets = _term_buckets(spark, phrase, n_buckets)
+    hits = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(list(phrase)))
+        .select("term", "doc_id", "positions")
+    )
+    tombs = _tombstones(spark, path)
+    if tombs is not None:
+        hits = hits.join(F.broadcast(tombs), "doc_id", "left_anti").select(
+            "term", "doc_id", "positions"
+        )
+    uniq = list(dict.fromkeys(phrase))
+    per_doc = hits.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("term"), F.col("positions")))
+        ).alias("m")
+    ).filter(F.size("m") == len(uniq))
+
+    def at(term: str):
+        return F.element_at(F.col("m"), F.lit(term))
+
+    def is_start(p):
+        cond = F.lit(True)
+        for i, t in enumerate(phrase[1:], start=1):
+            cond = cond & F.array_contains(at(t), p + F.lit(i))
+        return cond
+
+    freq = F.size(F.filter(at(phrase[0]), is_start))
+    return (
+        per_doc.select("doc_id", freq.cast("long").alias("phrase_freq"))
+        .filter(F.col("phrase_freq") > 0)
+    )
 
 
 def term_query(
@@ -219,18 +287,7 @@ def append_to_term_index(
     spark = new_docs.sparkSession
     old = read_stats(spark, path)
     n_buckets = old["n_buckets"]
-    toks = new_docs.select(
-        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("__toks")
-    ).select(
-        "doc_id",
-        F.size("__toks").cast("long").alias("dl"),
-        F.explode("__toks").alias("term"),
-    )
-    postings = (
-        toks.groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").cast("long").alias("dl"))
-        .withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)))
-    )
+    postings = _postings_frame(new_docs, text_col, id_col, n_buckets)
     (
         postings.repartition("bucket")
         .sortWithinPartitions("term", "doc_id")
@@ -270,7 +327,9 @@ def compact_term_index(spark: SparkSession, path: str) -> None:
     import shutil
 
     tombs = _tombstones(spark, path)
-    live = spark.read.parquet(path).select("bucket", "term", "doc_id", "tf", "dl")
+    live = spark.read.parquet(path).select(
+        "bucket", "term", "doc_id", "tf", "dl", "positions"
+    )
     if tombs is not None:
         live = live.join(F.broadcast(tombs), "doc_id", "left_anti")
     staged = path + "_staged"

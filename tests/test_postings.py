@@ -152,3 +152,51 @@ class TestIndexLifecycle:
         assert st["sum_dl"] == float(
             sum(len(t.split()) for i, t in DOCS if i in (1, 3, 4))
         )
+
+
+class TestIndexPhrase:
+    @pytest.fixture(scope="class")
+    def ppath(self, spark, tmp_path_factory):
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="the slow fast lane"),
+                Row(doc_id=2, text="slow fast slow fast"),
+                Row(doc_id=3, text="fast slow"),  # reversed: no match
+                Row(doc_id=4, text="slow and fast"),  # gap: no match
+                Row(doc_id=5, text="slow fast"),
+            ]
+        )
+        path = str(tmp_path_factory.mktemp("phrase") / "idx")
+        PX.build_term_index(docs, path, n_buckets=8)
+        return path
+
+    def test_adjacency_and_freq(self, spark, ppath):
+        got = {
+            r["doc_id"]: r["phrase_freq"]
+            for r in PX.index_phrase_match(spark, ppath, ["slow", "fast"]).collect()
+        }
+        assert got == {1: 1, 2: 2, 5: 1}
+
+    def test_order_matters(self, spark, ppath):
+        got = {
+            r["doc_id"]: r["phrase_freq"]
+            for r in PX.index_phrase_match(spark, ppath, ["fast", "slow"]).collect()
+        }
+        assert got == {2: 1, 3: 1}
+
+    def test_trigram_and_repeated_term(self, spark, ppath):
+        got = {
+            r["doc_id"]: r["phrase_freq"]
+            for r in PX.index_phrase_match(
+                spark, ppath, ["slow", "fast", "slow"]
+            ).collect()
+        }
+        assert got == {2: 1}
+
+    def test_delete_masks_phrase(self, spark, ppath):
+        PX.delete_from_term_index(spark, ppath, [2])
+        got = {
+            r["doc_id"]
+            for r in PX.index_phrase_match(spark, ppath, ["slow", "fast"]).collect()
+        }
+        assert got == {1, 5}
