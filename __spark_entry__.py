@@ -1903,7 +1903,17 @@ def _term_index_path(spark, sf_dir):
     from quickwit_spark.operators import postings as PX
 
     path = PX.cached_index_path(sf_dir)
-    if not os.path.exists(path + "_stats"):
+    fresh = os.path.exists(path + "_stats")
+    if fresh:
+        try:  # a cache from an older build without the positions column
+            fresh = "positions" in spark.read.parquet(path).columns
+        except Exception:
+            fresh = False
+    if not fresh:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(path + "_stats", ignore_errors=True)
         PX.build_term_index(_t(spark, sf_dir, "documents"), path, n_buckets=16)
     return path
 
