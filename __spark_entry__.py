@@ -35,6 +35,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _fan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread an unsplittable scan across the cluster before CPU-heavy
+    per-row work (guide §2.5: input skew from one-row-group files). The
+    driver's parquet fixtures are single-row-group, so every scan stage is
+    ONE task; tokenization/explode fused into it would run serially on a
+    32-core box. Round-robin repartition to defaultParallelism (scale-
+    adaptive — derived from the master, never a constant) costs one tiny
+    exchange of the raw rows and parallelizes everything downstream."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
@@ -169,12 +180,40 @@ def _q_agg_terms_order_by_avg(spark, sf_dir):
 
 
 def _q_agg_top_hits(spark, sf_dir):
-    events = _t(spark, sf_dir, "events")
-    w = W.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").asc())
-    return (
-        events.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 2)
-        .select("event_type", "event_id", F.round("value", 6).alias("value"))
+    # top-2 per event_type WITHOUT the row_number window: a window
+    # partitioned by 5 event types degenerates to 5 sort tasks over the
+    # whole table (guide §2.5 — single giant keys). Two map-side-combinable
+    # argmax passes compute the same rows: rank-1 = max(struct(value,
+    # -event_id)) per type (value desc, id asc tiebreak — exactly the
+    # window's order), rank-2 = the same max after excluding each type's
+    # rank-1 row via a 5-row broadcast. Groups with one row emit only
+    # rank-1, matching rn <= 2.
+    events = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    key = F.struct(F.col("value").alias("v"), (-F.col("event_id")).alias("nid"))
+    r1 = (
+        events.groupBy("event_type")
+        .agg(F.max(key).alias("k"))
+        .select(
+            "event_type",
+            (-F.col("k.nid")).alias("event_id"),
+            F.col("k.v").alias("value"),
+        )
+    )
+    rest = events.join(
+        F.broadcast(r1.select("event_type", F.col("event_id").alias("_e1"))),
+        "event_type",
+    ).filter(F.col("event_id") != F.col("_e1"))
+    r2 = (
+        rest.groupBy("event_type")
+        .agg(F.max(key).alias("k"))
+        .select(
+            "event_type",
+            (-F.col("k.nid")).alias("event_id"),
+            F.col("k.v").alias("value"),
+        )
+    )
+    return r1.unionByName(r2).select(
+        "event_type", "event_id", F.round("value", 6).alias("value")
     )
 
 
@@ -245,7 +284,7 @@ def _q_phrase_prefix(spark, sf_dir):
 
 
 def _q_json_extract(spark, sf_dir):
-    events = _t(spark, sf_dir, "events")
+    events = _fan(spark, _t(spark, sf_dir, "events"))
     return (
         events.withColumn("k_val", F.get_json_object("props", "$.k").cast("long"))
         .groupBy("k_val")
@@ -363,7 +402,7 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     # output equals the all-pairs exact-Jaccard oracle — fully
     # DuckDB-expressible, estimator noise eliminated by the verify.
     return D.minhash_dedup_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.9, num_perm=64,
+        _fan(spark, _t(spark, sf_dir, "documents")), threshold=0.9, num_perm=64,
         num_bands=16, verify="exact",
     ).select("a", "b", "jaccard")
 
@@ -386,7 +425,7 @@ def _q_dedup_simhash(spark, sf_dir):
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
     return D.simhash_near_dup_pairs(
-        docs.unionByName(planted), max_hamming=0, verify_exact=True
+        _fan(spark, docs.unionByName(planted)), max_hamming=0, verify_exact=True
     ).select("a", "b", "hamming")
 
 
@@ -396,7 +435,7 @@ def _q_dedup_embedding_cosine(spark, sf_dir):
     # for LSH pruning, so the EXACT tiled block-matmul join is the right shape:
     # the O(n²) grid is split into even block tiles (no unbucketed self-join).
     return S.embedding_exact_pairs_blocked(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, num_blocks=8
+        _fan(spark, _t(spark, sf_dir, "embeddings")), threshold=0.4, num_blocks=8
     ).select("a", "b")
 
 
@@ -411,7 +450,7 @@ def _q_dedup_embedding_lsh(spark, sf_dir):
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     return S.embedding_near_dup_pairs(
-        emb.unionByName(planted), threshold=0.95, bits=10, tables=4
+        _fan(spark, emb.unionByName(planted)), threshold=0.95, bits=10, tables=4
     ).select("a", "b")
 
 
@@ -419,7 +458,7 @@ def _q_dedup_clusters(spark, sf_dir):
     # pairs → connected components → canonical (min-id) cluster labels: the
     # keep-one selection step of a dedup pipeline. Oracle = recursive CTE.
     pairs = S.embedding_exact_pairs_blocked(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, num_blocks=8
+        _fan(spark, _t(spark, sf_dir, "embeddings")), threshold=0.4, num_blocks=8
     )
     return D.near_dup_clusters(pairs).select("member", "cluster")
 
@@ -895,7 +934,7 @@ def _q_dedup_substrings(spark, sf_dir):
     span is not a duplicate. The synthetic ~30-word vocabulary repeats real
     8-grams across docs (~5% of windows at sf0.01), so the stats are
     non-trivial without planting."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(spark, _t(spark, sf_dir, "documents"))
     return D.dedup_substrings(docs, window=8)
 
 
@@ -912,13 +951,13 @@ def _q_semantic_dedup(spark, sf_dir):
     cents = np.stack(
         [r["embedding"] for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
     )
-    return S.semantic_dedup(emb.unionByName(planted), cents, threshold=0.95)
+    return S.semantic_dedup(_fan(spark, emb.unionByName(planted)), cents, threshold=0.95)
 
 
 def _q_bigram_lm(spark, sf_dir):
     """Perplexity filtering: per-doc cross-entropy under an add-α bigram LM
     trained on the corpus itself (the CCNet/KenLM quality tier)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(spark, _t(spark, sf_dir, "documents"))
     return CP.bigram_lm_scores(docs)
 
 
@@ -928,7 +967,7 @@ def _q_score_bm25(spark, sf_dir):
     # whitespace split and DuckDB can restate the full scoring formula
     from quickwit_spark.operators.scoring import bm25_topk
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(spark, _t(spark, sf_dir, "documents"))
     return bm25_topk(docs, "spark merge", "text", k=20, id_col="doc_id").select(
         "doc_id", "_score"
     )
@@ -1096,7 +1135,7 @@ def _q_dsir_weights(spark, sf_dir):
     target domain = the English subset; exact-feature mode (num_buckets=None)
     so the result has no hash function in its data path — the hashed-bucket
     scale mode is pytest-covered (equal on a collision-free fixture)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(spark, _t(spark, sf_dir, "documents"))
     return CP.dsir_weights(
         docs, num_buckets=None, target_filter=F.col("lang") == "en"
     ).select(
@@ -1189,7 +1228,7 @@ def _q_curation_funnel(spark, sf_dir):
             F.col("text"), F.lit("?"),
         ),
     ).otherwise(F.col("text"))
-    return CP.curation_funnel(aug.select("doc_id", rich.alias("text")))
+    return CP.curation_funnel(_fan(spark, aug.select("doc_id", rich.alias("text"))))
 
 
 def _q_dsir_weights_hashed(spark, sf_dir):
@@ -1198,7 +1237,7 @@ def _q_dsir_weights_hashed(spark, sf_dir):
     hash has no DuckDB equivalent; the estimator itself is oracle-gated by
     the exact-feature entry and pytest proves hashed == exact on a
     collision-free fixture."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan(spark, _t(spark, sf_dir, "documents"))
     return CP.dsir_weights(
         docs, num_buckets=65536, target_filter=F.col("lang") == "en"
     ).select(

@@ -99,13 +99,48 @@ def bigram_lm_scores(
         ).select(F.col(id_col), "pos", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
     toks, bigrams = explode_bigrams(df)
-    uni = (
-        toks.select(F.explode("t").alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("c1"))
+    # ONE tokenize+explode pass trains BOTH histograms: unigrams ride as
+    # (w, NULL) grams next to the bigram structs, one groupBy, and the
+    # (vocab + distinct-bigram)-sized count table is localCheckpointed so
+    # vocab-count, model build and the scoring join all read the
+    # materialized rows instead of each re-running the corpus pass
+    # (previously: 3 tokenize scans — uni.count(), the model subtree, and
+    # the scoring subtree; now: 1 training + 1 scoring scan).
+    grams = toks.select(
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.col("t"),
+                    lambda w: F.struct(
+                        w.alias("w1"), F.lit(None).cast("string").alias("w2")
+                    ),
+                ),
+                F.when(
+                    F.size("t") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("t") - 2),
+                        lambda i: F.struct(
+                            F.element_at("t", i + 1).alias("w1"),
+                            F.element_at("t", i + 2).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>")),
+            )
+        ).alias("g")
+    )
+    gram_counts = (
+        grams.select("g.w1", "g.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    uni = gram_counts.filter(F.col("w2").isNull()).select(
+        "w1", F.col("c").alias("c1")
     )
     vocab = uni.count()
-    bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    bi = gram_counts.filter(F.col("w2").isNotNull()).select(
+        "w1", "w2", F.col("c").alias("c12")
+    )
     # broadcast decision from the vocab count we already have (no extra
     # job): natural-language corpora run ~10-40 distinct bigrams per vocab
     # word, so vocab ≤ max_broadcast_bigrams/20 keeps the estimated model
@@ -323,12 +358,14 @@ def epoch_shuffle(
     )
 
 
-def _ngram_features(text_col, n_max: int = 2):
+def _ngram_features(toks, n_max: int = 2):
     """Unigram + bigram bag-of-words features, all JVM-side: tokens plus
     space-joined adjacent pairs (the hashed-n-gram feature map of DSIR —
     Xie et al. 2023, "Data Selection for Language Models via Importance
-    Resampling" — uses exactly unigrams+bigrams)."""
-    toks = _tokens(text_col)
+    Resampling" — uses exactly unigrams+bigrams). ``toks`` must be a
+    MATERIALIZED token-array column, not the split expression itself —
+    inlined, the split would be re-evaluated 5× per row (it appears in
+    both slices, both slice bounds, and the final concat)."""
     if n_max < 2:
         return toks
     n = F.size(toks)
@@ -380,7 +417,9 @@ def dsir_weights(
     """
     if (target_df is None) == (target_filter is None):
         raise ValueError("pass exactly one of target_df / target_filter")
-    feats = _ngram_features(F.col(text_col))
+    # tokens materialized once per pass (the feats expression references the
+    # token array 5×; inlining the split would re-split the text 5× per row)
+    feats = _ngram_features(F.col("_toks"))
     bucket = (
         F.pmod(F.xxhash64(F.col("_f")), F.lit(num_buckets))
         if num_buckets
@@ -390,7 +429,10 @@ def dsir_weights(
     if target_filter is not None:
         # one pass: per-bucket totals + target-subset counts together
         table = (
-            df.select(target_filter.alias("_t"), F.explode(feats).alias("_f"))
+            df.select(
+                target_filter.alias("_t"), _tokens(F.col(text_col)).alias("_toks")
+            )
+            .select("_t", F.explode(feats).alias("_f"))
             .select("_t", bucket.alias("bucket"))
             .groupBy("bucket")
             .agg(
@@ -402,7 +444,8 @@ def dsir_weights(
 
         def histogram(frame):
             return (
-                frame.select(F.explode(feats).alias("_f"))
+                frame.select(_tokens(F.col(text_col)).alias("_toks"))
+                .select(F.explode(feats).alias("_f"))
                 .select(bucket.alias("bucket"))
                 .groupBy("bucket")
                 .agg(F.count(F.lit(1)).alias("n"))
@@ -415,6 +458,10 @@ def dsir_weights(
             F.coalesce("t_n", F.lit(0)).alias("t_n"),
             F.coalesce("r_n", F.lit(0)).alias("r_n"),
         )
+    # materialize the (bounded: ≤B hashed / vocab-sized exact) histogram —
+    # `tot` and the λ-table join below otherwise each re-run the corpus
+    # explode pass, turning the documented 2-scan shape into 3 scans
+    table = table.localCheckpoint()
     tot = table.agg(
         F.sum("t_n").alias("T"), F.sum("r_n").alias("R"), F.count(F.lit(1)).alias("V")
     ).collect()[0]
@@ -428,8 +475,10 @@ def dsir_weights(
     )
     if num_buckets:
         lam = F.broadcast(lam)
-    doc_feats = df.select(F.col(id_col), F.explode(feats).alias("_f")).select(
-        id_col, bucket.alias("bucket")
+    doc_feats = (
+        df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col(id_col), F.explode(feats).alias("_f"))
+        .select(id_col, bucket.alias("bucket"))
     )
     return (
         doc_feats.join(lam, "bucket")

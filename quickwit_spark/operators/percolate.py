@@ -51,8 +51,7 @@ def percolate(
     finally:
         compiler.schema = prev
     matched = F.array_compact(F.array(*slots))
-    return (
-        df.select(*ids, matched.alias("__m"))
-        .filter(F.size("__m") > 0)
-        .select(*ids, F.explode("__m").alias("query_id"))
-    )
+    # explode() already emits zero rows for an empty array — a size()>0
+    # pre-filter would evaluate every stored predicate a second time (and
+    # push that copy into the scan stage, serializing single-file inputs)
+    return df.select(*ids, F.explode(matched).alias("query_id"))

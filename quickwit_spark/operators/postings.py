@@ -115,11 +115,50 @@ def _term_buckets(spark: SparkSession, terms: list[str], n_buckets: int) -> list
     return sorted({r["b"] for r in rows})
 
 
+def repair_term_index(path: str) -> None:
+    """Complete a crashed :func:`compact_term_index` swap — the repair half
+    of the staged-swap + marker-last commit protocol (same discipline as
+    the janitor's publish crash matrix). The ``_SWAP`` marker is written
+    only after BOTH staged dirs (postings + stats) are fully on disk, so:
+
+    - marker absent → nothing committed; the live postings + stats +
+      tombstones are the consistent pre-compaction state (a stray staged
+      dir is harmless garbage the next compaction overwrites);
+    - marker present → roll FORWARD idempotently: old dirs move to trash,
+      staged dirs become live, tombstones (already baked into the staged
+      postings) clear, marker is removed last.
+
+    Called from every serve path (via :func:`read_stats`); any crash point
+    therefore yields either the pre- or post-compaction index, never a
+    missing or mixed one."""
+    import shutil
+
+    marker = path + "_SWAP"
+    if not os.path.exists(marker):
+        return
+    staged, trash = path + "_staged", path + "_trash"
+    s_live, s_staged = path + "_stats", path + "_stats_staged"
+    s_trash = path + "_stats_trash"
+    for live, st, tr in ((path, staged, trash), (s_live, s_staged, s_trash)):
+        if os.path.isdir(st):
+            if os.path.isdir(live):
+                if os.path.isdir(tr):
+                    shutil.rmtree(live)
+                else:
+                    os.rename(live, tr)
+            os.rename(st, live)
+    shutil.rmtree(path + "_tombstones", ignore_errors=True)
+    shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(s_trash, ignore_errors=True)
+    os.remove(marker)
+
+
 def read_stats(spark: SparkSession, path: str) -> dict:
     """(n_docs, sum_dl, avgdl, n_buckets). Stats are stored in MERGEABLE
     form (n_docs + sum_dl, avgdl derived) so incremental appends add
     rather than re-average — the same partial-moments rule as the rollup
     plane (operators/rollup.py)."""
+    repair_term_index(path)
     row = spark.read.parquet(path + "_stats").collect()[0]
     n, sum_dl = float(row["n_docs"]), float(row["sum_dl"])
     return {
@@ -322,10 +361,13 @@ def compact_term_index(spark: SparkSession, path: str) -> None:
     the postings minus deleted docs into a staged dir, recompute stats
     from the survivors (after compaction deleted docs stop counting in
     N/avgdl, exactly as a tantivy merge drops them from fieldnorms), then
-    swap staged→live and clear the tombstones (janitor.py's staged-
-    rewrite/atomic-swap protocol)."""
-    import shutil
-
+    swap staged→live and clear the tombstones. The swap is CRASH-SAFE
+    (r5 verdict wart #3): both staged dirs are fully written first, then a
+    ``_SWAP`` marker commits atomically (os.replace), and the renames are
+    performed by :func:`repair_term_index` — the same idempotent
+    roll-forward every serve path runs on open, so a crash at ANY point
+    leaves either the pre-compaction index (postings+stats+tombstones
+    intact) or the post-compaction one, never nothing."""
     tombs = _tombstones(spark, path)
     live = spark.read.parquet(path).select(
         "bucket", "term", "doc_id", "tf", "dl", "positions"
@@ -351,11 +393,12 @@ def compact_term_index(spark: SparkSession, path: str) -> None:
         "n_docs double, sum_dl double, n_buckets int",
     )
     stats.coalesce(1).write.mode("overwrite").parquet(path + "_stats_staged")
-    shutil.rmtree(path)
-    shutil.move(staged, path)
-    shutil.rmtree(path + "_stats")
-    shutil.move(path + "_stats_staged", path + "_stats")
-    shutil.rmtree(path + "_tombstones", ignore_errors=True)
+    # commit point: marker-last, then the shared idempotent roll-forward
+    marker = path + "_SWAP"
+    with open(marker + ".tmp", "w") as fh:
+        fh.write("{}")
+    os.replace(marker + ".tmp", marker)
+    repair_term_index(path)
 
 
 def cached_index_path(sf_dir: str, tag: str = "term_index") -> str:

@@ -181,15 +181,21 @@ def bm25_topk(
         for g in gates[1:]:
             freq_gate = (freq_gate & g) if mode == "and" else (freq_gate | g)
         score = bm25_score_col(tokens, qterms, stats, k1=k1, b=b)
+    # the match gate is expressed as a NULL mask on _score rather than a
+    # Filter: a filter would be pushed below any upstream repartition into
+    # the (often single-task) scan stage and re-tokenize the whole corpus
+    # serially. Non-matching docs keep a NULL score, sort after every real
+    # match (desc ⇒ NULLS LAST), and are dropped after the top-k — same
+    # rows as filter-then-top-k, but gate + score + |d| evaluate in ONE
+    # parallel projection over one tokenization.
     scored = (
-        with_t.filter(freq_gate)
-        .withColumn("_score", F.round(score, 6))
+        with_t.withColumn("_score", F.when(freq_gate, F.round(score, 6)))
         .drop("__toks")
     )
     order = [F.col("_score").desc()]
     if id_col is not None:
         order.append(F.col(id_col).asc())
-    return scored.orderBy(*order).limit(k)
+    return scored.orderBy(*order).limit(k).filter(F.col("_score").isNotNull())
 
 
 def batch_bm25_search(

@@ -144,28 +144,34 @@ def embedding_near_dup_pairs(
         bkt = (signs * weights).sum(axis=2).astype(np.int64)
         return pd.Series(list(bkt))
 
-    banded = base.select(
-        F.col(id_col), F.posexplode(bucketize(F.col(vec_col))).alias("t", "bkt")
+    # one bucketize pass (checkpointed — the self-join would otherwise run
+    # the UDF on both sides), with the vector and its norm riding along so
+    # the exact-cosine verify happens IN the bucket join itself: candidates
+    # are verified and threshold-filtered BEFORE the distinct, so the only
+    # re-fetch joins and the big candidate dedup disappear. Norms are
+    # computed once per row instead of twice per candidate (same sqrt-of-
+    # sum-of-squares expression — bit-identical cosine).
+    bucketed = base.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("_nrm"),
+        bucketize(F.col(vec_col)).alias("_bkts"),
+    ).localCheckpoint()
+    left = bucketed.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"), F.posexplode("_bkts").alias("t", "bkt"),
     )
-    cands = (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            (F.col("l.t") == F.col("r.t"))
-            & (F.col("l.bkt") == F.col("r.bkt"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
-        .distinct()
+    right = bucketed.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"), F.posexplode("_bkts").alias("t", "bkt"),
     )
-    va = base.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
-    vb = base.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
-    cos = cosine_col(F.col("_va"), F.col("_vb"))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (
-        cands.join(va, "a")
-        .join(vb, "b")
+        left.join(right, ["t", "bkt"])
+        .filter(F.col("a") < F.col("b"))
         .select("a", "b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+        .distinct()
     )
 
 

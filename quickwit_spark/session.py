@@ -36,6 +36,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's coalescing targets BYTES per partition, but this engine's hot
+        # stages (tokenize/explode/hash over text) are CPU-bound at tiny byte
+        # sizes — the 64 MB default collapses them to 1-2 tasks and serializes
+        # 32 cores. 8 MB keeps small shuffles spread across cores; on a real
+        # cluster raise via QS_ADVISORY_PARTITION_BYTES (guide: 100 MB-1 GB
+        # partitions for shuffle-bound jobs; coalescing never splits, so a
+        # small advisory only stops over-merging).
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("QS_ADVISORY_PARTITION_BYTES", "8m"),
+        )
+        # allow shuffled-hash joins when the per-partition build side fits
+        # (sort-merge pays an unnecessary sort for this engine's id-keyed
+        # verify joins); spills fall back gracefully under AQE
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # malformed input must quarantine, never kill a job: a repeated k=v

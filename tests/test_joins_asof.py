@@ -52,6 +52,24 @@ def test_asof_inner_drops_stateless_facts(spark, frames):
     assert sorted(r.fid for r in out.collect()) == [1, 2, 3, 5]
 
 
+def test_asof_inner_keeps_null_payload_matches(spark):
+    """r6 fix (r5 verdict wart #4): inner mode must key on an explicit
+    match marker, not on the first payload column being null — a dim row
+    whose payload legitimately holds NULL is still a match."""
+    facts = spark.createDataFrame(
+        [Row(fid=1, key="a", ts=5), Row(fid=2, key="b", ts=5)]
+    )
+    dim = spark.createDataFrame(
+        [Row(key="a", ts=1, tier=None, region="eu")],
+        "key string, ts long, tier string, region string",
+    )
+    out = asof_join(facts, dim, on="key", ts_fact="ts", ts_dim="ts", how="inner")
+    rows = {r.fid: (r.tier, r.region) for r in out.collect()}
+    # fid=1 matched a dim row with a NULL first payload → must survive;
+    # fid=2 has no dim state → dropped
+    assert rows == {1: (None, "eu")}
+
+
 def test_asof_payload_subset_and_suffix(spark, frames):
     facts, dim = frames
     out = asof_join(
