@@ -1051,18 +1051,21 @@ def collocations(
         .agg(F.count(F.lit(1)).alias("c12"))
         .filter(F.col("c12") >= min_count)
     )
-    # conditional broadcast, same rule as bigram_lm_scores: catalog-sized
-    # vocabularies broadcast; a huge one falls back to Spark's join choice
-    vocab_small = uni
-    est_small = uni.count() <= 5_000_000
+    # conditional broadcast WITHOUT an extra count job (ADVICE r5): the
+    # totals row already gives nu, and vocab ≤ nu always (heaps-law makes
+    # it far smaller); nu ≤ 5M tokens is a cost-free sufficient condition
+    # for a broadcastable unigram table — the same estimate-not-measure
+    # rule as bigram_lm_scores. Huge corpora fall through to Spark's own
+    # join choice exactly as before.
+    est_small = nu <= 5_000_000
     maybe_bc = (lambda f: F.broadcast(f)) if est_small else (lambda f: f)
     scored = (
         bi.join(
-            maybe_bc(vocab_small.select(F.col("w").alias("w1"), F.col("c").alias("c1"))),
+            maybe_bc(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))),
             "w1",
         )
         .join(
-            maybe_bc(vocab_small.select(F.col("w").alias("w2"), F.col("c").alias("c2"))),
+            maybe_bc(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))),
             "w2",
         )
         .select(

@@ -42,6 +42,21 @@ def _tokens(text_col: str):
     return tokenize_default(F.col(text_col))
 
 
+def _require_local(path: str) -> str:
+    """The index lifecycle (tombstone detection via os.path, staged-swap
+    renames, repair-on-open) manages its directories with LOCAL filesystem
+    calls. Spark itself would happily write an hdfs:// or s3a:// URI, but
+    then `_tombstones` silently misses the mask and deletes stop applying
+    — so reject remote URIs up front instead of corrupting quietly."""
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme and scheme != "file":
+        raise ValueError(
+            f"term index paths must be local (os-visible), got {path!r}; "
+            "the tombstone/compaction lifecycle uses local fs operations"
+        )
+    return path
+
+
 def build_term_index(
     docs: DataFrame,
     path: str,
@@ -58,6 +73,7 @@ def build_term_index(
     interchangeable. tf/dl are computed in the same explode→groupBy pass;
     map-side combine keeps the shuffle at distinct (doc, term) volume.
     """
+    _require_local(path)
     postings = _postings_frame(docs, text_col, id_col, n_buckets)
     # one writer task per bucket, postings laid out (term, doc_id)-sorted
     # within each file — the term dictionary's contiguous-postings locality
@@ -323,6 +339,7 @@ def append_to_term_index(
     rewritten). Stats merge additively (n_docs += , sum_dl +=), so
     BM25 constants stay exact: build(a) then append(b) serves identically
     to build(a∪b) — pinned in tests. Prior text is never re-read."""
+    _require_local(path)
     spark = new_docs.sparkSession
     old = read_stats(spark, path)
     n_buckets = old["n_buckets"]
@@ -351,6 +368,7 @@ def delete_from_term_index(spark: SparkSession, path: str, doc_ids: list[int]) -
     delete-task semantics (`qw/quickwit-janitor` delete pipeline): the
     mask applies to every subsequent query immediately; postings bytes
     are reclaimed later by :func:`compact_term_index` (the merge)."""
+    _require_local(path)
     spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long").write.mode(
         "append"
     ).parquet(path + "_tombstones")

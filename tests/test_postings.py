@@ -136,6 +136,18 @@ class TestIndexLifecycle:
         # deleted docs still count in stats until compaction (tantivy rule)
         assert PX.read_stats(spark, incr)["n_docs"] == 5.0
 
+    def test_remote_uri_rejected(self, spark):
+        """ADVICE r5: tombstones are detected with os.path — a remote URI
+        would silently skip the delete mask, so the lifecycle entry points
+        must reject non-local paths up front."""
+        with pytest.raises(ValueError, match="local"):
+            PX.delete_from_term_index(spark, "s3a://bucket/idx", [1])
+        with pytest.raises(ValueError, match="local"):
+            PX.build_term_index(
+                spark.createDataFrame([Row(doc_id=1, text="a b")]),
+                "hdfs://nn/idx",
+            )
+
     def test_compact_swap_crash_matrix(self, spark, paths, monkeypatch):
         """r6 crash-safety (r5 verdict wart #3): abort the compaction swap
         at EVERY os.rename/os.replace step; a subsequent lookup must see
