@@ -1944,8 +1944,15 @@ def _term_index_path(spark, sf_dir):
     path = PX.cached_index_path(sf_dir)
     fresh = os.path.exists(path + "_stats")
     if fresh:
-        try:  # a cache from an older build without the positions column
-            fresh = "positions" in spark.read.parquet(path).columns
+        try:  # a cache from an older build without the positions column —
+            # footer-only pyarrow read (~ms); the spark.read schema probe
+            # paid a listing + footer job on EVERY gate/bench call
+            import glob
+
+            import pyarrow.parquet as pq
+
+            part = sorted(glob.glob(os.path.join(path, "bucket=*", "*.parquet")))
+            fresh = bool(part) and "positions" in pq.read_schema(part[0]).names
         except Exception:
             fresh = False
     if not fresh:

@@ -152,20 +152,28 @@ def bigram_lm_scores(
     est_small = vocab <= max(max_broadcast_bigrams // 20, 1)
     maybe_bc = (lambda f: F.broadcast(f)) if est_small else (lambda f: f)
     uni_small = est_small
-    model = maybe_bc(
-        bi.join(F.broadcast(uni) if uni_small else uni, "w1").select(
-            "w1",
-            "w2",
-            (
-                F.log((F.col("c12") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha * vocab)))
-            ).alias("logp"),
-        )
+    logp_expr = F.log(
+        (F.col("c12") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha * vocab))
     )
     if score_df is None:
         # scoring the training corpus: every bigram is in the model by
-        # construction — no backoff join on the hot path
-        scored = bigrams.join(model, ["w1", "w2"])
+        # construction — no backoff join on the hot path. The bigram and
+        # unigram tables join the scoring pass DIRECTLY from the
+        # checkpoint (logp computed inline — same expression, same
+        # result): materializing an intermediate model = bi ⋈ uni first
+        # put an extra join job on the critical path before the model
+        # broadcast could even start building (guide §2.4).
+        scored = (
+            bigrams.join(maybe_bc(bi), ["w1", "w2"])
+            .join(maybe_bc(uni), "w1")
+            .withColumn("logp", logp_expr)
+        )
     else:
+        model = maybe_bc(
+            bi.join(F.broadcast(uni) if uni_small else uni, "w1").select(
+                "w1", "w2", logp_expr.alias("logp")
+            )
+        )
         # external frame: unseen bigrams back off to the floor
         # log(α / (c1 + αV)); c1 = 0 for an unseen history word → log(1/V)
         _, target = explode_bigrams(score_df)

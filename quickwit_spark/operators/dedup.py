@@ -59,16 +59,98 @@ def minhash_signatures(
     """(id, signature array<long>) — word-shingle MinHash.
 
     Shingles are built JVM-side (split + transform over index sequence); the
-    permutation mins run in one Arrow-batched pandas UDF over the shingle
-    hashes (numpy broadcast: num_perm × shingles per row).
+    permutation mins run zero-copy over Arrow list batches (flat values +
+    offsets — see :func:`_sig_arrow_frame`).
     """
+    return _sig_arrow_frame(
+        df, text_col, id_col, shingle_size, num_perm, seed, want_sh=False
+    )
+
+
+def _sig_arrow_frame(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_size: int,
+    num_perm: int,
+    seed: int,
+    want_sh: bool,
+) -> DataFrame:
+    """Signature (+ optional distinct-shingle-set) frame via ``mapInArrow``.
+
+    An Arrow ``list<int64>`` column IS a flat value buffer plus an offsets
+    array (guide §4.2) — exactly the (flat, offsets) layout the segmented-
+    min kernel needs — so the batch converts zero-copy instead of paying
+    the pandas per-row list→ndarray materialization (measured: the pandas
+    serde blocked executor threads ~4× longer than the numpy work itself).
+    The minhash arithmetic is byte-identical to the previous pandas UDF
+    (same params, same reduceat over the same offsets), so signatures are
+    unchanged. ``sh`` (when requested) is the per-row distinct shingle-hash
+    set; downstream consumes only intersection SIZES and counts, so its
+    sorted order (np.unique) vs first-occurrence order is immaterial."""
+    a, b = _minhash_params(num_perm, seed)
     tok_df = df.select(
         F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("_toks")
     )
     hashed = F.transform(_shingles_expr(shingle_size), lambda s: F.xxhash64(s))
-    return tok_df.select(
-        F.col(id_col), _sig_udf(num_perm, seed)(hashed).alias("signature")
-    )
+    base = tok_df.select(F.col(id_col), hashed.alias("_hs"))
+    fields = [base.schema[id_col], T.StructField("signature", T.ArrayType(T.LongType()))]
+    if want_sh:
+        fields += [
+            T.StructField("sh", T.ArrayType(T.LongType())),
+            T.StructField("n", T.IntegerType()),
+        ]
+    out_schema = T.StructType(fields)
+
+    def batches(it):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids, lst = batch.column(0), batch.column(1)
+            lens = pc.list_value_length(lst).to_numpy().astype(np.int64)
+            flat = pc.list_flatten(lst).to_numpy().astype(np.uint64)
+            offsets = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            sigs = np.empty((n, num_perm), dtype=np.int64)
+            for lo in range(0, num_perm, 16):
+                hi = min(lo + 16, num_perm)
+                vals = flat[None, :] * a[lo:hi, None] + b[lo:hi, None]
+                mins = np.minimum.reduceat(vals, offsets, axis=1)
+                sigs[:, lo:hi] = mins.T.astype(np.int64)
+            sig_off = pa.array(
+                np.arange(0, (n + 1) * num_perm, num_perm, dtype=np.int32)
+            )
+            sig_arr = pa.ListArray.from_arrays(
+                sig_off, pa.array(sigs.reshape(-1), pa.int64())
+            )
+            cols = [ids, sig_arr]
+            if want_sh:
+                uniq = [
+                    np.unique(flat[offsets[i]:offsets[i] + lens[i]])
+                    for i in range(n)
+                ]
+                ulens = np.fromiter((len(u) for u in uniq), np.int64, count=n)
+                uoff = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(ulens, out=uoff[1:])
+                sh_arr = pa.ListArray.from_arrays(
+                    pa.array(uoff.astype(np.int32)),
+                    pa.array(
+                        np.concatenate(uniq).astype(np.int64)
+                        if len(uniq)
+                        else np.array([], np.int64),
+                        pa.int64(),
+                    ),
+                )
+                cols += [sh_arr, pa.array(ulens.astype(np.int32))]
+            yield pa.RecordBatch.from_arrays(
+                cols, names=[f.name for f in fields]
+            )
+
+    return base.mapInArrow(batches, schema=out_schema)
 
 
 def _shingles_expr(shingle_size: int, toks_col: str = "_toks"):
@@ -123,23 +205,16 @@ def _signatures_with_shingles(
 ) -> DataFrame:
     """(id, signature, sh, n) in ONE scan: the exact-verify tier needs both
     the MinHash signature and the distinct shingle set; deriving them from
-    the same shingle pipeline lets the caller checkpoint once."""
-    tok_df = df.select(
-        F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("_toks")
-    )
-    shingles = _shingles_expr(shingle_size)
-    hashed = F.transform(shingles, lambda s: F.xxhash64(s))
-    # the verify tier works on the DISTINCT HASHED shingle set: Jaccard over
-    # 64-bit hashes equals Jaccard over the strings (collisions are ~n²/2^64
-    # — none at any realistic shingle count), the checkpoint shrinks from
-    # ~30B/shingle of text to 8B, and the verify array_intersect compares
-    # longs instead of strings (measured win at sf0.1)
-    sh = F.array_distinct(hashed)
-    return tok_df.select(
-        F.col(id_col),
-        _sig_udf(num_perm, seed)(hashed).alias("signature"),
-        sh.alias("sh"),
-        F.size(sh).alias("n"),
+    the same shingle pipeline lets the caller checkpoint once.
+
+    The verify tier works on the DISTINCT HASHED shingle set: Jaccard over
+    64-bit hashes equals Jaccard over the strings (collisions are ~n²/2^64
+    — none at any realistic shingle count), the checkpoint shrinks from
+    ~30B/shingle of text to 8B, and the verify array_intersect compares
+    longs instead of strings (measured win at sf0.1). Signature + sh + n
+    all come out of ONE zero-copy Arrow pass (:func:`_sig_arrow_frame`)."""
+    return _sig_arrow_frame(
+        df, text_col, id_col, shingle_size, num_perm, seed, want_sh=True
     )
 
 
@@ -687,7 +762,11 @@ def simhash_near_dup_pairs(
 
 
 def near_dup_clusters(
-    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 25
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 25,
+    small_graph_edges: int = 200_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (member, cluster) where
     ``cluster`` is the smallest id reachable from the member — the canonical
@@ -704,6 +783,18 @@ def near_dup_clusters(
     if ``max_iter`` rounds don't converge (never observed: boundary rounds
     are logarithmic in partition count) rather than returning non-final
     labels.
+
+    Small-graph fast path: when the (distinct) edge set is at most
+    ``small_graph_edges`` rows it is coalesced into ONE partition, so the
+    first local union-find pass solves the whole graph and the loop exits
+    after a single round — dedup candidate graphs are orders of magnitude
+    smaller than the corpus, and paying log-P contraction rounds of tiny
+    scheduled jobs for a graph far below one partition's capacity is pure
+    overhead (guide §1.2: fix the distributed algorithm's pass count
+    first). The labels are identical either way: union-by-min union-find
+    yields the min reachable id per component regardless of partitioning.
+    The count() that gates the path reads the just-checkpointed edge set —
+    a metadata-cheap job, not a recompute.
     """
     import pandas as pd
 
@@ -746,6 +837,19 @@ def near_dup_clusters(
         .distinct()
         .localCheckpoint()
     )
+    if small_graph_edges and edges.count() <= small_graph_edges:
+        # one partition sees every edge → the local union-find IS the full
+        # solution; the contraction round would be empty by construction,
+        # so don't schedule it (checkpointed because callers like
+        # incremental_keep consume the mapping more than once)
+        rep = (
+            edges.coalesce(1)
+            .mapInPandas(_local_cc, schema=rep_schema)
+            .localCheckpoint()
+        )
+        return rep.select(
+            F.col("node").alias("member"), F.col("root").alias("cluster")
+        )
     mapping = None
     for _ in range(max_iter):
         rep = edges.mapInPandas(_local_cc, schema=rep_schema).localCheckpoint()

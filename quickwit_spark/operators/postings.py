@@ -119,16 +119,29 @@ def _postings_frame(
     )
 
 
+_TERM_BUCKET_MEMO: dict[tuple, list[int]] = {}
+
+
 def _term_buckets(spark: SparkSession, terms: list[str], n_buckets: int) -> list[int]:
     """Bucket of each query term under the SAME murmur3 the build used —
-    computed by the engine itself (one driver-sized job over |terms| rows)
-    so Python never re-implements Spark's hash."""
-    rows = (
-        spark.createDataFrame([(t,) for t in terms], "term string")
-        .select(F.pmod(F.hash("term"), F.lit(n_buckets)).alias("b"))
-        .collect()
-    )
-    return sorted({r["b"] for r in rows})
+    computed by the engine itself so Python never re-implements Spark's
+    hash, but as ONE literal-folded projection (parameterized
+    ``spark.sql`` over constants — no DataFrame conversion, no task
+    scheduling; the previous createDataFrame→collect cost ~0.3 s of fixed
+    overhead on every serve call). Memoized per (terms, n_buckets):
+    murmur3 of a constant string is pure, so the map is metadata, not a
+    result cache."""
+    key = (tuple(terms), int(n_buckets))
+    got = _TERM_BUCKET_MEMO.get(key)
+    if got is None:
+        exprs = ", ".join(
+            f"pmod(hash(:t{i}), :nb) AS b{i}" for i in range(len(terms))
+        )
+        args = {f"t{i}": t for i, t in enumerate(terms)}
+        args["nb"] = int(n_buckets)
+        row = spark.sql(f"SELECT {exprs}", args=args).collect()[0]
+        got = _TERM_BUCKET_MEMO[key] = sorted({int(v) for v in row})
+    return got
 
 
 def repair_term_index(path: str) -> None:
@@ -175,7 +188,7 @@ def read_stats(spark: SparkSession, path: str) -> dict:
     rather than re-average — the same partial-moments rule as the rollup
     plane (operators/rollup.py)."""
     repair_term_index(path)
-    row = spark.read.parquet(path + "_stats").collect()[0]
+    row = _read_stats_row(spark, path + "_stats")
     n, sum_dl = float(row["n_docs"]), float(row["sum_dl"])
     return {
         "n_docs": n,
@@ -183,6 +196,29 @@ def read_stats(spark: SparkSession, path: str) -> dict:
         "avgdl": (sum_dl / n) if n else 0.0,
         "n_buckets": int(row["n_buckets"]),
     }
+
+
+def _read_stats_row(spark: SparkSession, stats_dir: str) -> dict:
+    """One-row sidecar read. The lifecycle guarantees a LOCAL directory
+    (:func:`_require_local`), so the hot serve path reads the part file
+    with pyarrow on the driver (~ms) instead of scheduling a Spark job —
+    read_stats runs on EVERY serve (term_lookup, index_bm25_topk, phrase)
+    and the job-per-read was pure fixed overhead (guide §1.2: per-task /
+    per-job work after the algorithm is right). Falls back to a Spark read
+    if the directory layout is unexpected."""
+    try:
+        import pyarrow.parquet as pq
+
+        parts = sorted(
+            f for f in os.listdir(stats_dir)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if len(parts) == 1:  # every writer coalesce(1)s; anything else → Spark
+            t = pq.read_table(os.path.join(stats_dir, parts[0]))
+            return {c: t.column(c)[0].as_py() for c in t.column_names}
+    except OSError:
+        pass
+    return spark.read.parquet(stats_dir).collect()[0].asDict()
 
 
 def term_lookup(
@@ -302,15 +338,22 @@ def index_bm25_topk(
     index-served == scan-served across engines."""
     stats = read_stats(spark, path)
     hits = term_lookup(spark, path, terms)
-    dfs = hits.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    # per-term document frequency as ONE window count over the pruned hits:
+    # the previous groupBy+broadcast-join shape scanned the (already tiny,
+    # bucket-pruned) postings twice and paid a broadcast-build job per
+    # serve; the window is a single exchange of |query-term postings| rows
+    # (guide §2.4 — two operations keyed the same way share one pass)
+    from pyspark.sql import Window
+
+    dfc = F.count(F.lit(1)).over(Window.partitionBy("term")).cast("double")
     n, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
-    idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    idf = F.log(F.lit(1.0) + (F.lit(n) - dfc + 0.5) / (dfc + 0.5))
     w = (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
     )
-    scored = hits.join(F.broadcast(dfs), "term").select(
-        "doc_id", (idf * w).alias("__s")
-    )
+    scored = hits.select("doc_id", "term", "tf", "dl").withColumn(
+        "__s", idf * w
+    ).select("doc_id", "__s")
     return (
         scored.groupBy("doc_id")
         .agg(F.round(F.sum("__s"), 6).alias("_score"))
