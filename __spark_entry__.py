@@ -450,7 +450,9 @@ def _q_dedup_embedding_lsh(spark, sf_dir):
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     return S.embedding_near_dup_pairs(
-        _fan(spark, emb.unionByName(planted)), threshold=0.95, bits=10, tables=4
+        _fan(spark, emb.unionByName(planted)), threshold=0.95, bits=10, tables=4,
+        dim=64,  # fixture embeddings are 64-d; skips the operator's
+        # driver-side first() dimension probe (2 jobs per call)
     ).select("a", "b")
 
 

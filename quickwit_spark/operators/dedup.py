@@ -582,6 +582,63 @@ def ngram_jaccard_pairs(
 _SIMHASH_UDF = None
 
 
+def _simhash_kernel(flat: np.ndarray, offsets: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Per-row 64-bit SimHash from flattened token hashes + row offsets —
+    the popcount-majority vote, fully vectorized (shared by the pandas
+    column UDF and the zero-copy Arrow frame path; one implementation ⇒
+    bit-identical values on both)."""
+    weights = np.arange(64, dtype=np.uint64)
+    bits = ((flat[:, None] >> weights) & np.uint64(1)).astype(np.int64)
+    counts = np.add.reduceat(bits, offsets, axis=0)
+    sim = (counts * 2 > lens[:, None]).astype(np.uint64)
+    return (sim << weights).sum(axis=1, dtype=np.uint64).astype(np.int64)
+
+
+def _simhash_frame(
+    df: DataFrame, text_col: str, id_col: str, verify_exact: bool
+) -> DataFrame:
+    """(id, sim[, _ms]) via ``mapInArrow``: token hashes arrive as ONE flat
+    Arrow value buffer + offsets (no per-row pandas list materialization —
+    same zero-copy shape as :func:`_sig_arrow_frame`, guide §4.2); the
+    sorted-token multiset column used by exact verify passes through the
+    batch untouched. Values are bit-identical to ``simhash_col`` (shared
+    kernel)."""
+    hashed = F.transform(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
+    )
+    cols = [F.col(id_col), hashed.alias("_hs")]
+    fields = [df.select(F.col(id_col)).schema[id_col], T.StructField("sim", T.LongType())]
+    if verify_exact:
+        cols.append(
+            F.array_sort(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_ms")
+        )
+        fields.append(T.StructField("_ms", T.ArrayType(T.StringType())))
+    base = df.select(*cols)
+    out_schema = T.StructType(fields)
+    names = [f.name for f in fields]
+
+    def batches(it):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            lst = batch.column(1)
+            lens = pc.list_value_length(lst).to_numpy().astype(np.int64)
+            flat = pc.list_flatten(lst).to_numpy().astype(np.uint64)
+            offsets = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            vals = _simhash_kernel(flat, offsets, lens)
+            out = [batch.column(0), pa.array(vals, pa.int64())]
+            if verify_exact:
+                out.append(batch.column(2))
+            yield pa.RecordBatch.from_arrays(out, names=names)
+
+    return base.mapInArrow(batches, schema=out_schema)
+
+
 def _simhash_udf():
     """Arrow-batched popcount-majority over per-token hash arrays.
 
@@ -592,7 +649,6 @@ def _simhash_udf():
 
         @F.pandas_udf(T.LongType())
         def _sim(hashes: pd.Series) -> pd.Series:
-            weights = np.arange(64, dtype=np.uint64)
             arrs = [np.asarray(h, dtype=np.int64) for h in hashes]
             if not arrs:
                 return pd.Series([], dtype="int64")
@@ -600,11 +656,7 @@ def _simhash_udf():
             flat = np.concatenate(arrs).astype(np.uint64)
             offsets = np.zeros(len(arrs), dtype=np.int64)
             np.cumsum(lens[:-1], out=offsets[1:])
-            bits = ((flat[:, None] >> weights) & np.uint64(1)).astype(np.int64)
-            counts = np.add.reduceat(bits, offsets, axis=0)
-            sim = (counts * 2 > lens[:, None]).astype(np.uint64)
-            vals = (sim << weights).sum(axis=1, dtype=np.uint64)
-            return pd.Series(vals.astype(np.int64))
+            return pd.Series(_simhash_kernel(flat, offsets, lens))
 
         _SIMHASH_UDF = _sim
     return _SIMHASH_UDF
@@ -680,13 +732,9 @@ def simhash_near_dup_pairs(
     ``verify_exact`` the sorted token multiset rides in the SAME checkpointed
     frame (one corpus scan, one write barrier — the a/b verify joins would
     otherwise re-split the text twice; same shape as the minhash exact
-    tier)."""
-    base_cols = [F.col(id_col), simhash_col(text_col).alias("sim")]
-    if verify_exact:
-        base_cols.append(
-            F.array_sort(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_ms")
-        )
-    sh = df.select(*base_cols).localCheckpoint()
+    tier). The frame is built zero-copy via :func:`_simhash_frame` (values
+    bit-identical to ``simhash_col`` — shared kernel)."""
+    sh = _simhash_frame(df, text_col, id_col, verify_exact).localCheckpoint()
     if max_hamming == 0:
         # hamming-0 fast path: such pairs share the WHOLE hash, so bucket on
         # the full 64-bit value — one equi-join instead of the 4× chunk
