@@ -169,6 +169,10 @@ def _shingles_expr(shingle_size: int, toks_col: str = "_toks"):
 
 
 def _sig_udf(num_perm: int, seed: int = 1):
+    """Reference pandas-UDF MinHash signature (the pre-Arrow formulation).
+    Retained only as the golden cross-check for the zero-copy
+    :func:`_sig_arrow_frame` path (same rule as ``_simhash_col_sql`` for
+    SimHash): the parity test pins the two bit-identical."""
     a, b = _minhash_params(num_perm, seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))

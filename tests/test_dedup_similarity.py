@@ -66,6 +66,31 @@ def test_minhash_signature_deterministic(docs):
     assert s1[0]["signature"] == s1[1]["signature"]  # identical docs
 
 
+def test_minhash_arrow_path_matches_pandas_reference(docs):
+    """The zero-copy mapInArrow signature path must be bit-identical to the
+    retained pandas-UDF reference (_sig_udf) — same permutation params,
+    same segmented-min arithmetic, only the serde differs."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.operators.dedup import _shingles_expr, _sig_udf
+
+    tok = docs.select(
+        F.col("doc_id"), F.split(F.lower(F.col("text")), r"\s+").alias("_toks")
+    )
+    hashed = F.transform(_shingles_expr(3), lambda s: F.xxhash64(s))
+    ref = {
+        r["doc_id"]: r["sig"]
+        for r in tok.select(
+            "doc_id", _sig_udf(64, 1)(hashed).alias("sig")
+        ).collect()
+    }
+    arrow = {
+        r["doc_id"]: r["signature"]
+        for r in minhash_signatures(docs, num_perm=64).collect()
+    }
+    assert ref == arrow
+
+
 def test_ngram_jaccard(docs):
     pairs = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
     assert pairs[(0, 1)] == 1.0
@@ -208,6 +233,32 @@ def test_simhash_vectorized_matches_sql(docs):
         assert r["fast"] == r["ref"], r["doc_id"]
 
 
+def test_simhash_arrow_frame_matches_column(docs):
+    """The zero-copy mapInArrow frame used by simhash_near_dup_pairs must
+    produce the same hashes as the simhash_col column UDF (shared kernel),
+    and carry the same sorted-token multiset for the exact verify."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.operators.dedup import _simhash_frame
+
+    frame = {
+        r["doc_id"]: (r["sim"], tuple(r["_ms"]))
+        for r in _simhash_frame(docs, "text", "doc_id", True).collect()
+    }
+    col = {
+        r["doc_id"]: (
+            r["sim"],
+            tuple(r["ms"]),
+        )
+        for r in docs.select(
+            "doc_id",
+            simhash_col().alias("sim"),
+            F.array_sort(F.split(F.lower(F.col("text")), r"\s+")).alias("ms"),
+        ).collect()
+    }
+    assert frame == col
+
+
 def test_ngram_stop_shingle_cap(spark, docs):
     """A shingle shared by EVERY doc must not blow up the candidate join, and
     capping it must not change the output pairs (Jaccard is computed from the
@@ -324,6 +375,32 @@ def test_near_dup_clusters_connected_components(spark):
         r["member"]: r["cluster"] for r in near_dup_clusters(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_near_dup_clusters_fast_path_matches_contraction_loop(spark):
+    """The small-graph single-partition fast path and the general two-level
+    contraction loop must produce identical (member, cluster) labels —
+    exercised on a graph mixing a long chain (stresses multi-round
+    label propagation designs), a star, and reversed/duplicate edges.
+    ``small_graph_edges=0`` forces the loop, the default takes the fast
+    path; the loop would otherwise be untested below 200k edges."""
+    from quickwit_spark.operators.dedup import near_dup_clusters
+
+    edges = (
+        [(i + 1, i) for i in range(1, 40)]          # chain 1..40 (reversed)
+        + [(100, 100 + k) for k in range(1, 8)]      # star at 100
+        + [(500, 501), (501, 500), (500, 501)]       # dupes both ways
+    )
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    fast = {
+        r["member"]: r["cluster"] for r in near_dup_clusters(pairs).collect()
+    }
+    loop = {
+        r["member"]: r["cluster"]
+        for r in near_dup_clusters(pairs, small_graph_edges=0).collect()
+    }
+    assert fast == loop
+    assert fast[40] == 1 and fast[107] == 100 and fast[501] == 500
 
 
 def test_lang_id_more_languages(spark):
