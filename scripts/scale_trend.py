@@ -111,11 +111,20 @@ def _executor_shuffle_bytes(spark) -> int:
 
 def _plan_shape(df) -> str:
     """Executed-plan node sequence with ids/sizes/exprs stripped — the
-    scale-invariant shape of the physical plan."""
+    scale-invariant shape of the physical plan. Only the AQE FINAL plan is
+    compared (the Initial Plan section restates the pre-adaptive plan and
+    would double every node); a remaining difference is therefore either
+    real operator drift or AQE join-strategy adaptation (broadcast ↔
+    shuffled-hash as the build side crosses the threshold) — the drift
+    section below the table shows which."""
     plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
     lines = []
     for ln in plan.splitlines():
-        m = re.match(r"^[\s:+*\-()]*([A-Za-z]+)", ln)
+        # the leading char class must also eat the `*(n)` whole-stage-codegen
+        # prefix (digits included) or every codegen-fused operator — joins
+        # included — silently drops out of the shape
+        m = re.match(r"^[\s:+*\-()\d]*([A-Za-z]+)", ln)
         if not m:
             continue
         node = m.group(1)
@@ -125,7 +134,7 @@ def _plan_shape(df) -> str:
                     # coalesced at runtime is a data-size artifact, not a
                     # plan-shape difference
                     "AQEShuffleRead", "ShuffleQueryStage", "ResultQueryStage",
-                    "TableCacheQueryStage"):
+                    "TableCacheQueryStage", "BroadcastQueryStage"):
             continue
         lines.append(node)
     return "\n".join(lines)
@@ -202,9 +211,13 @@ def main() -> None:
         "per 4 words, so sf1 carries ~12.5x the TOKEN volume of sf0.1 — its",
         "ratios should be read against 12.5x, not 10x (W-token window counts",
         "are linear in tokens, the operator's documented cost shape).",
-        "Plan shapes are compared after stripping AQE runtime wrappers",
+        "Plan shapes are the AQE FINAL plan after stripping runtime wrappers",
         "(AQEShuffleRead etc.) — runtime partition coalescing is a data-size",
-        "artifact, not an operator-plan difference.",
+        "artifact, not an operator-plan difference. A residual DIFFERS is",
+        "either real operator drift or AQE adapting a join strategy",
+        "(broadcast ↔ shuffled-hash as the build side crosses the threshold",
+        "with scale — working-as-intended adaptivity); the drift section",
+        "shows which nodes changed.",
     ]
     for name in QUERIES:
         if plans[name]["sf0.1"] != plans[name]["sf1"]:
