@@ -156,14 +156,23 @@ def _sig_arrow_frame(
 def _shingles_expr(shingle_size: int, toks_col: str = "_toks"):
     """Word-shingle array over a materialized token-array column (element_at
     reads an attribute; inlining the split would be O(tokens²) string
-    splits per row)."""
+    splits per row).
+
+    ``try_element_at``: a doc shorter than the shingle size still emits its
+    one forced shingle (n_sh floors at 1); plain ``element_at`` past the
+    end RAISES under ANSI mode (Spark 4 default), crashing the whole job
+    on the first short document. The nulls are skipped by ``concat_ws``,
+    so the short-doc shingle is the join of the available tokens — exactly
+    what the DuckDB oracle's bounds-clamped ``words[i:i+k]`` slice
+    produces; full-length shingles are untouched (indices in range)."""
     toks = F.col(toks_col)
     n_sh = F.greatest(F.size(toks) - F.lit(shingle_size - 1), F.lit(1))
     idx = F.sequence(F.lit(0), n_sh - 1)
     return F.transform(
         idx,
         lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(shingle_size)]
+            " ",
+            *[F.try_element_at(toks, i + F.lit(k + 1)) for k in range(shingle_size)],
         ),
     )
 
@@ -446,11 +455,13 @@ def _shingle_sets(df: DataFrame, text_col: str, id_col: str, shingle_size: int) 
     toks = F.col("_toks")
     n_sh = F.greatest(F.size(toks) - F.lit(shingle_size - 1), F.lit(1))
     idx = F.sequence(F.lit(0), n_sh - 1)
+    # try_element_at: same short-doc/ANSI rationale as _shingles_expr
     shingles = F.array_distinct(
         F.transform(
             idx,
             lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + F.lit(k + 1)) for k in range(shingle_size)]
+                " ",
+                *[F.try_element_at(toks, i + F.lit(k + 1)) for k in range(shingle_size)],
             ),
         )
     )

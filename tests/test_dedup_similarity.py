@@ -66,6 +66,33 @@ def test_minhash_signature_deterministic(docs):
     assert s1[0]["signature"] == s1[1]["signature"]  # identical docs
 
 
+def test_minhash_short_docs_no_ansi_crash(spark):
+    """Docs shorter than the shingle size must not crash under ANSI mode
+    (element_at past the array end raises in Spark 4): the forced single
+    shingle is the join of the available tokens — the same value the
+    DuckDB oracle's bounds-clamped slice produces — and exact-verify
+    pairs still come out right."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.operators.dedup import (
+        _shingle_sets,
+        minhash_dedup_pairs,
+    )
+
+    rows = [(1, "a"), (2, "a"), (3, "a b"), (4, "a b"), (5, "x y z w")]
+    short = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r["doc_id"]: sorted(r["sh"]) for r in _shingle_sets(short, "text", "doc_id", 3).collect()}
+    assert sh[1] == ["a"] and sh[3] == ["a b"]
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in minhash_dedup_pairs(
+            short, threshold=0.9, num_perm=64, num_bands=16, verify="exact"
+        ).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0 and pairs.get((3, 4)) == 1.0
+    assert (1, 3) not in pairs
+
+
 def test_minhash_arrow_path_matches_pandas_reference(docs):
     """The zero-copy mapInArrow signature path must be bit-identical to the
     retained pandas-UDF reference (_sig_udf) — same permutation params,
